@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central place for engine configuration so Verify/Bench/tests all run
+  * with the same tuned profile.
+  *
+  * Scale notes (100 TB): these settings are the local[32] projection of a
+  * cluster profile — AQE handles skew + partition coalescing at runtime,
+  * broadcast threshold keeps TPC-H-ratio dims out of shuffles, and
+  * shuffle.partitions is sized to cores here (2-3x executor cores on a
+  * real cluster).
+  */
+object GraftSession {
+
+  def apply(master: String, cores: Int): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Session for the driver-invoked mains: core count from env. */
+  def fromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    apply(s"local[$cpus]", cpus)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the test corpus. Explicit schemas: at 100 TB a scan
+  * must not pay per-file footer schema inference, and explicit types keep
+  * pushdown predicates well-typed. Column pruning + predicate pushdown are
+  * verified in PlanSpec.
+  */
+object Tables {
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(
+      Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)
+      )
+    ),
+    "nation" -> StructType(
+      Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)
+      )
+    ),
+    "customer" -> StructType(
+      Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)
+      )
+    ),
+    "supplier" -> StructType(
+      Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)
+      )
+    ),
+    "part" -> StructType(
+      Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_type", StringType),
+        StructField("p_size", IntegerType),
+        StructField("p_retailprice", DoubleType)
+      )
+    ),
+    "orders" -> StructType(
+      Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType)
+      )
+    ),
+    "lineitem" -> StructType(
+      Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType)
+      )
+    ),
+    "events" -> StructType(
+      Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)
+      )
+    ),
+    "documents" -> StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)
+      )
+    ),
+    "embeddings" -> StructType(
+      Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)
+      )
+    )
+  )
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
