@@ -13,13 +13,36 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (Relational.q01PricingSummary _)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_join_topn" -> (Relational.q02JoinTopN _),
+    "q03_star_join" -> (Relational.q03StarJoin _),
+    "q04_agg_functions" -> (Relational.q04AggFunctions _),
+    "q05_window_rank" -> (Relational.q05WindowRank _),
+    "q06_semi_anti" -> (Relational.q06SemiAnti _),
+    "q07_pivot_wide" -> (Relational.q07PivotWide _),
+    "q08_rollup" -> (Relational.q08Rollup _),
+    "q09_exists_totals" -> (Relational.q09ExistsTotals _),
+    "q10_asof_join" -> (Relational.q10AsofJoin _),
+    "q11_sessionize" -> (Relational.q11Sessionize _),
+    "q12_explode_tokens" -> (Relational.q12ExplodeTokens _),
+    "q13_approx_distinct" -> (Relational.q13ApproxDistinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> Relational.q01Sql
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_join_topn" -> Relational.q02Sql,
+    "q03_star_join" -> Relational.q03Sql,
+    "q04_agg_functions" -> Relational.q04Sql,
+    "q05_window_rank" -> Relational.q05Sql,
+    "q06_semi_anti" -> Relational.q06Sql,
+    "q07_pivot_wide" -> Relational.q07Sql,
+    "q08_rollup" -> Relational.q08Sql,
+    "q09_exists_totals" -> Relational.q09Sql,
+    "q10_asof_join" -> Relational.q10Sql,
+    "q11_sessionize" -> Relational.q11Sql,
+    "q12_explode_tokens" -> Relational.q12Sql
   )
 }

@@ -76,10 +76,13 @@ object Tables {
         StructField("l_shipdate", TimestampType)
       )
     ),
+    // ts is TIMESTAMP(NANOS) on disk — Spark reads it as raw int64
+    // (spark.sql.legacy.parquet.nanosAsLong); events() converts to a
+    // microsecond TimestampType, truncating exactly like DuckDB does.
     "events" -> StructType(
       Seq(
         StructField("event_id", LongType),
-        StructField("ts", TimestampType),
+        StructField("ts", LongType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
@@ -114,7 +117,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -69,4 +69,340 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // R2 + R6: inner join with broadcast dims + total-order top-N.
+  // Scale: orders is the fact side (shuffle-free scan), customer joins on
+  // its key (sort-merge/shuffled-hash at 100 TB, AQE decides), nation is
+  // tiny and explicitly broadcast. Top-N is a TakeOrdered physical op —
+  // no global sort materialization.
+  def q02JoinTopN(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val q02Sql: String =
+    """SELECT o_orderkey, c_name, n_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // R3: 5-way star join (TPC-H Q5 shape). Dims (nation, region, supplier
+  // at TPC-H ratio) broadcast; lineitem⋈orders co-partitions on orderkey.
+  def q03StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val revenue = sum(dmoney(col("l_extendedprice")) * (lit(1).cast(DecimalType(7, 4)) - drate(col("l_discount"))))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA" &&
+        o("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        o("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(n("n_name"))
+      .agg(out2(revenue).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // R4: full aggregate-function surface: sum/min/max/avg/count distinct.
+  // count(distinct) expands to a two-stage partial agg in Spark — no
+  // single-point bottleneck at scale.
+  def q04AggFunctions(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        out2(sum(dmoney(col("o_totalprice")))).as("sum_price"),
+        avg6(sum(dmoney(col("o_totalprice"))), count(lit(1))).as("avg_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | COUNT(DISTINCT o_custkey) AS n_customers,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_price,
+      | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      | MIN(o_orderdate) AS first_order,
+      | MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // R5: window functions — rank / row_number / lag / lead / running sum,
+  // partitioned by a high-cardinality key (custkey) so no partition is a
+  // scale bottleneck. Keep the top-2 rows per customer (reference
+  // keep-first dedup is the rn=1 slice: DatabaseStructured.py:225).
+  def q05WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val cum = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(byPrice).as("price_rank"),
+        row_number().over(byDate).as("seq"),
+        lag("o_totalprice", 1).over(byDate).as("prev_price"),
+        lead("o_totalprice", 1).over(byDate).as("next_price"),
+        out2(sum(dmoney(col("o_totalprice"))).over(cum)).as("run_spend")
+      )
+      .filter(col("price_rank") <= 2)
+      .orderBy("o_custkey", "price_rank", "o_orderkey")
+  }
+
+  val q05Sql: String =
+    """SELECT * FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |  ROW_NUMBER() OVER w AS seq,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_spend
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |) WHERE price_rank <= 2
+      |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin
+
+  // R7: semi / anti join — customers with vs without orders, per segment.
+  // Both sides aggregate AFTER the existence join, so the shuffle carries
+  // only custkeys; at 100 TB the semi/anti join is a broadcast of nothing
+  // — it stays a shuffled existence join with early agg pushdown.
+  def q06SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q06Sql: String =
+    """SELECT c_mktsegment,
+      | SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS n_with,
+      | SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS n_without
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // R8 + E10: transpose-to-wide (pivot) via conditional aggregation —
+  // exactly what groupBy().pivot(values) lowers to, but with stable
+  // column names shared with the oracle. Reference analog:
+  // DatabaseUnstructured.py:291 (wide row per (CIK, year)).
+  def q07PivotWide(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    e.groupBy("user_id")
+      .agg(
+        cnt("click"), cnt("error"), cnt("purchase"), cnt("signup"), cnt("view"),
+        out2(sum(when(col("event_type") === "purchase", dmoney(col("value"))))).as("amt_purchase")
+      )
+      .orderBy("user_id")
+  }
+
+  val q07Sql: String =
+    """SELECT user_id,
+      | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      | CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,4)) END), 2) AS DOUBLE) AS amt_purchase
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // R9: rollup — region/nation hierarchy totals in one pass (partial aggs
+  // per grouping set, no repeated scans).
+  def q08Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), out2(sum(dmoney(col("c_acctbal")))).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy("region", "nation")
+  }
+
+  val q08Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      | COUNT(*) AS n_customers,
+      | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // R10 + E9: totals detection — rows whose value equals (exactly, or
+  // within 1%) the backward running sum of prior lines in the same order.
+  // Spark-first form of DatabaseUnstructured.py:108-184 totals_check:
+  // the reference loops per sheet; here one window pass, partitioned by
+  // the high-cardinality orderkey.
+  def q09ExistsTotals(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    // (l_orderkey, l_linenumber) is NOT unique in the corpus — the window
+    // order must be total or the prefix sums are engine-dependent.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevSum = sum(dmoney(col("l_extendedprice"))).over(w)
+    val ed = dmoney(col("l_extendedprice")).cast(DoubleType)
+    val pd = prevSum.cast(DoubleType)
+    l.withColumn("prev_sum_dec", prevSum)
+      .withColumn("kind",
+        when(col("prev_sum_dec").isNotNull && dmoney(col("l_extendedprice")) === col("prev_sum_dec"), "EXACT")
+          .when(col("prev_sum_dec").isNotNull && pd > 0 && abs(ed - pd) / pd <= 0.01, "EPS"))
+      .filter(col("kind").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        out2(col("prev_sum_dec")).as("prev_sum"), col("kind"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q09Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      | CAST(ROUND(prev_sum_dec, 2) AS DOUBLE) AS prev_sum,
+      | CASE WHEN CAST(l_extendedprice AS DECIMAL(12,4)) = prev_sum_dec THEN 'EXACT'
+      |      WHEN CAST(prev_sum_dec AS DOUBLE) > 0
+      |       AND ABS(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE) - CAST(prev_sum_dec AS DOUBLE)) / CAST(prev_sum_dec AS DOUBLE) <= 0.01 THEN 'EPS'
+      | END AS kind
+      |FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,4))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_sum_dec
+      | FROM lineitem
+      |)
+      |WHERE prev_sum_dec IS NOT NULL
+      |  AND (CAST(l_extendedprice AS DECIMAL(12,4)) = prev_sum_dec
+      |   OR (CAST(prev_sum_dec AS DOUBLE) > 0
+      |    AND ABS(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE) - CAST(prev_sum_dec AS DOUBLE)) / CAST(prev_sum_dec AS DOUBLE) <= 0.01))
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // R11: as-of join — each purchase event matched to the latest signup of
+  // the same user at-or-before it. Spark-first: a single ordered window
+  // with a running MAX over the tagged timestamp (monotone, so MAX ==
+  // latest). No range-join explosion; shuffle is one hash partition by
+  // user_id. At 100 TB this beats a correlated subquery by construction.
+  def q10AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("event_type").isin("signup", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("sig_ts", when(col("event_type") === "signup", col("ts")))
+      .withColumn("last_signup_ts", max(col("sig_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val q10Sql: String =
+    """SELECT event_id, user_id, ts, last_signup_ts FROM (
+      | SELECT event_id, user_id, ts, event_type,
+      |  MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      | FROM events WHERE event_type IN ('signup', 'purchase')
+      |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // R12: sessionization — 30-min-gap sessions via lag + cumulative sum.
+  // The batch twin of the streaming path (streaming/EventStream.scala).
+  def q11Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum("is_new").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        out2(sum(dmoney(col("value")))).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q11Sql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MIN(ts) AS session_start, MAX(ts) AS session_end,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS session_value
+      |FROM (
+      | SELECT user_id, ts, value,
+      |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |   CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM (
+      |   SELECT user_id, event_id, ts, value,
+      |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |   FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // R13 + E5: explode / unnest — reference row_split (OCRClean.py:219)
+  // re-expressed as split + explode + re-aggregate. Explode happens
+  // map-side; only the (token) agg shuffles.
+  def q12ExplodeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= 10)
+      .orderBy(desc("n_total"), asc("token"))
+  }
+
+  val q12Sql: String =
+    """SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+      |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+      |WHERE LENGTH(token) > 0
+      |GROUP BY token HAVING COUNT(*) >= 10
+      |ORDER BY n_total DESC, token""".stripMargin
+
+  // R14: approximate aggregates — HLL++ sketch vs exact, per source.
+  // Rows-only (DuckDB's approx sketch differs); the exact twin columns
+  // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
+  // is mergeable → single pass, no giant distinct shuffle.
+  def q13ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("text")).as("n_exact"),
+        approx_count_distinct(col("text"), 0.02).as("n_approx")
+      )
+      .withColumn("rel_err",
+        round(abs(col("n_approx") - col("n_exact")).cast(DoubleType) / col("n_exact"), 4))
+      .orderBy("source")
+  }
 }
