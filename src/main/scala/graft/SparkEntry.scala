@@ -25,7 +25,21 @@ object SparkEntry {
     "q10_asof_join" -> (Relational.q10AsofJoin _),
     "q11_sessionize" -> (Relational.q11Sessionize _),
     "q12_explode_tokens" -> (Relational.q12ExplodeTokens _),
-    "q13_approx_distinct" -> (Relational.q13ApproxDistinct _)
+    "q13_approx_distinct" -> (Relational.q13ApproxDistinct _),
+    "q20_edgar_index_parse" -> (Edgar.q20EdgarIndexParse _),
+    "q21_cik_registry" -> (Edgar.q21CikRegistry _),
+    "q22_clean_numeric" -> (Edgar.q22CleanNumeric _),
+    "q23_merge_columns" -> (Edgar.q23MergeColumns _),
+    "q24_scale_apply" -> (Edgar.q24ScaleApply _),
+    "q25_fuzzy_match" -> (Edgar.q25FuzzyMatch _),
+    "q26_bs_split" -> (BalanceSheet.q26BsSplit _),
+    "q27_classify_rule" -> (Classify.q27ClassifyRule _),
+    "q28_classify_lr" -> (Classify.q28ClassifyLr _),
+    "q29_label_override" -> (Classify.q29LabelOverride _),
+    "q30_structured_agg" -> (BalanceSheet.q30StructuredAgg _),
+    "q31_reconstruction" -> (BalanceSheet.q31Reconstruction _),
+    "q32_filename_parse" -> (Edgar.q32FilenameParse _),
+    "q33_seq_merge" -> (Edgar.q33SeqMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,6 +57,19 @@ object SparkEntry {
     "q09_exists_totals" -> Relational.q09Sql,
     "q10_asof_join" -> Relational.q10Sql,
     "q11_sessionize" -> Relational.q11Sql,
-    "q12_explode_tokens" -> Relational.q12Sql
+    "q12_explode_tokens" -> Relational.q12Sql,
+    "q20_edgar_index_parse" -> Edgar.q20Sql,
+    "q21_cik_registry" -> Edgar.q21Sql,
+    "q22_clean_numeric" -> Edgar.q22Sql,
+    "q23_merge_columns" -> Edgar.q23Sql,
+    "q24_scale_apply" -> Edgar.q24Sql,
+    "q25_fuzzy_match" -> Edgar.q25Sql,
+    "q26_bs_split" -> BalanceSheet.q26Sql,
+    "q27_classify_rule" -> Classify.q27Sql,
+    "q29_label_override" -> Classify.q29Sql,
+    "q30_structured_agg" -> BalanceSheet.q30Sql,
+    "q31_reconstruction" -> BalanceSheet.q31Sql,
+    "q32_filename_parse" -> Edgar.q32Sql,
+    "q33_seq_merge" -> Edgar.q33Sql
   )
 }

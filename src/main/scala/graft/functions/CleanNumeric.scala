@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Accounting-string → numeric cleaner (reference: OCRClean.py:30-88
+  * `num_strip`): parentheses mean negative, OCR `I`/`l` read as `1`,
+  * `$ , spaces` stripped, the LAST period is the decimal separator, a
+  * fractional part longer than 2 digits means the periods were thousands
+  * separators, and a bare `-`/`.` is 0.0.
+  *
+  * Implemented as a pure Column composition (translate/regexp/CASE) so it
+  * stays inside whole-stage codegen — no UDF. `sqlExpr` emits the exact
+  * same logic as ANSI SQL for the DuckDB oracle; the two are kept in
+  * lockstep by construction (same branch structure, same regexes).
+  */
+object CleanNumeric {
+
+  /** Messy-string generator: deterministically re-creates the OCR mess the
+    * reference cleans, from a clean (value, key) pair. Variant by key%6:
+    * 0 `$1,234.56`  1 `(1,234.56)` (negative)  2 `I,234.56` (OCR 1→I)
+    * 3 padded whitespace  4 bare `-` (null-ish)  5 plain no commas.
+    */
+  def messy(value: Column, key: Column): Column = {
+    val cents = round(value * 100, 0).cast(LongType)
+    val ip = cents.divide(lit(100)).cast(LongType)
+    val fr = lpad((cents % 100).cast(StringType), 2, "0")
+    // manual comma grouping (values < 1e9 by construction)
+    val g = when(ip >= 1000000L,
+        concat((ip.divide(lit(1000000L))).cast(LongType).cast(StringType), lit(","),
+          lpad(((ip.divide(lit(1000L))).cast(LongType) % 1000).cast(StringType), 3, "0"), lit(","),
+          lpad((ip % 1000).cast(StringType), 3, "0")))
+      .when(ip >= 1000L,
+        concat((ip.divide(lit(1000L))).cast(LongType).cast(StringType), lit(","),
+          lpad((ip % 1000).cast(StringType), 3, "0")))
+      .otherwise(ip.cast(StringType))
+    val base = concat(g, lit("."), fr)
+    val v = key % 6
+    when(v === 0, concat(lit("$"), base))
+      .when(v === 1, concat(lit("("), base, lit(")")))
+      .when(v === 2, translate(base, "1", "I"))
+      .when(v === 3, concat(lit("  "), base, lit(" ")))
+      .when(v === 4, lit("-"))
+      .otherwise(regexp_replace(base, ",", ""))
+  }
+
+  /** SQL twin of [[messy]] (DuckDB dialect; `//` = integer division) —
+    * kept as a single expression string pasteable into oracle queries.
+    */
+  def messySqlExpr(value: String, key: String): String = {
+    val c = s"CAST(ROUND(($value) * 100, 0) AS BIGINT)"
+    val ip = s"(($c) // 100)"
+    val fr = s"LPAD(CAST(($c) % 100 AS VARCHAR), 2, '0')"
+    val g =
+      s"""CASE WHEN $ip >= 1000000 THEN CAST($ip // 1000000 AS VARCHAR) || ',' || LPAD(CAST(($ip // 1000) % 1000 AS VARCHAR), 3, '0') || ',' || LPAD(CAST($ip % 1000 AS VARCHAR), 3, '0')
+         |     WHEN $ip >= 1000 THEN CAST($ip // 1000 AS VARCHAR) || ',' || LPAD(CAST($ip % 1000 AS VARCHAR), 3, '0')
+         |     ELSE CAST($ip AS VARCHAR) END""".stripMargin
+    val base = s"(($g) || '.' || $fr)"
+    s"""CASE ($key) % 6
+       | WHEN 0 THEN '$$' || $base
+       | WHEN 1 THEN '(' || $base || ')'
+       | WHEN 2 THEN TRANSLATE($base, '1', 'I')
+       | WHEN 3 THEN '  ' || $base || ' '
+       | WHEN 4 THEN '-'
+       | ELSE REGEXP_REPLACE($base, ',', '', 'g')
+       |END""".stripMargin
+  }
+
+  /** The cleaner: raw messy string → (value, was_negative applied). */
+  def clean(raw: Column): Column = {
+    val s = trim(raw)
+    val neg = s.startsWith("(")
+    val t = regexp_replace(translate(s, "Il", "11"), "[^0-9.]", "")
+    val nPeriods = length(t) - length(regexp_replace(t, "\\.", ""))
+    val intRaw = regexp_extract(t, "^(.*)\\.([^.]*)$", 1)
+    val decp = regexp_extract(t, "^(.*)\\.([^.]*)$", 2)
+    val ic = regexp_replace(intRaw, "\\.", "")
+    val digitsOnly = regexp_replace(t, "[^0-9]", "")
+    val mag = when(digitsOnly === "", lit(0.0))
+      .when(nPeriods === 0, t.cast(DoubleType))
+      .when(length(decp).between(1, 2),
+        concat(coalesce(when(ic =!= "", ic), lit("0")), lit("."), decp).cast(DoubleType))
+      .otherwise(concat(coalesce(when(concat(ic, decp) =!= "", concat(ic, decp)), lit("0"))).cast(DoubleType))
+    when(neg, -mag).otherwise(mag)
+  }
+
+  /** SQL twin of [[clean]] — same branches, same regexes. */
+  def cleanSqlExpr(raw: String): String = {
+    val s = s"TRIM($raw)"
+    val t = s"REGEXP_REPLACE(TRANSLATE($s, 'Il', '11'), '[^0-9.]', '', 'g')"
+    s"""(CASE WHEN $s LIKE '(%' THEN -1 ELSE 1 END) * (
+       |CASE WHEN REGEXP_REPLACE($t, '[^0-9]', '', 'g') = '' THEN 0.0
+       | WHEN LENGTH($t) - LENGTH(REGEXP_REPLACE($t, '\\.', '', 'g')) = 0 THEN CAST($t AS DOUBLE)
+       | WHEN LENGTH(REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 2)) BETWEEN 1 AND 2
+       |  THEN CAST(COALESCE(NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 1), '\\.', '', 'g'), ''), '0') || '.' || REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 2) AS DOUBLE)
+       | ELSE CAST(COALESCE(NULLIF(REGEXP_REPLACE(REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 1), '\\.', '', 'g') || REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 2), ''), '0') AS DOUBLE)
+       |END)""".stripMargin
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Line-item classification operators (SURVEY.md §2.2, E11-E13).
+  *
+  * The reference classifies balance-sheet line items with a
+  * HashingVectorizer + LogisticRegression (DatabaseStructured.py:92-128).
+  * Spark-first re-expression: E11 is the SQL-expressible keyword-rule
+  * twin; E12 is a real hashed-term-frequency linear model evaluated
+  * entirely with codegen'd builtins (xxhash64 + conditional aggregation)
+  * — weights are a deterministic function of (class, bucket), so there is
+  * no model artifact to ship and the scoring is reproducible anywhere.
+  */
+object Classify {
+
+  /** First-match keyword rules — the rule-based classifier (E11). */
+  def ruleLabel(text: Column): Column =
+    when(text.contains("customer"), "customer_related")
+      .when(text.contains("order"), "order_related")
+      .when(text.contains("stream"), "stream_related")
+      .when(text.contains("data"), "data_related")
+      .otherwise("other")
+
+  val ruleLabelSql: String =
+    """CASE WHEN text LIKE '%customer%' THEN 'customer_related'
+      | WHEN text LIKE '%order%' THEN 'order_related'
+      | WHEN text LIKE '%stream%' THEN 'stream_related'
+      | WHEN text LIKE '%data%' THEN 'data_related'
+      | ELSE 'other' END""".stripMargin
+
+  // E11: rule-based classification over documents.
+  def q27ClassifyRule(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), ruleLabel(col("text")).as("label"))
+      .orderBy("doc_id")
+  }
+
+  val q27Sql: String =
+    s"""SELECT doc_id, $ruleLabelSql AS label FROM documents ORDER BY doc_id""".stripMargin
+
+  // E12 (rows-only): hashed-TF logistic scoring. tokens → xxhash64 mod D
+  // buckets; weight(class, bucket) = centered hash in [-0.5, 0.5);
+  // score_c = Σ_token w_c(bucket(token)); prediction = argmax_c.
+  // All map-side except one groupBy(doc_id) — scales linearly.
+  val NumBuckets = 1024
+  val NumClasses = 5
+
+  def q28ClassifyLr(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(NumBuckets)))
+    def w(c: Int): Column =
+      (pmod(xxhash64(lit(c), col("bucket")), lit(1000L)).cast(DoubleType) / 1000.0) - 0.5
+    val scoreCols = (0 until NumClasses).map(c => sum(w(c)).as(s"score_$c"))
+    val scored = tok.groupBy("doc_id")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = (0 until NumClasses).map(c => col(s"score_$c"))
+      .reduceLeft((a, b) => greatest(a, b))
+    val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
+      when(col(s"score_$c") === best, lit(c)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_class", pred)
+      .withColumn("best_score", round(best, 4))
+      .select(col("doc_id"), col("pred_class"), col("best_score"))
+      .orderBy("doc_id")
+  }
+
+  // E13 (DatabaseStructured.py:21-48): manual-label override — left join
+  // the (small, broadcast) manual table; manual wins over predicted.
+  def q29LabelOverride(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val n = Tables.nation(s, dir)
+    val manual = n.select(col("n_nationkey").cast(LongType).as("doc_id"),
+      concat(lit("manual_"), lower(col("n_name"))).as("manual_label"))
+    d.select(col("doc_id"), ruleLabel(col("text")).as("rule_label"))
+      .join(broadcast(manual), Seq("doc_id"), "left_outer")
+      .withColumn("final_label", coalesce(col("manual_label"), col("rule_label")))
+      .orderBy("doc_id")
+  }
+
+  val q29Sql: String =
+    s"""SELECT d.doc_id, $ruleLabelSql AS rule_label, m.manual_label,
+       | COALESCE(m.manual_label, $ruleLabelSql) AS final_label
+       |FROM documents d LEFT JOIN (
+       | SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 'manual_' || LOWER(n_name) AS manual_label
+       | FROM nation) m
+       |ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

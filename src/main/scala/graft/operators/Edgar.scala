@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.CleanNumeric
+import graft.operators.Relational.{dmoney, out2}
+
+/** EDGAR-pipeline operators (SURVEY.md §2.2, E1-E7 + E16-E17).
+  *
+  * The reference's inputs (EDGAR form.idx lines, OCR'd balance-sheet
+  * strings, `CIK-YYYY-MM-DD.csv` filenames) are re-created
+  * DETERMINISTICALLY from the test corpus inside each query — the same
+  * synthesis expression runs in Spark and in the DuckDB oracle, so the
+  * parse/clean operators are exercised end-to-end in both engines.
+  *
+  * Scale: every operator here is a narrow map over a fact table plus at
+  * most one keyed window — no shuffle beyond the final ORDER BY, which at
+  * cluster scale is a range-partitioned sort.
+  */
+object Edgar {
+
+  // E1 (ExtractBrokerDealers.py:149-165): fixed-width/regex index-line
+  // parse — form type filter, CIK from the URL path, date, company name.
+  def q20EdgarIndexParse(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val line = concat(
+      lit("X-17A-5  "), col("c_name"), lit("  "),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lit("  edgar/data/"), col("o_custkey").cast(StringType),
+      lit("/"), col("o_orderkey").cast(StringType), lit(".txt"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("line", line)
+      .filter(lower(regexp_extract(col("line"), "^(\\S+)", 1)).rlike("^x-17a"))
+      .select(
+        regexp_extract(col("line"), "edgar/data/([0-9]+)/", 1).cast(LongType).as("cik"),
+        regexp_extract(col("line"), "^X-17A-5  ([^ ]+)  ", 1).as("company"),
+        regexp_extract(col("line"), "([0-9]{4}-[0-9]{2}-[0-9]{2})", 1).as("filing_date"),
+        regexp_extract(col("line"), "/([0-9]+)\\.txt$", 1).cast(LongType).as("accession"))
+      .orderBy("accession")
+  }
+
+  val q20Sql: String =
+    """SELECT
+      | CAST(REGEXP_EXTRACT(line, 'edgar/data/([0-9]+)/', 1) AS BIGINT) AS cik,
+      | REGEXP_EXTRACT(line, '^X-17A-5  ([^ ]+)  ', 1) AS company,
+      | REGEXP_EXTRACT(line, '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS filing_date,
+      | CAST(REGEXP_EXTRACT(line, '/([0-9]+)\.txt$', 1) AS BIGINT) AS accession
+      |FROM (
+      | SELECT 'X-17A-5  ' || c_name || '  ' || STRFTIME(o_orderdate, '%Y-%m-%d')
+      |   || '  edgar/data/' || CAST(o_custkey AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR) || '.txt' AS line
+      | FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE LOWER(REGEXP_EXTRACT(line, '^(\S+)', 1)) SIMILAR TO 'x-17a.*'
+      |ORDER BY accession""".stripMargin
+
+  // E2 (ExtractBrokerDealers.py:171): CIK→name registry, dict.update
+  // last-wins semantics → keep the row from the LATEST filing per CIK.
+  def q21CikRegistry(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("cik"), col("c_name").as("name"),
+        col("o_orderdate").as("last_filing"))
+      .orderBy("cik")
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey AS cik, c_name AS name, o_orderdate AS last_filing
+      |FROM (
+      | SELECT o_custkey, c_name, o_orderdate,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      | FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn = 1 ORDER BY cik""".stripMargin
+
+  // E3 (OCRClean.py:30-88 num_strip): accounting-string cleaner over
+  // deterministically messed-up lineitem prices.
+  def q22CleanNumeric(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val key = col("l_orderkey") * 31 + col("l_linenumber")
+    l.withColumn("raw", CleanNumeric.messy(col("l_extendedprice"), key))
+      .withColumn("value", round(CleanNumeric.clean(col("raw")), 2))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("raw"), col("value"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val q22Sql: String = {
+    val raw = CleanNumeric.messySqlExpr("l_extendedprice", "l_orderkey * 31 + l_linenumber")
+    val value = CleanNumeric.cleanSqlExpr("raw")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, raw,
+       | ROUND($value, 2) AS value
+       |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $raw AS raw FROM lineitem)
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+  }
+
+  // E4 (OCRClean.py:120-195 merge): two OCR value columns per row; the
+  // first one that cleans to a real number wins.
+  def q23MergeColumns(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val key = col("l_orderkey") * 31 + col("l_linenumber")
+    val sideA = (col("l_orderkey") % 3) === 0 // a-empty rows
+    val df = l
+      .withColumn("col_a", when(sideA, lit("")).otherwise(CleanNumeric.messy(col("l_extendedprice"), key)))
+      .withColumn("col_b", when(sideA, CleanNumeric.messy(col("l_extendedprice"), key)).otherwise(lit("")))
+    df.withColumn("val_a", when(trim(col("col_a")) =!= "", round(CleanNumeric.clean(col("col_a")), 2)))
+      .withColumn("val_b", when(trim(col("col_b")) =!= "", round(CleanNumeric.clean(col("col_b")), 2)))
+      .withColumn("merged", coalesce(col("val_a"), col("val_b"), lit(0.0)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("col_a"), col("col_b"), col("merged"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val q23Sql: String = {
+    val raw = CleanNumeric.messySqlExpr("l_extendedprice", "l_orderkey * 31 + l_linenumber")
+    val cleanA = CleanNumeric.cleanSqlExpr("col_a")
+    val cleanB = CleanNumeric.cleanSqlExpr("col_b")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, col_a, col_b,
+       | COALESCE(CASE WHEN TRIM(col_a) <> '' THEN ROUND($cleanA, 2) END,
+       |          CASE WHEN TRIM(col_b) <> '' THEN ROUND($cleanB, 2) END, 0.0) AS merged
+       |FROM (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CASE WHEN l_orderkey % 3 = 0 THEN '' ELSE $raw END AS col_a,
+       |  CASE WHEN l_orderkey % 3 = 0 THEN $raw ELSE '' END AS col_b
+       | FROM lineitem)
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+  }
+
+  // E6 (OCRClean.py:370-414 numeric_scaler): detect scale words in the
+  // sheet header, apply the multiplier. Decimal math end-to-end.
+  def q24ScaleApply(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val header = when(col("l_orderkey") % 4 === 0, lit("(In Thousands)"))
+      .when(col("l_orderkey") % 4 === 1, lit("(in millions of dollars)"))
+      .when(col("l_orderkey") % 4 === 2, lit("amounts in billions"))
+      .otherwise(lit(""))
+    val mult = when(lower(col("header")).contains("thousand"), lit(1000L))
+      .when(lower(col("header")).contains("million"), lit(1000000L))
+      .when(lower(col("header")).contains("billion"), lit(1000000000L))
+      .otherwise(lit(1L))
+    l.withColumn("header", header)
+      .withColumn("multiplier", mult)
+      .withColumn("scaled",
+        out2(col("l_extendedprice").cast(DecimalType(25, 4)) * col("multiplier").cast(DecimalType(10, 0))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("header"), col("multiplier"), col("scaled"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val q24Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, header, multiplier,
+      | CAST(ROUND(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(multiplier AS DECIMAL(10,0)), 2) AS DOUBLE) AS scaled
+      |FROM (
+      | SELECT *,
+      |  CASE WHEN LOWER(header) LIKE '%thousand%' THEN 1000
+      |       WHEN LOWER(header) LIKE '%million%' THEN 1000000
+      |       WHEN LOWER(header) LIKE '%billion%' THEN 1000000000
+      |       ELSE 1 END AS multiplier
+      | FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+      |   CASE l_orderkey % 4 WHEN 0 THEN '(In Thousands)'
+      |    WHEN 1 THEN '(in millions of dollars)'
+      |    WHEN 2 THEN 'amounts in billions' ELSE '' END AS header
+      |  FROM lineitem))
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // E7 (DatabaseUnstructured.py:236, OCRClean.py:407): fuzzy string gate —
+  // levenshtein similarity ratio >= 90, blocked by nation so the pair
+  // space stays linear-ish (never an unkeyed cross join at scale).
+  def q25FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("k1"), col("s_name").as("name1"), col("s_nationkey").as("nk"))
+    val b = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("k2"), col("s_name").as("name2"), col("s_nationkey").as("nk"))
+    a.join(b, Seq("nk"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("ratio",
+        round((lit(1.0) - levenshtein(col("name1"), col("name2")).cast(DoubleType) /
+          greatest(length(col("name1")), length(col("name2"))).cast(DoubleType)) * 100, 2))
+      .filter(col("ratio") >= 90.0)
+      .select(col("k1"), col("k2"), col("name1"), col("name2"), col("ratio"))
+      .orderBy("k1", "k2")
+  }
+
+  val q25Sql: String =
+    """SELECT k1, k2, name1, name2, ratio FROM (
+      | SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_name AS name1, b.s_name AS name2,
+      |  ROUND((1.0 - CAST(LEVENSHTEIN(a.s_name, b.s_name) AS DOUBLE)
+      |    / CAST(GREATEST(LENGTH(a.s_name), LENGTH(b.s_name)) AS DOUBLE)) * 100, 2) AS ratio
+      | FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey)
+      |WHERE ratio >= 90.0 ORDER BY k1, k2""".stripMargin
+
+  // E16 (DatabaseUnstructured.py:305-325 extra_cols): filename →
+  // (cik, filing_date, fiscal_year). FY rolls to the next year for
+  // filings dated July onward.
+  def q32FilenameParse(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val fname = concat(col("o_custkey").cast(StringType), lit("-"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(".csv"))
+    o.withColumn("filename", fname)
+      .withColumn("cik", regexp_extract(col("filename"), "^([0-9]+)-", 1).cast(LongType))
+      .withColumn("filing_date", regexp_extract(col("filename"), "([0-9]{4}-[0-9]{2}-[0-9]{2})", 1))
+      .withColumn("fiscal_year",
+        substring(col("filing_date"), 1, 4).cast(IntegerType) +
+          when(substring(col("filing_date"), 6, 2).cast(IntegerType) >= 7, 1).otherwise(0))
+      .select(col("o_orderkey"), col("filename"), col("cik"), col("filing_date"), col("fiscal_year"))
+      .orderBy("o_orderkey")
+  }
+
+  val q32Sql: String =
+    """SELECT o_orderkey, filename,
+      | CAST(REGEXP_EXTRACT(filename, '^([0-9]+)-', 1) AS BIGINT) AS cik,
+      | REGEXP_EXTRACT(filename, '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS filing_date,
+      | CAST(SUBSTR(REGEXP_EXTRACT(filename, '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1), 1, 4) AS INTEGER)
+      |  + CASE WHEN CAST(SUBSTR(REGEXP_EXTRACT(filename, '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1), 6, 2) AS INTEGER) >= 7 THEN 1 ELSE 0 END AS fiscal_year
+      |FROM (
+      | SELECT o_orderkey,
+      |  CAST(o_custkey AS VARCHAR) || '-' || STRFTIME(o_orderdate, '%Y-%m-%d') || '.csv' AS filename
+      | FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // E17 (DatabaseUnstructured.py:186-257 special_merge): merge two
+  // near-duplicate row sets (PDF-derived vs PNG-derived in the
+  // reference) via full-outer join on a normalized key.
+  def q33SeqMerge(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val norm = lower(regexp_replace(col("p_name"), " ", ""))
+    val a = p.filter(col("p_size") <= 25)
+      .groupBy(norm.as("k"))
+      .agg(min(col("p_name")).as("name_a"),
+        out2(sum(dmoney(col("p_retailprice")))).as("val_a"))
+    val b = p.filter(col("p_size") > 25)
+      .groupBy(norm.as("k"))
+      .agg(min(col("p_name")).as("name_b"),
+        out2(sum(dmoney(col("p_retailprice")))).as("val_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("val_a").isNotNull && col("val_b").isNotNull, "both")
+          .when(col("val_a").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .select(col("k"), coalesce(col("name_a"), col("name_b")).as("name"),
+        col("val_a"), col("val_b"), col("status"))
+      .orderBy("k")
+  }
+
+  val q33Sql: String =
+    """SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.name_a, b.name_b) AS name,
+      | a.val_a, b.val_b,
+      | CASE WHEN a.val_a IS NOT NULL AND b.val_b IS NOT NULL THEN 'both'
+      |      WHEN a.val_a IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS status
+      |FROM (
+      | SELECT LOWER(REPLACE(p_name, ' ', '')) AS k, MIN(p_name) AS name_a,
+      |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS val_a
+      | FROM part WHERE p_size <= 25 GROUP BY 1) a
+      |FULL OUTER JOIN (
+      | SELECT LOWER(REPLACE(p_name, ' ', '')) AS k, MIN(p_name) AS name_b,
+      |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS val_b
+      | FROM part WHERE p_size > 25 GROUP BY 1) b
+      |ON a.k = b.k
+      |ORDER BY k""".stripMargin
+}
