@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.RollingHashExpr
+
+/** Engine extensions registered through the public
+  * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
+  * expressions become SQL-callable functions, resolvable from both the
+  * Column API (functions.call_function) and spark.sql text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHashExpr(children.head)
+    ))
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -39,7 +40,20 @@ object SparkEntry {
     "q30_structured_agg" -> (BalanceSheet.q30StructuredAgg _),
     "q31_reconstruction" -> (BalanceSheet.q31Reconstruction _),
     "q32_filename_parse" -> (Edgar.q32FilenameParse _),
-    "q33_seq_merge" -> (Edgar.q33SeqMerge _)
+    "q33_seq_merge" -> (Edgar.q33SeqMerge _),
+    "q40_dedup_exact" -> (Dedup.q40DedupExact _),
+    "q41_ngram_jaccard" -> (Dedup.q41NgramJaccard _),
+    "q42_minhash_lsh" -> (Dedup.q42MinhashLsh _),
+    "q43_simhash" -> (Dedup.q43Simhash _),
+    "q44_embed_dup" -> (Dedup.q44EmbedDup _),
+    "q45_ann_topk" -> (Similarity.q45AnnTopk _),
+    "q46_ann_ivf" -> (Similarity.q46AnnIvf _),
+    "q47_lang_id" -> (TextOps.q47LangId _),
+    "q48_quality_score" -> (TextOps.q48QualityScore _),
+    "q49_token_count" -> (TextOps.q49TokenCount _),
+    "q50_fingerprint" -> (TextOps.q50Fingerprint _),
+    "q51_multimodal_meta" -> (Multimodal.q51MultimodalMeta _),
+    "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,6 +84,14 @@ object SparkEntry {
     "q30_structured_agg" -> BalanceSheet.q30Sql,
     "q31_reconstruction" -> BalanceSheet.q31Sql,
     "q32_filename_parse" -> Edgar.q32Sql,
-    "q33_seq_merge" -> Edgar.q33Sql
+    "q33_seq_merge" -> Edgar.q33Sql,
+    "q40_dedup_exact" -> Dedup.q40Sql,
+    "q41_ngram_jaccard" -> Dedup.q41Sql,
+    "q44_embed_dup" -> Dedup.q44Sql,
+    "q45_ann_topk" -> Similarity.q45Sql,
+    "q47_lang_id" -> TextOps.q47Sql,
+    "q48_quality_score" -> TextOps.q48Sql,
+    "q49_token_count" -> TextOps.q49Sql,
+    "q52_window_agg" -> streaming.EventStream.q52Sql
   )
 }

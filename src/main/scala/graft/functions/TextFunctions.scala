@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives shared by the dedup / text-analysis operators
+  * (SURVEY.md §2.3). Everything is a builtin-Column composition — no UDFs
+  * — so the hot paths stay inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** Word n-gram shingles of a (single-space-tokenized) text column.
+    * Spark: transform over a 1-based index sequence + slice; the DuckDB
+    * twin is list_transform(range(1, len-1), i -> l[i]||' '||l[i+1]...).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // guard: Spark's sequence(1, 0) counts DOWN — never emit it
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** SQL twin of [[shingles]] for n=3 (DuckDB list syntax, 1-based). */
+  def shinglesSql3(textCol: String): String =
+    s"list_transform(range(1, len(string_split($textCol, ' ')) - 1), " +
+      s"i -> string_split($textCol, ' ')[i] || ' ' || string_split($textCol, ' ')[i+1] || ' ' || string_split($textCol, ' ')[i+2])"
+
+  /** Tiny per-language stopword lists for the heuristic language ID (T7).
+    * Deliberately overlapping (es/fr share articles) like real lists.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Count of tokens hitting a language's stopword list. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(filter(split(text, " "), t => words.map(w => t === w).reduce(_ || _)))
+  }
+
+  /** SQL twin of [[stopwordHits]]. */
+  def stopwordHitsSql(textCol: String, lang: String): String = {
+    val words = stopwords.toMap.apply(lang)
+    s"len(list_filter(string_split($textCol, ' '), t -> t IN ${inList(words)}))"
+  }
+}

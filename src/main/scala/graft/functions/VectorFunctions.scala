@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over Array[Float] embedding columns (SURVEY.md §2.3 T5/T6).
+  *
+  * All arithmetic is double-precision and STRICTLY SEQUENTIAL
+  * (zip_with → aggregate left fold), which makes the result bit-identical
+  * to the DuckDB twin `list_sum(list_transform(range(...), ...))` — both
+  * engines fold the 64 products left-to-right in IEEE double. That is
+  * what lets cosine similarities be oracle-compared exactly after
+  * rounding. Builtin higher-order functions only: codegen-friendly, no
+  * UDF boxing per element.
+  */
+object VectorFunctions {
+
+  /** Sequential double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity, rounded for cross-engine comparison. */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), scale)
+
+  /** DuckDB twins (same sequential fold). */
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosineSql(a: String, b: String, scale: Int = 6): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), $scale)"
+}

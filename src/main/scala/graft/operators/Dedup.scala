@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for an LLM-training-data pipeline
+  * (SURVEY.md §2.3, T1-T5) over the `documents` / `embeddings` tables.
+  *
+  * Scale design (100 TB): exact dedup is one hash shuffle; pairwise
+  * methods are only ever evaluated inside bounded blocks — shared-shingle
+  * buckets (T2), LSH band buckets (T3/T4), or IVF cells (T5) — so the
+  * candidate-pair count stays near-linear in corpus size instead of n².
+  */
+object Dedup {
+
+  // T1: exact dedup by content hash. One groupBy(md5) shuffle; keeper =
+  // min doc_id (deterministic). At 100 TB: hash-partitioned, no skew
+  // (md5 is uniform), mergeable partial aggs.
+  def q40DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.withColumn("content_hash", md5(col("text")))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_chars")).as("n_chars"))
+      .select(col("content_hash"), col("keeper_id"), col("n_copies"),
+        (col("n_copies") > 1).as("is_dup_group"), col("n_chars"))
+      .orderBy("keeper_id")
+  }
+
+  val q40Sql: String =
+    """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+      | COUNT(*) AS n_copies, COUNT(*) > 1 AS is_dup_group, MAX(n_chars) AS n_chars
+      |FROM documents GROUP BY MD5(text) ORDER BY keeper_id""".stripMargin
+
+  // T2: near-dup via word-3-gram Jaccard. Candidate pairs come from a
+  // shared-shingle join (hash-partitioned on shingle); |∩| = count of
+  // shared shingles, |∪| = n1 + n2 - |∩|. At 100 TB the shared-shingle
+  // join explodes on stop-shingles — that is exactly why T3 (MinHash LSH,
+  // q42) exists as the scale path; this exact form is the oracle-checkable
+  // ground truth at test SF.
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sh = d.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("n_inter")).cast(DoubleType), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d1"), col("d2"), col("n_inter"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  val q41Sql: String = {
+    val sh3 = TextFunctions.shinglesSql3("text")
+    s"""WITH sh AS (
+       | SELECT DISTINCT doc_id, UNNEST($sh3) AS shingle FROM documents
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+       |SELECT d1, d2, n_inter, n1, n2, jaccard FROM (
+       | SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter,
+       |  s1.n_sh AS n1, s2.n_sh AS n2,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - COUNT(*) AS DOUBLE), 4) AS jaccard
+       | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       | JOIN sizes s1 ON s1.doc_id = a.doc_id
+       | JOIN sizes s2 ON s2.doc_id = b.doc_id
+       | GROUP BY a.doc_id, b.doc_id, s1.n_sh, s2.n_sh)
+       |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
+  }
+
+  // T3 (rows-only): MinHash + LSH — the 100 TB near-dup path. k=32
+  // xxhash64 permutations min-folded per doc, banded 8×4; candidate
+  // pairs only join inside (band, signature) buckets, so the shuffle is
+  // hash-partitioned on the band signature and worst-case pair count is
+  // bounded by bucket sizes. Estimated Jaccard = fraction of matching
+  // minhash components; final gate at 0.5.
+  val MinhashK = 32
+  val LshBands = 8 // × 4 rows per band
+
+  def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sh = d.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val minCols = (0 until MinhashK).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh_$i")): _*))
+      .select("doc_id", "sig")
+    val rowsPerBand = MinhashK / LshBands
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / MinhashK, 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("d1", "d2", "est_jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  // T4 (rows-only): SimHash — 60-bit signature (bits 0-59 of xxhash64 per
+  // token, majority-vote per bit), hamming ≤ 3 via 4-band equality
+  // blocking (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands equal).
+  val SimBits = 60
+  val SimBands = 4 // 15 bits each
+
+  def q43Simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("h", xxhash64(col("token")))
+    // per bit: sum(+1/-1); sign → bit
+    val bitSums = (0 until SimBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"b_$j"))
+    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimBits).map(j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = agged.withColumn("simhash", simhash).select("doc_id", "simhash")
+    val bandMask = (1L << 15) - 1
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimBands).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(bandMask)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  // T5: near-dup by embedding cosine, blocked by the `label` column (an
+  // IVF-style cell id) so the pair join is bounded per cell. τ=0.35 is
+  // corpus-tuned (synthetic vectors are near-orthogonal; real corpora use
+  // 0.9+). Double math is sequentially folded in both engines → exact
+  // oracle compare after round(6).
+  def q44EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", VectorFunctions.cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= 0.35)
+      .select(col("label"), col("v1"), col("v2"), col("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  val q44Sql: String = {
+    val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.label, a.vec_id AS v1, b.vec_id AS v2, $cos AS cos
+       |FROM embeddings a JOIN embeddings b
+       | ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cos >= 0.35
+       |ORDER BY v1, v2""".stripMargin
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal binary-column plumbing (SURVEY.md §2.3 T11).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct riding alongside. The decode/feature step runs per PARTITION
+  * (mapPartitions — the Scala analog of mapInPandas batch processing):
+  * one decoder instantiation per partition, streaming over rows, so at
+  * 100 TB the decoder setup cost amortizes and memory stays bounded by
+  * one row-batch.
+  *
+  * The actual media decode is STUBBED deterministically (this container
+  * has no image/audio codecs — see the brief): `decodeStub` derives
+  * "features" from the payload bytes alone, so the schema / partition /
+  * batch plumbing is real and testable while the codec is swappable.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a real media decoder. */
+  def decodeStub(payload: Array[Byte]): (Int, Double, Long) = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val meanByte =
+      if (payload.isEmpty) 0.0
+      else {
+        var s = 0L; var j = 0
+        while (j < payload.length) { s += payload(j) & 0xff; j += 1 }
+        s.toDouble / payload.length
+      }
+    (payload.length, meanByte, checksum)
+  }
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("checksum", LongType)
+  ))
+
+  // T11 (rows-only): binary payload + metadata struct → per-partition
+  // batch "decode" → flat feature table.
+  def q51MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // synthesize the multimodal table: payload = utf8 bytes of text,
+    // metadata struct derived deterministically from doc_id
+    val media = d.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"),
+        (col("doc_id") % 1920 + 1).cast(IntegerType).as("width"),
+        (col("doc_id") % 1080 + 1).cast(IntegerType).as("height")
+      ).as("meta"))
+    val enc = RowEncoder.encoderFor(outputSchema)
+    val decoded = media.mapPartitions { rows =>
+      // per-partition decoder lifecycle: init once, stream rows
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        val (nBytes, meanByte, checksum) = decodeStub(payload)
+        Row(docId, meta.getString(0), meta.getInt(1), meta.getInt(2),
+          nBytes, meanByte, checksum)
+      }
+    }(enc)
+    decoded.orderBy("doc_id")
+  }
+}

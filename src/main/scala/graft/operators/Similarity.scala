@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor similarity search over the embedding
+  * column (SURVEY.md §2.3 T6).
+  *
+  * q45 is the exact brute-force baseline: probe×corpus cosine + per-probe
+  * top-k window. q46 is the scale path — IVF-style: coarse-quantize the
+  * corpus into cells (here the `label` partitions with computed
+  * centroids), route each probe to its nearest centroid, search only that
+  * cell. At 100 TB the cell assignment is a broadcast join against the
+  * (tiny) centroid table and the search join is hash-partitioned on
+  * cell id — candidate count drops by ~n_cells× vs brute force.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumProbes = 10 // probe set: vec_id < NumProbes
+
+  // T6 exact baseline: brute-force cosine top-k per probe.
+  // The probe side is tiny → broadcast; ranking is windowed per probe
+  // (high-cardinality partition key at real probe volumes).
+  def q45AnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("probe_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val q45Sql: String = {
+    val cos = VectorFunctions.cosineSql("p.embedding", "e.embedding")
+    s"""SELECT probe_id, rk, vec_id, cos FROM (
+       | SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, $cos AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS rk
+       | FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+       | WHERE p.vec_id < $NumProbes)
+       |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
+  }
+
+  // T6 scale path (rows-only): IVF — centroids per label cell via
+  // positional explode + mean, probes routed to nearest centroid, search
+  // restricted to that cell. Returns per-probe top-k within the routed
+  // cell plus the cell id, so recall vs q45 is inspectable.
+  def q46AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // centroid per cell: avg of each of the 64 dims (posexplode → agg)
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast(DoubleType)).as("dim_avg"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+      .select(col("label").as("cell"),
+        transform(col("dims"), d => d.getField("dim_avg").cast(FloatType)).as("centroid"))
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val wCell = Window.partitionBy("probe_id").orderBy(desc("ccos"), asc("cell"))
+    val routed = probes.join(broadcast(cent), lit(true))
+      .withColumn("ccos", VectorFunctions.cosine(col("probe_vec"), col("centroid")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") === 1)
+      .select(col("probe_id"), col("probe_vec"), col("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("probe_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("probe_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{RollingHashExpr, TextFunctions}
+
+/** Text-analysis operators for training-data curation
+  * (SURVEY.md §2.3 T7-T10). All narrow per-document maps — embarrassingly
+  * parallel, no shuffle except the final aggregates/sorts.
+  */
+object TextOps {
+
+  // T7: heuristic language ID — stopword-hit ratio per language, argmax
+  // (first language in fixed order wins ties). Output is the
+  // (actual, predicted) confusion matrix, which also grades the
+  // heuristic's accuracy against the labeled `lang` column.
+  def q47LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val langs = TextFunctions.stopwords.map(_._1)
+    val withHits = langs.foldLeft(d) { (df, l) =>
+      df.withColumn(s"hits_$l", TextFunctions.stopwordHits(col("text"), l))
+    }
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withHits.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val q47Sql: String = {
+    val langs = TextFunctions.stopwords.map(_._1)
+    val hitCols = langs.map(l => s"${TextFunctions.stopwordHitsSql("text", l)} AS hits_$l").mkString(",\n  ")
+    val best = langs.map(l => s"hits_$l").reduceRight((a, b) => s"GREATEST($a, $b)")
+    val pred = langs.foldRight("'unknown'") { (l, acc) =>
+      s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+       | SELECT lang, $pred AS pred_lang FROM (
+       |  SELECT lang, $best AS best, hits_de, hits_en, hits_es, hits_fr, hits_zh FROM (
+       |   SELECT lang,
+       |  $hitCols
+       |   FROM documents)))
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // T8: quality scoring — length, punctuation ratio, stopword ratio, mean
+  // word length → equal-weight composite. Each term is rounded BEFORE the
+  // 0.25-weighted sum (0.25 is a power of two → exact), so Spark and
+  // DuckDB agree bitwise.
+  def q48QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nTok = size(split(col("text"), " "))
+    val nChar = length(col("text"))
+    val punct = nChar - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val lenTerm = round(least(nTok.cast(DoubleType) / 100.0, lit(1.0)), 6)
+    val punctTerm = round(lit(1.0) - punct.cast(DoubleType) / nChar.cast(DoubleType), 6)
+    val stopTerm = round(least(
+      TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) * 10.0 / nTok.cast(DoubleType),
+      lit(1.0)), 6)
+    val mwl = round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok.cast(DoubleType), 6)
+    val mwlTerm = round(lit(1.0) - least(abs(mwl - 4.5) / 4.5, lit(1.0)), 6)
+    d.select(col("doc_id"),
+        nTok.as("n_tokens"),
+        lenTerm.as("len_term"), punctTerm.as("punct_term"),
+        stopTerm.as("stop_term"), mwlTerm.as("mwl_term"))
+      // round the 4-term sum FIRST (each term has ≤6 decimals, so the sum
+      // is never near a rounding midpoint), then scale by the exact
+      // power-of-two 1/4 — keeps Spark and DuckDB bit-identical.
+      .withColumn("quality",
+        round(col("len_term") + col("punct_term") +
+          col("stop_term") + col("mwl_term"), 6) / 4)
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String = {
+    val nTok = "len(string_split(text, ' '))"
+    val punct = "LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z0-9 ]', '', 'g'))"
+    val stopHits = TextFunctions.stopwordHitsSql("text", "en")
+    s"""SELECT doc_id, n_tokens, len_term, punct_term, stop_term, mwl_term,
+       | ROUND(((len_term + punct_term) + stop_term) + mwl_term, 6) / 4 AS quality
+       |FROM (
+       | SELECT doc_id, $nTok AS n_tokens,
+       |  ROUND(LEAST(CAST($nTok AS DOUBLE) / 100.0, 1.0), 6) AS len_term,
+       |  ROUND(1.0 - CAST($punct AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_term,
+       |  ROUND(LEAST(CAST($stopHits AS DOUBLE) * 10.0 / CAST($nTok AS DOUBLE), 1.0), 6) AS stop_term,
+       |  ROUND(1.0 - LEAST(ABS(ROUND(CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE) / CAST($nTok AS DOUBLE), 6) - 4.5) / 4.5, 1.0), 6) AS mwl_term
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // T9: token counting — whitespace tokens, BPE-ish subword estimate
+  // (runs of ≤4 word chars / digits / single other), chars/4 estimate.
+  def q49TokenCount(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pat = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_subwords"),
+        ceil(length(col("text")).cast(DoubleType) / 4.0).cast(LongType).as("n_chars4"))
+      .orderBy("doc_id")
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_ws_tokens,
+      | len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS n_subwords,
+      | CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_chars4
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // T10 (rows-only): document fingerprint via the custom rolling-hash
+  // Catalyst Expression (functions/RollingHash.scala) — native codegen,
+  // no UDF. Normalization: lowercase + collapse whitespace.
+  def q50Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    d.select(col("doc_id"),
+        RollingHashExpr.rollingHash(norm).as("fingerprint"),
+        RollingHashExpr.rollingHash(reverse(norm)).as("fingerprint_rev"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Relational.{dmoney, out2}
+
+/** Structured Streaming surface (SURVEY.md §2.3 T12).
+  *
+  * The same windowed aggregation runs in three modes:
+  *  - [[windowedCounts]] on any streaming DataFrame (MemoryStream in
+  *    tests, Kafka/files in production) with a watermark — incremental
+  *    state, late data dropped past 2 hours;
+  *  - [[q52WindowAgg]] as the batch twin over the events table — the
+  *    oracle-checkable form (a streaming query's total output over a
+  *    finite input equals the batch aggregation);
+  *  - at 100 TB/day the state store is keyed by (window, event_type) —
+  *    bounded cardinality — and the watermark caps state size.
+  */
+object EventStream {
+
+  /** Streaming: tumbling 1-hour windows per event type with a 2-hour
+    * watermark. `events` must have (ts: timestamp, event_type, value).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        out2(sum(dmoney(col("value")))).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // T12 batch twin: identical semantics via date_trunc — oracle-checked.
+  def q52WindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        out2(sum(dmoney(col("value")))).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val q52Sql: String =
+    """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+}
