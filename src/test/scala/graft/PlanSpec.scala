@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Physical-plan audits (SURVEY.md §5): these lock in the properties that
+  * make the engine scale — pushdown reaching the parquet scan, column
+  * pruning, broadcast joins for dims, no cartesian products, and
+  * whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends GraftSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = planOf(Relational.q01PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01 prunes the scan to the referenced columns only") {
+    val p = planOf(Relational.q01PricingSummary(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"scan should not read unused columns: $readSchema")
+  }
+
+  test("q02 broadcasts the nation dim") {
+    val p = planOf(Relational.q02JoinTopN(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q02 top-N is TakeOrdered, not a global sort") {
+    val p = planOf(Relational.q02JoinTopN(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no cartesian product anywhere in the dedup pair generation") {
+    val p = planOf(Dedup.q41NgramJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ANN brute force uses broadcast nested loop (bounded probe side)") {
+    val p = planOf(Similarity.q45AnnTopk(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen") {
+    // AQE prints codegen stages only in the FINAL plan — execute first
+    val df = Relational.q01PricingSummary(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the compact plan string
+    assert(p.contains("*(1)") && p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), p)
+  }
+
+  test("explode + agg keeps a partial (map-side) aggregate before the shuffle") {
+    val p = planOf(Relational.q12ExplodeTokens(spark, sfDir))
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

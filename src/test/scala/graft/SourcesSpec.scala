@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S2-S5: sink/source round-trips — partitioned parquet, CSV, JSON, and
+  * the fixed-width EDGAR form.idx layout (parsed with substr, the way the
+  * reference slices index lines: ExtractBrokerDealers.py:149-165).
+  */
+class SourcesSpec extends GraftSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("partitioned parquet round-trip preserves data and enables partition pruning") {
+    val out = tmp("parquet") + "/orders_by_status"
+    val o = Tables.orders(spark, sfDir)
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == o.count())
+    val pruned = back.filter(col("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(pruned.count() == o.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("CSV round-trip with explicit schema (reference emits CSVs)") {
+    val out = tmp("csv") + "/nation.csv"
+    val n = Tables.nation(spark, sfDir)
+    n.write.option("header", "true").mode("overwrite").csv(out)
+    val back = spark.read
+      .schema(Tables.schemas("nation"))
+      .option("header", "true")
+      .csv(out)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON round-trip (reference registry JSONs)") {
+    val out = tmp("json") + "/registry.json"
+    val reg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("cik"), col("c_name").as("name"))
+    reg.write.mode("overwrite").json(out)
+    val back = spark.read
+      .schema(StructType(Seq(
+        StructField("cik", LongType), StructField("name", StringType))))
+      .json(out)
+    assert(back.orderBy("cik").collect().toSeq == reg.orderBy("cik").collect().toSeq)
+  }
+
+  test("fixed-width form.idx layout parses with substr slicing") {
+    val sp = spark
+    import sp.implicits._
+    // EDGAR form.idx: form(12) company(62) cik(12) date(12) path
+    val lines = Seq(
+      "X-17A-5     ALPHA BROKER LLC                                              1234        2003-02-18  edgar/data/1234/file.txt",
+      "10-K        SOME CORP                                                     99          2003-02-18  edgar/data/99/other.txt"
+    ).toDF("line")
+    val parsed = lines.select(
+      trim(substring(col("line"), 1, 12)).as("form"),
+      trim(substring(col("line"), 13, 62)).as("company"),
+      trim(substring(col("line"), 75, 12)).cast(LongType).as("cik"),
+      trim(substring(col("line"), 87, 12)).as("date"),
+      trim(substring(col("line"), 99, 200)).as("path"))
+      .filter(lower(col("form")).startsWith("x-17a"))
+    val row = parsed.collect()(0)
+    assert(parsed.count() == 1)
+    assert(row.getString(0) == "X-17A-5")
+    assert(row.getString(1) == "ALPHA BROKER LLC")
+    assert(row.getLong(2) == 1234L)
+    assert(row.getString(3) == "2003-02-18")
+  }
+}

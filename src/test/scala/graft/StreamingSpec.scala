@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** T12: Structured Streaming windowed aggregation driven by MemoryStream;
+  * the complete streaming output over a finite input must equal the
+  * batch twin's result.
+  */
+class StreamingSpec extends GraftSpec {
+
+  test("windowed counts over MemoryStream match the batch aggregation") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val events = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0),
+      ("2024-01-01 00:15:00", "click", 2.0),
+      ("2024-01-01 00:55:00", "view", 3.0),
+      ("2024-01-01 01:05:00", "click", 4.0),
+      ("2024-01-01 02:30:00", "view", 5.0),
+      ("2024-01-01 02:45:00", "view", 6.0)
+    ).map { case (t, e, v) => (Timestamp.valueOf(t), e, v) }
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val input = stream.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.windowedCounts(input)
+      .writeStream
+      .format("memory")
+      .queryName("windowed_out")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      val got = sp.sql(
+        "SELECT window_start, event_type, n_events, total_value FROM windowed_out")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:00:00.0", "view", 1L, 3.0),
+        ("2024-01-01 01:00:00.0", "click", 1L, 4.0),
+        ("2024-01-01 02:00:00.0", "view", 2L, 11.0)
+      )
+      assert(got == want)
+    } finally query.stop()
+  }
+
+  test("watermark bounds state: late rows beyond 2h are dropped in append mode") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val input = stream.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.windowedCounts(input)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((Timestamp.valueOf("2024-01-01 06:00:00"), "click", 1.0)))
+      query.processAllAvailable()
+      // 5h late vs the 06:00 watermark anchor — must be ignored
+      stream.addData(Seq((Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.0)))
+      query.processAllAvailable()
+      // advance watermark past 06:00's window so it emits
+      stream.addData(Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1.0)))
+      query.processAllAvailable()
+      val got = sp.sql("SELECT window_start FROM late_out")
+        .collect().map(_.getTimestamp(0).toString).toSet
+      assert(got.contains("2024-01-01 06:00:00.0"))
+      assert(!got.contains("2024-01-01 01:00:00.0"))
+    } finally query.stop()
+  }
+}
