@@ -12,16 +12,22 @@ object TextFunctions {
   /** Word n-gram shingles of a (single-space-tokenized) text column.
     * Spark: transform over a 1-based index sequence + slice; the DuckDB
     * twin is list_transform(range(1, len-1), i -> l[i]||' '||l[i+1]...).
+    *
+    * PERF: evaluate on a MATERIALIZED token-array column (see
+    * [[shinglesFromTokens]]) — if `text` is a raw expression, every
+    * lambda element re-evaluates the split (O(tokens²) string work/row).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(text, " "), n)
+
+  /** Shingles from an already-tokenized array column. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     // guard: Spark's sequence(1, 0) counts DOWN — never emit it
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** SQL twin of [[shingles]] for n=3 (DuckDB list syntax, 1-based). */
   def shinglesSql3(textCol: String): String =

@@ -37,17 +37,26 @@ object Dedup {
       | COUNT(*) AS n_copies, COUNT(*) > 1 AS is_dup_group, MAX(n_chars) AS n_chars
       |FROM documents GROUP BY MD5(text) ORDER BY keeper_id""".stripMargin
 
-  // T2: near-dup via word-3-gram Jaccard. Candidate pairs come from a
-  // shared-shingle join (hash-partitioned on shingle); |∩| = count of
-  // shared shingles, |∪| = n1 + n2 - |∩|. At 100 TB the shared-shingle
-  // join explodes on stop-shingles — that is exactly why T3 (MinHash LSH,
-  // q42) exists as the scale path; this exact form is the oracle-checkable
-  // ground truth at test SF.
+  // T2: near-dup via word-3-gram Jaccard over INFORMATIVE shingles:
+  // shingles appearing in more than MaxShingleDf documents are
+  // stop-shingles and dropped before pair generation (standard near-dup
+  // practice — they carry no identity signal and their c² pair blowup is
+  // what kills shared-token joins at scale). The document-frequency
+  // filter, sizes and intersections all use the same filtered shingle
+  // space, so Jaccard stays well-defined and the DuckDB oracle agrees.
+  val MaxShingleDf = 100
+
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val sh = d.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val shAll = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
       .distinct()
+    val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("shingle")
+    val sh = shAll.join(rare, Seq("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -66,8 +75,11 @@ object Dedup {
 
   val q41Sql: String = {
     val sh3 = TextFunctions.shinglesSql3("text")
-    s"""WITH sh AS (
+    s"""WITH sh_all AS (
        | SELECT DISTINCT doc_id, UNNEST($sh3) AS shingle FROM documents
+       |), sh AS (
+       | SELECT doc_id, shingle FROM sh_all
+       | WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= $MaxShingleDf)
        |), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
        |SELECT d1, d2, n_inter, n1, n2, jaccard FROM (
        | SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter,
@@ -91,8 +103,10 @@ object Dedup {
 
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val sh = d.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val sh = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
       .distinct()
     val minCols = (0 until MinhashK).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
@@ -105,13 +119,18 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
-    val cand = banded.as("a").join(banded.as("b"),
+    // candidate pairs travel as bare (d1, d2) longs — the 32-long sig
+    // arrays stay OUT of the self-join shuffle and are re-attached only
+    // for the (much smaller) post-dedup verify step.
+    val bandedSlim = banded.select("doc_id", "band", "band_sig")
+    val cand = bandedSlim.as("a").join(bandedSlim.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
           .cast(DoubleType) / MinhashK, 4))

@@ -284,7 +284,9 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevSum = sum(dmoney(col("l_extendedprice"))).over(w)
     val ed = dmoney(col("l_extendedprice")).cast(DoubleType)
-    val pd = prevSum.cast(DoubleType)
+    // reference the MATERIALIZED column, not the window expression — so
+    // the physical plan computes the window exactly once
+    val pd = col("prev_sum_dec").cast(DoubleType)
     l.withColumn("prev_sum_dec", prevSum)
       .withColumn("kind",
         when(col("prev_sum_dec").isNotNull && dmoney(col("l_extendedprice")) === col("prev_sum_dec"), "EXACT")
