@@ -5,6 +5,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession(s"local[$cpus]", cpus)
+    // warm the JVM/codegen/file-index paths so the first timed query
+    // doesn't absorb session startup (untimed)
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, sfDir, t).count())
+    SparkEntry.entry(spark).count()
+
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -181,24 +181,35 @@ object Dedup {
   // corpus-tuned (synthetic vectors are near-orthogonal; real corpora use
   // 0.9+). Double math is sequentially folded in both engines → exact
   // oracle compare after round(6).
+  // PERF: norms are precomputed ONCE per vector before the pair join —
+  // only the dot product is per-pair. Same IEEE expression shape
+  // (dot / (sqrt(n1)*sqrt(n2))) as the oracle, so results stay
+  // bit-identical.
   def q44EmbedDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("nrm").as("n1"), col("label"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("nrm").as("n2"), col("label"))
     a.join(b, Seq("label"))
       .filter(col("v1") < col("v2"))
-      .withColumn("cos", VectorFunctions.cosine(col("e1"), col("e2")))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("v1"), col("v2"), col("cos"))
       .orderBy("v1", "v2")
   }
 
   val q44Sql: String = {
-    val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
-    s"""SELECT a.label, a.vec_id AS v1, b.vec_id AS v2, $cos AS cos
-       |FROM embeddings a JOIN embeddings b
-       | ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE $cos >= 0.35
+    val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
+    s"""SELECT label, v1, v2, cos FROM (
+       | SELECT a.label, a.vec_id, b.vec_id,
+       |  ROUND($dot / (a.nrm * b.nrm), 6) AS cos
+       | FROM (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) a
+       | JOIN (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id) AS t(label, v1, v2, cos)
+       |WHERE cos >= 0.35
        |ORDER BY v1, v2""".stripMargin
   }
 }

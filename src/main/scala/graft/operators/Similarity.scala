@@ -29,11 +29,15 @@ object Similarity {
   // (high-cardinality partition key at real probe volumes).
   def q45AnnTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
     val probes = e.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
+        col("nrm").as("probe_nrm"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("probe_vec"), col("embedding")))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
+          (col("probe_nrm") * col("nrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
@@ -41,11 +45,14 @@ object Similarity {
   }
 
   val q45Sql: String = {
-    val cos = VectorFunctions.cosineSql("p.embedding", "e.embedding")
+    val dot = VectorFunctions.dotSql("p.embedding", "e.embedding")
+    val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
     s"""SELECT probe_id, rk, vec_id, cos FROM (
-       | SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, $cos AS cos,
-       |  ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS rk
-       | FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+       | SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+       |  ROUND($dot / (p.nrm * e.nrm), 6) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY ROUND($dot / (p.nrm * e.nrm), 6) DESC, e.vec_id) AS rk
+       | FROM (SELECT *, $nrm AS nrm FROM embeddings) p
+       | JOIN (SELECT *, $nrm AS nrm FROM embeddings) e ON e.vec_id <> p.vec_id
        | WHERE p.vec_id < $NumProbes)
        |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
@@ -73,8 +80,11 @@ object Similarity {
       .filter(col("crk") === 1)
       .select(col("probe_id"), col("probe_vec"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
-    e.join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("probe_vec"), col("embedding")))
+    e.withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
+          (sqrt(VectorFunctions.norm2(col("probe_vec"))) * col("nrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
