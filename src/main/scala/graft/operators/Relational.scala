@@ -93,8 +93,11 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
-  // R3: 5-way star join (TPC-H Q5 shape). Dims (nation, region, supplier
-  // at TPC-H ratio) broadcast; lineitem⋈orders co-partitions on orderkey.
+  // R3: 5-way star join (TPC-H Q5 shape). Only the FIXED-size dims
+  // (nation, region) carry broadcast hints; supplier grows with the
+  // corpus, so its join strategy is left to the size threshold + AQE —
+  // broadcast at test SF, shuffled hash join at 100 TB. lineitem⋈orders
+  // co-partitions on orderkey.
   def q03StarJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
@@ -105,7 +108,7 @@ object Relational {
     val revenue = sum(dmoney(col("l_extendedprice")) * (lit(1).cast(DecimalType(7, 4)) - drate(col("l_discount"))))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(r("r_name") === "ASIA" &&
