@@ -20,7 +20,8 @@ object CleanNumeric {
   /** Messy-string generator: deterministically re-creates the OCR mess the
     * reference cleans, from a clean (value, key) pair. Variant by key%6:
     * 0 `$1,234.56`  1 `(1,234.56)` (negative)  2 `I,234.56` (OCR 1→I)
-    * 3 padded whitespace  4 bare `-` (null-ish)  5 plain no commas.
+    * 3 padded whitespace  4 bare `-` (null-ish)  5 `-1234.56`
+    * (leading-hyphen negative, no commas).
     */
   def messy(value: Column, key: Column): Column = {
     val cents = round(value * 100, 0).cast(LongType)
@@ -42,7 +43,7 @@ object CleanNumeric {
       .when(v === 2, translate(base, "1", "I"))
       .when(v === 3, concat(lit("  "), base, lit(" ")))
       .when(v === 4, lit("-"))
-      .otherwise(regexp_replace(base, ",", ""))
+      .otherwise(concat(lit("-"), regexp_replace(base, ",", "")))
   }
 
   /** SQL twin of [[messy]] (DuckDB dialect; `//` = integer division) —
@@ -63,14 +64,18 @@ object CleanNumeric {
        | WHEN 2 THEN TRANSLATE($base, '1', 'I')
        | WHEN 3 THEN '  ' || $base || ' '
        | WHEN 4 THEN '-'
-       | ELSE REGEXP_REPLACE($base, ',', '', 'g')
+       | ELSE '-' || REGEXP_REPLACE($base, ',', '', 'g')
        |END""".stripMargin
   }
 
-  /** The cleaner: raw messy string → (value, was_negative applied). */
+  /** The cleaner: raw messy string → (value, was_negative applied).
+    * Negatives arrive as accounting parens OR a leading hyphen — the
+    * reference keeps a first-position '-' (OCRClean.py:62
+    * `(?<!^)-` removes only non-leading hyphens).
+    */
   def clean(raw: Column): Column = {
     val s = trim(raw)
-    val neg = s.startsWith("(")
+    val neg = s.startsWith("(") || (s.startsWith("-") && s =!= "-")
     val t = regexp_replace(translate(s, "Il", "11"), "[^0-9.]", "")
     val nPeriods = length(t) - length(regexp_replace(t, "\\.", ""))
     val intRaw = regexp_extract(t, "^(.*)\\.([^.]*)$", 1)
@@ -89,7 +94,7 @@ object CleanNumeric {
   def cleanSqlExpr(raw: String): String = {
     val s = s"TRIM($raw)"
     val t = s"REGEXP_REPLACE(TRANSLATE($s, 'Il', '11'), '[^0-9.]', '', 'g')"
-    s"""(CASE WHEN $s LIKE '(%' THEN -1 ELSE 1 END) * (
+    s"""(CASE WHEN $s LIKE '(%' OR ($s LIKE '-%' AND $s <> '-') THEN -1 ELSE 1 END) * (
        |CASE WHEN REGEXP_REPLACE($t, '[^0-9]', '', 'g') = '' THEN 0.0
        | WHEN LENGTH($t) - LENGTH(REGEXP_REPLACE($t, '\\.', '', 'g')) = 0 THEN CAST($t AS DOUBLE)
        | WHEN LENGTH(REGEXP_EXTRACT($t, '^(.*)\\.([^.]*)$$', 2)) BETWEEN 1 AND 2

@@ -273,11 +273,13 @@ object Relational {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
-  // R10 + E9: totals detection — rows whose value equals (exactly, or
-  // within 1%) the backward running sum of prior lines in the same order.
+  // R10 + E9: totals detection — rows whose value equals the backward
+  // running sum of prior lines in the same order exactly, as a ×10^k
+  // multiple (OCR scale slippage, DatabaseUnstructured.py:50-61
+  // multiple_check), or within 1% (epsilon_error, :62-107).
   // Spark-first form of DatabaseUnstructured.py:108-184 totals_check:
-  // the reference loops per sheet; here one window pass, partitioned by
-  // the high-cardinality orderkey.
+  // the reference loops per sheet in Python; here one window pass,
+  // partitioned by the high-cardinality orderkey.
   def q09ExistsTotals(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     // (l_orderkey, l_linenumber) is NOT unique in the corpus — the window
@@ -290,9 +292,14 @@ object Relational {
     // reference the MATERIALIZED column, not the window expression — so
     // the physical plan computes the window exactly once
     val pd = col("prev_sum_dec").cast(DoubleType)
+    val edDec = dmoney(col("l_extendedprice"))
+    val mult10 = Seq(10, 100, 1000).map { k =>
+      (edDec * lit(k) === col("prev_sum_dec")) || (col("prev_sum_dec") * lit(k) === edDec)
+    }.reduce(_ || _)
     l.withColumn("prev_sum_dec", prevSum)
       .withColumn("kind",
         when(col("prev_sum_dec").isNotNull && dmoney(col("l_extendedprice")) === col("prev_sum_dec"), "EXACT")
+          .when(col("prev_sum_dec").isNotNull && mult10, "MULT10")
           .when(col("prev_sum_dec").isNotNull && pd > 0 && abs(ed - pd) / pd <= 0.01, "EPS"))
       .filter(col("kind").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
@@ -304,6 +311,9 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_extendedprice,
       | CAST(ROUND(prev_sum_dec, 2) AS DOUBLE) AS prev_sum,
       | CASE WHEN CAST(l_extendedprice AS DECIMAL(12,4)) = prev_sum_dec THEN 'EXACT'
+      |      WHEN CAST(l_extendedprice AS DECIMAL(12,4)) * 10 = prev_sum_dec OR prev_sum_dec * 10 = CAST(l_extendedprice AS DECIMAL(12,4))
+      |        OR CAST(l_extendedprice AS DECIMAL(12,4)) * 100 = prev_sum_dec OR prev_sum_dec * 100 = CAST(l_extendedprice AS DECIMAL(12,4))
+      |        OR CAST(l_extendedprice AS DECIMAL(12,4)) * 1000 = prev_sum_dec OR prev_sum_dec * 1000 = CAST(l_extendedprice AS DECIMAL(12,4)) THEN 'MULT10'
       |      WHEN CAST(prev_sum_dec AS DOUBLE) > 0
       |       AND ABS(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE) - CAST(prev_sum_dec AS DOUBLE)) / CAST(prev_sum_dec AS DOUBLE) <= 0.01 THEN 'EPS'
       | END AS kind
@@ -314,6 +324,9 @@ object Relational {
       |)
       |WHERE prev_sum_dec IS NOT NULL
       |  AND (CAST(l_extendedprice AS DECIMAL(12,4)) = prev_sum_dec
+      |   OR CAST(l_extendedprice AS DECIMAL(12,4)) * 10 = prev_sum_dec OR prev_sum_dec * 10 = CAST(l_extendedprice AS DECIMAL(12,4))
+      |   OR CAST(l_extendedprice AS DECIMAL(12,4)) * 100 = prev_sum_dec OR prev_sum_dec * 100 = CAST(l_extendedprice AS DECIMAL(12,4))
+      |   OR CAST(l_extendedprice AS DECIMAL(12,4)) * 1000 = prev_sum_dec OR prev_sum_dec * 1000 = CAST(l_extendedprice AS DECIMAL(12,4))
       |   OR (CAST(prev_sum_dec AS DOUBLE) > 0
       |    AND ABS(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS DOUBLE) - CAST(prev_sum_dec AS DOUBLE)) / CAST(prev_sum_dec AS DOUBLE) <= 0.01))
       |ORDER BY l_orderkey, l_linenumber""".stripMargin

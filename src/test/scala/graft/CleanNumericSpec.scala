@@ -33,6 +33,11 @@ class CleanNumericSpec extends GraftSpec {
     assert(cleanOne("-") == 0.0)
   }
 
+  test("leading hyphen is negative (OCRClean.py:62 keeps first-position '-')") {
+    assert(cleanOne("-123.45") == -123.45)
+    assert(cleanOne("-1,000") == -1000.0)
+  }
+
   test("bare period is zero") {
     assert(cleanOne(".") == 0.0)
   }
@@ -65,7 +70,7 @@ class CleanNumericSpec extends GraftSpec {
       .withColumn("raw", CleanNumeric.messy(col("l_extendedprice"), key))
       .withColumn("back", round(CleanNumeric.clean(col("raw")), 2))
       .withColumn("want",
-        when(col("variant") === 1, -round(col("l_extendedprice"), 2))
+        when(col("variant") === 1 || col("variant") === 5, -round(col("l_extendedprice"), 2))
           .when(col("variant") === 4, 0.0)
           .otherwise(round(col("l_extendedprice"), 2)))
     assert(checked.filter(col("back") =!= col("want")).count() == 0)
