@@ -407,6 +407,27 @@ object Relational {
       |GROUP BY token HAVING COUNT(*) >= 10
       |ORDER BY n_total DESC, token""".stripMargin
 
+  // R4-extra: exact percentiles (median / p90) per order priority — the
+  // sort-based exact percentile, interpolated. Both engines use the
+  // lo + (hi-lo)*frac continuous-quantile form on doubles; round(4)
+  // absorbs any last-ulp divergence.
+  def q14Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderpriority,
+      | ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+      | ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90,
+      | ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
