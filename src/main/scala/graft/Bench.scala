@@ -15,6 +15,11 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // release the previous query's broadcast/shuffle references — the
+      // ContextCleaner only frees them after a driver GC, and 40 queries
+      // of accumulated state otherwise taxes the tail of the run
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
