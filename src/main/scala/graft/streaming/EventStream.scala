@@ -33,6 +33,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase attributed to a signup of
+    * the same user within the preceding `window`. Both sides carry
+    * watermarks so Spark can discard buffered state once the event-time
+    * bound passes — state stays O(active interval), not O(stream).
+    * At 100 TB/day this is the canonical attribution join: shuffle is
+    * hash(user_id), per-key state bounded by the interval.
+    */
+  def purchaseAttribution(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("p_user").as("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   // T12 batch twin: identical semantics via date_trunc — oracle-checked.
   def q52WindowAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -52,6 +52,32 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window signups") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val signups = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStream.purchaseAttribution(
+      signups.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val query = joined.writeStream.format("memory")
+      .queryName("attrib_out").outputMode("append").start()
+    try {
+      signups.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      signups.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 2L))
+      purchases.addData(
+        (Timestamp.valueOf("2024-01-01 03:00:00"), 1L, 9.5),  // in 24h window
+        (Timestamp.valueOf("2024-01-03 00:00:00"), 2L, 1.0),  // outside window
+        (Timestamp.valueOf("2024-01-01 04:00:00"), 3L, 2.0))  // no signup
+      query.processAllAvailable()
+      val got = sp.sql("SELECT user_id, value FROM attrib_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 9.5)))
+    } finally query.stop()
+  }
+
   test("watermark bounds state: late rows beyond 2h are dropped in append mode") {
     val sp = spark
     import sp.implicits._
