@@ -28,6 +28,7 @@ object SparkEntry {
     "q12_explode_tokens" -> (Relational.q12ExplodeTokens _),
     "q13_approx_distinct" -> (Relational.q13ApproxDistinct _),
     "q14_percentiles" -> (Relational.q14Percentiles _),
+    "q15_cube" -> (Relational.q15Cube _),
     "q20_edgar_index_parse" -> (Edgar.q20EdgarIndexParse _),
     "q21_cik_registry" -> (Edgar.q21CikRegistry _),
     "q22_clean_numeric" -> (Edgar.q22CleanNumeric _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q11_sessionize" -> Relational.q11Sql,
     "q12_explode_tokens" -> Relational.q12Sql,
     "q14_percentiles" -> Relational.q14Sql,
+    "q15_cube" -> Relational.q15Sql,
     "q20_edgar_index_parse" -> Edgar.q20Sql,
     "q21_cik_registry" -> Edgar.q21Sql,
     "q22_clean_numeric" -> Edgar.q22Sql,

@@ -407,6 +407,30 @@ object Relational {
       |GROUP BY token HAVING COUNT(*) >= 10
       |ORDER BY n_total DESC, token""".stripMargin
 
+  // R9-extra: CUBE — all 2^2 grouping sets over (orderstatus, priority)
+  // in one pass, with grouping_id distinguishing the levels. Spark plans
+  // this as a single expand + aggregate (no repeated scans).
+  def q15Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        out2(sum(dmoney(col("o_totalprice")))).as("sum_price"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"), col("gid"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  val q15Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      | COALESCE(o_orderpriority, 'ALL') AS priority,
+      | COUNT(*) AS n_orders,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_price,
+      | GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   // R4-extra: exact percentiles (median / p90) per order priority — the
   // sort-based exact percentile, interpolated. Both engines use the
   // lo + (hi-lo)*frac continuous-quantile form on doubles; round(4)
