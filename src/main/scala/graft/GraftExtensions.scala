@@ -16,8 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"rolling_hash expects exactly 1 argument, got ${children.length}")
         RollingHashExpr(children.head)
+      }
     ))
   }
 }

@@ -37,7 +37,7 @@ object Edgar {
       .withColumn("line", line)
       .filter(lower(regexp_extract(col("line"), "^(\\S+)", 1)).rlike("^x-17a"))
       .select(
-        regexp_extract(col("line"), "edgar/data/([0-9]+)/", 1).cast(LongType).as("cik"),
+        graft.sources.EdgarIndexSource.cikFromPath(col("line")).as("cik"),
         regexp_extract(col("line"), "^X-17A-5  ([^ ]+)  ", 1).as("company"),
         regexp_extract(col("line"), "([0-9]{4}-[0-9]{2}-[0-9]{2})", 1).as("filing_date"),
         regexp_extract(col("line"), "/([0-9]+)\\.txt$", 1).cast(LongType).as("accession"))

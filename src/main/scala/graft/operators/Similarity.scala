@@ -78,13 +78,14 @@ object Similarity {
       .withColumn("ccos", VectorFunctions.cosine(col("probe_vec"), col("centroid")))
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") === 1)
-      .select(col("probe_id"), col("probe_vec"), col("cell"))
+      .withColumn("probe_nrm", sqrt(VectorFunctions.norm2(col("probe_vec"))))
+      .select(col("probe_id"), col("probe_vec"), col("probe_nrm"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     e.withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
-          (sqrt(VectorFunctions.norm2(col("probe_vec"))) * col("nrm")), 6))
+          (col("probe_nrm") * col("nrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))

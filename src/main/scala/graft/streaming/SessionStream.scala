@@ -36,7 +36,13 @@ object SessionStream {
       userId = e.user_id
       open match {
         case Some(st) if e.ts.getTime - st.end.getTime <= GapMs =>
-          open = Some(st.copy(end = e.ts, nEvents = st.nEvents + 1,
+          // cross-batch out-of-order events may arrive before the open
+          // session's bounds — only ever WIDEN the window, never move
+          // end (or start) backwards
+          open = Some(st.copy(
+            start = if (e.ts.before(st.start)) e.ts else st.start,
+            end = if (e.ts.after(st.end)) e.ts else st.end,
+            nEvents = st.nEvents + 1,
             totalValue = st.totalValue + e.value))
         case Some(st) =>
           done += SessionOut(e.user_id, st.start, st.end, st.nEvents, st.totalValue)

@@ -32,6 +32,16 @@ class SessionStreamSpec extends GraftSpec {
     assert(open.contains(SessionState(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:20:00"), 3, 4.0)))
   }
 
+  test("advance never moves session bounds backwards on out-of-order events") {
+    val st = SessionState(ts("2024-01-01 00:05:00"), ts("2024-01-01 00:10:00"), 2, 3.0)
+    // a late event 20 min BEFORE the open end merges without shrinking end
+    val (done, open) = SessionStream.advance(Some(st),
+      Seq(Event(1, ts("2024-01-01 00:00:00"), 1.0)))
+    assert(done.isEmpty)
+    assert(open.contains(
+      SessionState(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 3, 4.0)))
+  }
+
   test("streaming sessionization emits closed sessions") {
     val sp = spark
     import sp.implicits._
