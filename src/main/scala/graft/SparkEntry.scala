@@ -55,7 +55,8 @@ object SparkEntry {
     "q49_token_count" -> (TextOps.q49TokenCount _),
     "q50_fingerprint" -> (TextOps.q50Fingerprint _),
     "q51_multimodal_meta" -> (Multimodal.q51MultimodalMeta _),
-    "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _)
+    "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _),
+    "q53_tfidf" -> (TextOps.q53Tfidf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +97,7 @@ object SparkEntry {
     "q47_lang_id" -> TextOps.q47Sql,
     "q48_quality_score" -> TextOps.q48Sql,
     "q49_token_count" -> TextOps.q49Sql,
-    "q52_window_agg" -> streaming.EventStream.q52Sql
+    "q52_window_agg" -> streaming.EventStream.q52Sql,
+    "q53_tfidf" -> TextOps.q53Sql
   )
 }

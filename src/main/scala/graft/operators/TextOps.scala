@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,6 +113,45 @@ object TextOps {
       | len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]')) AS n_subwords,
       | CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_chars4
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // T7-extra: TF-IDF keyword extraction — top-3 terms per document by
+  // tf·ln(N/df), the standard curation signal for topic/keyword fields.
+  // Two shuffles total: token-level tf agg, then df agg broadcast back.
+  // ln() differs from DuckDB by ≤1 ulp; round(6) absorbs it, and ranking
+  // ties break on the rounded score + token for determinism.
+  def q53Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nDocs = d.count() // tiny action; at scale pass the known corpus size
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q53Sql: String =
+    s"""SELECT doc_id, rk, token, tf, df, score FROM (
+       | SELECT doc_id, token, tf, df,
+       |  ROUND(tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) AS score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) DESC, token) AS rk
+       | FROM (
+       |  SELECT doc_id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE LENGTH(token) > 0 GROUP BY doc_id, token) tf_t
+       | JOIN (
+       |  SELECT token, COUNT(*) AS df FROM (
+       |   SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE LENGTH(token) > 0 GROUP BY token) df_t
+       | USING (token))
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   // T10 (rows-only): document fingerprint via the custom rolling-hash
   // Catalyst Expression (functions/RollingHash.scala) — native codegen,
