@@ -56,7 +56,8 @@ object SparkEntry {
     "q50_fingerprint" -> (TextOps.q50Fingerprint _),
     "q51_multimodal_meta" -> (Multimodal.q51MultimodalMeta _),
     "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _),
-    "q53_tfidf" -> (TextOps.q53Tfidf _)
+    "q53_tfidf" -> (TextOps.q53Tfidf _),
+    "q54_redact" -> (TextOps.q54Redact _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,6 +99,7 @@ object SparkEntry {
     "q48_quality_score" -> TextOps.q48Sql,
     "q49_token_count" -> TextOps.q49Sql,
     "q52_window_agg" -> streaming.EventStream.q52Sql,
-    "q53_tfidf" -> TextOps.q53Sql
+    "q53_tfidf" -> TextOps.q53Sql,
+    "q54_redact" -> TextOps.q54Sql
   )
 }

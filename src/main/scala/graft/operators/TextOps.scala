@@ -153,6 +153,50 @@ object TextOps {
        | USING (token))
        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // T8-extra: PII redaction — the standard scrub pass before text lands
+  // in a training corpus. Emails and US-phone shapes are replaced with
+  // typed placeholder tokens; the per-doc redaction counts feed audit
+  // metrics. PII is synthesized deterministically (the corpus is clean),
+  // so both engines see identical inputs. Pure regexp_replace — narrow,
+  // codegen'd, shuffle-free until the final sort.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  def q54Redact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val dirty = d.withColumn("text2",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" call (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    dirty.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>").as("clean_text"),
+        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0))).as("n_phones"))
+      .withColumn("was_redacted", (col("n_emails") + col("n_phones")) > 0)
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+    s"""SELECT doc_id,
+       | REGEXP_REPLACE(REGEXP_REPLACE(text2, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS clean_text,
+       | len(REGEXP_EXTRACT_ALL(text2, '$email')) AS n_emails,
+       | len(REGEXP_EXTRACT_ALL(text2, '$phone')) AS n_phones,
+       | (len(REGEXP_EXTRACT_ALL(text2, '$email')) + len(REGEXP_EXTRACT_ALL(text2, '$phone'))) > 0 AS was_redacted
+       |FROM (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |       WHEN doc_id % 5 = 1 THEN text || ' call (555) 010-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE text END AS text2
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // T10 (rows-only): document fingerprint via the custom rolling-hash
   // Catalyst Expression (functions/RollingHash.scala) — native codegen,
   // no UDF. Normalization: lowercase + collapse whitespace.
