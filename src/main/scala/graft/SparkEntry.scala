@@ -57,7 +57,8 @@ object SparkEntry {
     "q51_multimodal_meta" -> (Multimodal.q51MultimodalMeta _),
     "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _),
     "q53_tfidf" -> (TextOps.q53Tfidf _),
-    "q54_redact" -> (TextOps.q54Redact _)
+    "q54_redact" -> (TextOps.q54Redact _),
+    "q55_dup_clusters" -> (Dedup.q55DupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +101,7 @@ object SparkEntry {
     "q49_token_count" -> TextOps.q49Sql,
     "q52_window_agg" -> streaming.EventStream.q52Sql,
     "q53_tfidf" -> TextOps.q53Sql,
-    "q54_redact" -> TextOps.q54Sql
+    "q54_redact" -> TextOps.q54Sql,
+    "q55_dup_clusters" -> Dedup.q55Sql
   )
 }

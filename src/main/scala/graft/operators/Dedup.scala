@@ -176,6 +176,57 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  // T2-followup: resolve near-dup PAIRS into transitive CLUSTERS with a
+  // keeper per cluster — the step that turns pair evidence into actual
+  // keep/drop decisions (a~b, b~c must drop two docs, not one per pair).
+  // Spark-first: iterative min-label propagation over the undirected
+  // pair graph; labels only decrease, so it converges in O(graph
+  // diameter) keyed-join rounds — near-dup clusters are small cliques,
+  // so 1-3 rounds in practice. (GraphX connectedComponents is the
+  // equivalent at extreme diameters.) Oracle: DuckDB recursive CTE
+  // computing min reachable doc_id — same fixpoint.
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter(col("label") =!= col("old_label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
+  def q55DupClusters(s: SparkSession, dir: String): DataFrame =
+    resolveClusters(q41NgramJaccard(s, dir).select("d1", "d2"))
+      .orderBy("cluster_id", "doc_id")
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($q41Sql)),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(doc_id, r) AS (
+       | SELECT doc_id, doc_id FROM nodes
+       | UNION
+       | SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |)
+       |SELECT doc_id, MIN(r) AS cluster_id, doc_id = MIN(r) AS is_keeper
+       |FROM reach GROUP BY doc_id
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   // T5: near-dup by embedding cosine, blocked by the `label` column (an
   // IVF-style cell id) so the pair join is bounded per cell. τ=0.35 is
   // corpus-tuned (synthetic vectors are near-orthogonal; real corpora use

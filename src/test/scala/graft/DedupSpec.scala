@@ -35,6 +35,17 @@ class DedupSpec extends GraftSpec {
     assert(exact.subsetOf(lsh), s"missing: ${exact.diff(lsh)}")
   }
 
+  test("cluster resolution is transitive with one keeper per component") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {5,9}; singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 9L)).toDF("d1", "d2")
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (9L, 5L, false)))
+  }
+
   test("exact dedup groups by content hash with min-id keeper") {
     val out = Dedup.q40DedupExact(spark, sfDir)
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
