@@ -186,10 +186,17 @@ object Dedup {
   // equivalent at extreme diameters.) Oracle: DuckDB recursive CTE
   // computing min reachable doc_id — same fixpoint.
   def resolveClusters(pairs: DataFrame): DataFrame = {
+    // iterative algorithms MUST truncate lineage each round or round N
+    // re-executes rounds 1..N-1 (and the upstream pair generation) from
+    // scratch — localCheckpoint materializes the small label/edge tables.
+    // On a cluster with a long-running job, checkpoint() to reliable
+    // storage instead so executor loss can't lose the blocks.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -198,6 +205,7 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       converged = next.as("n")
         .join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
         .filter(col("label") =!= col("old_label"))
