@@ -58,7 +58,9 @@ object SparkEntry {
     "q52_window_agg" -> (streaming.EventStream.q52WindowAgg _),
     "q53_tfidf" -> (TextOps.q53Tfidf _),
     "q54_redact" -> (TextOps.q54Redact _),
-    "q55_dup_clusters" -> (Dedup.q55DupClusters _)
+    "q55_dup_clusters" -> (Dedup.q55DupClusters _),
+    "q56_decontaminate" -> (Dedup.q56Decontaminate _),
+    "q57_repetition" -> (TextOps.q57Repetition _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,6 +104,8 @@ object SparkEntry {
     "q52_window_agg" -> streaming.EventStream.q52Sql,
     "q53_tfidf" -> TextOps.q53Sql,
     "q54_redact" -> TextOps.q54Sql,
-    "q55_dup_clusters" -> Dedup.q55Sql
+    "q55_dup_clusters" -> Dedup.q55Sql,
+    "q56_decontaminate" -> Dedup.q56Sql,
+    "q57_repetition" -> TextOps.q57Sql
   )
 }

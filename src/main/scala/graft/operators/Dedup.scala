@@ -235,6 +235,48 @@ object Dedup {
        |FROM reach GROUP BY doc_id
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  // T2-followup 2: train/eval DECONTAMINATION — flag training documents
+  // sharing >= MinContamShingles word-5-grams with any eval-set document
+  // (the standard benchmark-leakage sweep before a training run). The
+  // eval set here is the source='src0' slice; in production it's the
+  // benchmark suite. Shuffle is keyed by shingle and the eval side is
+  // tiny → broadcast; cost is one scan of the training side.
+  val MinContamShingles = 3
+
+  def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def shingled(df: DataFrame) = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 5)).as("shingle"))
+      .distinct()
+    val evalSh = shingled(d.filter(col("source") === "src0"))
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = shingled(d.filter(col("source") =!= "src0"))
+    trainSh.join(evalSh, Seq("shingle"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinContamShingles)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  val q56Sql: String = {
+    val sh5 = "list_transform(range(1, len(string_split(text, ' ')) - 3), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' || string_split(text, ' ')[i+4])"
+    s"""WITH ev AS (
+       | SELECT DISTINCT doc_id AS eval_id, UNNEST($sh5) AS shingle
+       | FROM documents WHERE source = 'src0'
+       |), tr AS (
+       | SELECT DISTINCT doc_id, UNNEST($sh5) AS shingle
+       | FROM documents WHERE source <> 'src0'
+       |)
+       |SELECT tr.doc_id, ev.eval_id, COUNT(*) AS n_shared
+       |FROM tr JOIN ev USING (shingle)
+       |GROUP BY tr.doc_id, ev.eval_id
+       |HAVING COUNT(*) >= $MinContamShingles
+       |ORDER BY doc_id, eval_id""".stripMargin
+  }
+
   // T5: near-dup by embedding cosine, blocked by the `label` column (an
   // IVF-style cell id) so the pair join is bounded per cell. τ=0.35 is
   // corpus-tuned (synthetic vectors are near-orthogonal; real corpora use

@@ -197,6 +197,39 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // T8-extra 2: repetition / boilerplate detection (Gopher-style rule) —
+  // the fraction of a document's word-2-grams occupied by its single
+  // most frequent 2-gram. High values mark templated/boilerplate text
+  // that quality-filters drop before training. One explode + two keyed
+  // aggregations; fully parallel by doc_id.
+  def q57Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val grams = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 2)).as("gram"))
+    val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_grams"), max(col("n")).as("top_gram_n"))
+      .withColumn("top_gram_frac",
+        round(col("top_gram_n").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+      .withColumn("is_repetitive", col("top_gram_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String = {
+    val g2 = "list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])"
+    s"""SELECT doc_id, SUM(n) AS n_grams, MAX(n) AS top_gram_n,
+       | ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_gram_frac,
+       | ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) > 0.2 AS is_repetitive
+       |FROM (
+       | SELECT doc_id, gram, COUNT(*) AS n FROM (
+       |  SELECT doc_id, UNNEST($g2) AS gram FROM documents)
+       | GROUP BY doc_id, gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // T10 (rows-only): document fingerprint via the custom rolling-hash
   // Catalyst Expression (functions/RollingHash.scala) — native codegen,
   // no UDF. Normalization: lowercase + collapse whitespace.
