@@ -60,7 +60,8 @@ object SparkEntry {
     "q54_redact" -> (TextOps.q54Redact _),
     "q55_dup_clusters" -> (Dedup.q55DupClusters _),
     "q56_decontaminate" -> (Dedup.q56Decontaminate _),
-    "q57_repetition" -> (TextOps.q57Repetition _)
+    "q57_repetition" -> (TextOps.q57Repetition _),
+    "q58_curation_pipeline" -> (Curation.q58CurationPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +107,7 @@ object SparkEntry {
     "q54_redact" -> TextOps.q54Sql,
     "q55_dup_clusters" -> Dedup.q55Sql,
     "q56_decontaminate" -> Dedup.q56Sql,
-    "q57_repetition" -> TextOps.q57Sql
+    "q57_repetition" -> TextOps.q57Sql,
+    "q58_curation_pipeline" -> Curation.q58Sql
   )
 }
