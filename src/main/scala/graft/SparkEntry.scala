@@ -61,7 +61,10 @@ object SparkEntry {
     "q55_dup_clusters" -> (Dedup.q55DupClusters _),
     "q56_decontaminate" -> (Dedup.q56Decontaminate _),
     "q57_repetition" -> (TextOps.q57Repetition _),
-    "q58_curation_pipeline" -> (Curation.q58CurationPipeline _)
+    "q58_curation_pipeline" -> (Curation.q58CurationPipeline _),
+    "q59_outliers" -> (Relational.q59Outliers _),
+    "q60_histogram" -> (Relational.q60Histogram _),
+    "q61_merge_upsert" -> (Relational.q61MergeUpsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +111,9 @@ object SparkEntry {
     "q55_dup_clusters" -> Dedup.q55Sql,
     "q56_decontaminate" -> Dedup.q56Sql,
     "q57_repetition" -> TextOps.q57Sql,
-    "q58_curation_pipeline" -> Curation.q58Sql
+    "q58_curation_pipeline" -> Curation.q58Sql,
+    "q59_outliers" -> Relational.q59Sql,
+    "q60_histogram" -> Relational.q60Sql,
+    "q61_merge_upsert" -> Relational.q61Sql
   )
 }

@@ -452,6 +452,113 @@ object Relational {
       | ROUND(QUANTILE_CONT(o_totalprice, 0.99), 4) AS p99
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // R17: outlier detection — per-event-type z-scores from DECIMAL-exact
+  // moments (sum, sum-of-squares), so mean/variance are engine-identical
+  // before the single double division; flags |z| > 3. The two-pass shape
+  // (small agg broadcast back onto the fact scan) is the standard
+  // large-scale anomaly sweep.
+  def q59Outliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val vd = col("value").cast(DecimalType(18, 6))
+    val stats = e.groupBy("event_type")
+      .agg(sum(vd).as("s1"), sum(vd * vd).as("s2"), count(lit(1)).as("n"))
+      .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
+      .withColumn("variance",
+        col("s2").cast(DoubleType) / col("n") - col("mean") * col("mean"))
+      .select("event_type", "mean", "variance")
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 4))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  val q59Sql: String =
+    """SELECT event_id, event_type, value, z FROM (
+      | SELECT e.event_id, e.event_type, e.value,
+      |  ROUND((e.value - st.mean) / SQRT(st.variance), 4) AS z
+      | FROM events e JOIN (
+      |  SELECT event_type,
+      |   CAST(s1 AS DOUBLE) / n AS mean,
+      |   CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+      |  FROM (
+      |   SELECT event_type,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+      |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2,
+      |    COUNT(*) AS n
+      |   FROM events GROUP BY event_type)) st
+      | ON e.event_type = st.event_type)
+      |WHERE ABS(z) > 3.0 ORDER BY event_id""".stripMargin
+
+  // R18: histogram — fixed-width binning over order totals per status.
+  // Manual floor((x-lo)/w) binning (engine-agnostic), bin edges exact
+  // integers; one scan + one tiny agg.
+  def q60Histogram(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = 50000.0
+    o.withColumn("bin", floor(col("o_totalprice") / w).cast(IntegerType))
+      .groupBy("o_orderstatus", "bin")
+      .agg(count(lit(1)).as("n"),
+        out2(sum(dmoney(col("o_totalprice")))).as("bin_total"))
+      .withColumn("bin_lo", (col("bin") * w).cast(DoubleType))
+      .select("o_orderstatus", "bin", "bin_lo", "n", "bin_total")
+      .orderBy("o_orderstatus", "bin")
+  }
+
+  val q60Sql: String =
+    """SELECT o_orderstatus, bin, CAST(bin * 50000.0 AS DOUBLE) AS bin_lo,
+      | COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS bin_total
+      |FROM (SELECT o_orderstatus, o_totalprice,
+      |      CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bin FROM orders)
+      |GROUP BY o_orderstatus, bin ORDER BY o_orderstatus, bin""".stripMargin
+
+  // R19: merge / upsert (SCD-style snapshot apply) — a changes batch
+  // (inserts, updates, deletes) folded onto a base snapshot via one
+  // full-outer join. Base = orders before the 2000 cutover; changes =
+  // orders from 2000 on, with priority-1 rows acting as deletes. The
+  // canonical no-lakehouse upsert: at scale both sides co-partition on
+  // the key, one shuffle each.
+  def q61MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cut = lit("2000-01-01").cast(TimestampType)
+    val base = o.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_totalprice").as("base_price"))
+    val changes = o.filter(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_totalprice").as("new_price"),
+        (col("o_orderpriority") === "1-URGENT").as("is_delete"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .withColumn("action",
+        when(col("is_delete") === true && col("base_price").isNotNull, "delete")
+          .when(col("is_delete") === true, "skip_delete")
+          .when(col("base_price").isNotNull && col("new_price").isNotNull, "update")
+          .when(col("new_price").isNotNull, "insert")
+          .otherwise("keep"))
+      .filter(col("action").isin("keep", "update", "insert"))
+      .select(col("o_orderkey"),
+        coalesce(col("new_price"), col("base_price")).as("price"),
+        col("action"))
+      .orderBy("o_orderkey")
+  }
+
+  val q61Sql: String =
+    """SELECT o_orderkey, COALESCE(new_price, base_price) AS price, action FROM (
+      | SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  b.base_price, c.new_price,
+      |  CASE WHEN c.is_delete AND b.base_price IS NOT NULL THEN 'delete'
+      |       WHEN c.is_delete THEN 'skip_delete'
+      |       WHEN b.base_price IS NOT NULL AND c.new_price IS NOT NULL THEN 'update'
+      |       WHEN c.new_price IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS action
+      | FROM (SELECT o_orderkey, o_totalprice AS base_price FROM orders
+      |       WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00') b
+      | FULL OUTER JOIN (SELECT o_orderkey, o_totalprice AS new_price,
+      |       o_orderpriority = '1-URGENT' AS is_delete FROM orders
+      |       WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') c
+      | ON b.o_orderkey = c.o_orderkey)
+      |WHERE action IN ('keep', 'update', 'insert')
+      |ORDER BY o_orderkey""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
