@@ -213,6 +213,14 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // A silent partial result would diverge from the recursive-CTE oracle
+    // with no signal; a >30-diameter chain means the input isn't the
+    // small-clique near-dup graph this operator is for (use GraphX
+    // connectedComponents there).
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters: min-label propagation not converged after $rounds rounds " +
+          "(pair-graph diameter exceeds the cap); raise the cap or use GraphX connectedComponents")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_keeper"))
   }

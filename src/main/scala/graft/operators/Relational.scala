@@ -219,8 +219,8 @@ object Relational {
 
   val q06Sql: String =
     """SELECT c_mktsegment,
-      | SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS n_with,
-      | SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS n_without
+      | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+      | CAST(SUM(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 0 ELSE 1 END) AS BIGINT) AS n_without
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // R8 + E10: transpose-to-wide (pivot) via conditional aggregation —
@@ -377,7 +377,7 @@ object Relational {
       | CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS session_value
       |FROM (
       | SELECT user_id, ts, value,
-      |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM (
       |  SELECT user_id, event_id, ts, value,
       |   CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
@@ -515,16 +515,17 @@ object Relational {
 
   // R19: merge / upsert (SCD-style snapshot apply) — a changes batch
   // (inserts, updates, deletes) folded onto a base snapshot via one
-  // full-outer join. Base = orders before the 2000 cutover; changes =
-  // orders from 2000 on, with priority-1 rows acting as deletes. The
-  // canonical no-lakehouse upsert: at scale both sides co-partition on
-  // the key, one shuffle each.
+  // full-outer join. Base = keys with o_orderkey%10 in 0..7; changes =
+  // keys with o_orderkey%10 in 5..9 (5..7 overlap the base so update and
+  // delete genuinely fire; 8..9 are pure inserts), with priority-1 rows
+  // acting as deletes. The canonical no-lakehouse upsert: at scale both
+  // sides co-partition on the key, one shuffle each.
   def q61MergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val cut = lit("2000-01-01").cast(TimestampType)
-    val base = o.filter(col("o_orderdate") < cut)
+    val m = col("o_orderkey") % 10
+    val base = o.filter(m < 8)
       .select(col("o_orderkey"), col("o_totalprice").as("base_price"))
-    val changes = o.filter(col("o_orderdate") >= cut)
+    val changes = o.filter(m >= 5)
       .select(col("o_orderkey"), col("o_totalprice").as("new_price"),
         (col("o_orderpriority") === "1-URGENT").as("is_delete"))
     base.join(changes, Seq("o_orderkey"), "full_outer")
@@ -551,10 +552,10 @@ object Relational {
       |       WHEN c.new_price IS NOT NULL THEN 'insert'
       |       ELSE 'keep' END AS action
       | FROM (SELECT o_orderkey, o_totalprice AS base_price FROM orders
-      |       WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00') b
+      |       WHERE o_orderkey % 10 < 8) b
       | FULL OUTER JOIN (SELECT o_orderkey, o_totalprice AS new_price,
       |       o_orderpriority = '1-URGENT' AS is_delete FROM orders
-      |       WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') c
+      |       WHERE o_orderkey % 10 >= 5) c
       | ON b.o_orderkey = c.o_orderkey)
       |WHERE action IN ('keep', 'update', 'insert')
       |ORDER BY o_orderkey""".stripMargin

@@ -220,7 +220,7 @@ object TextOps {
   val q57Sql: String = {
     val g2 = "list_transform(range(1, len(string_split(text, ' '))), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])"
-    s"""SELECT doc_id, SUM(n) AS n_grams, MAX(n) AS top_gram_n,
+    s"""SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams, MAX(n) AS top_gram_n,
        | ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_gram_frac,
        | ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) > 0.2 AS is_repetitive
        |FROM (

@@ -66,6 +66,21 @@ def main():
             print(f"FAIL {name}: row count differs oracle={len(want)} spark={len(got)}")
             n_fail += 1
             continue
+        # Dtype gate: the driver hashes typed values, so an int64 column on
+        # one side vs float64/object (e.g. DuckDB HUGEINT from SUM(int)) on
+        # the other fails there even when values coerce equal. Both frames
+        # come through duckdb.fetchdf, so kind comparison is symmetric.
+        kinds_w = [want[c].dtype.kind for c in want.columns]
+        kinds_g = [got[c].dtype.kind for c in got.columns]
+        if kinds_w != kinds_g:
+            bad = [
+                f"{c}: oracle {want[c].dtype} vs spark {got[c].dtype}"
+                for c in want.columns
+                if want[c].dtype.kind != got[c].dtype.kind
+            ]
+            print(f"FAIL {name}: dtype mismatch\n   " + "\n   ".join(bad))
+            n_fail += 1
+            continue
         diffs = []
         for c in want.columns:
             a, b = want[c], got[c]
