@@ -29,6 +29,20 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** 64-bit shingle ids straight from the token array — no n-gram string
+    * is ever materialized: each id is one xxhash64 over the n tokens.
+    * Counting semantics are identical to string shingles up to hash
+    * collisions (~n_shingles²/2⁶⁵, vanishing), so Jaccard counts computed
+    * on these ids match the string-shingle oracle while the shuffle
+    * carries 8-byte longs instead of n-gram strings.
+    */
+  def hashedShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** SQL twin of [[shingles]] for n=3 (DuckDB list syntax, 1-based). */
   def shinglesSql3(textCol: String): String =
     s"list_transform(range(1, len(string_split($textCol, ' ')) - 1), " +

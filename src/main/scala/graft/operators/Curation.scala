@@ -26,8 +26,11 @@ object Curation {
 
   def q58CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val wHash = Window.partitionBy(md5(col("text")))
-    val base = d.withColumn("exact_keeper", min(col("doc_id")).over(wHash))
+    // drop the text payload BEFORE the hash window — the shuffle then
+    // carries (doc_id, 32-char hash) instead of whole documents.
+    val base = d.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("exact_keeper",
+        min(col("doc_id")).over(Window.partitionBy("content_hash")))
 
     val nearDrop = Dedup.q55DupClusters(s, dir)
       .filter(!col("is_keeper"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,19 +49,26 @@ object Dedup {
 
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val shAll = d
+    // ONE keyed shuffle: explode → groupBy(shingle) with collect_set —
+    // the set dedupes (doc, shingle) repeats map-side AND gives the
+    // document frequency as size(docs). The df cap then bounds every
+    // posting list, so candidate pairs come from an in-row double explode
+    // (≤ df²/2 per shingle, no self-join, no second big shuffle). This is
+    // the posting-list formulation of the shared-shingle join; at 100 TB
+    // the shuffle is hash-partitioned on shingle and Σdf² stays bounded.
+    val postings = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
-      .distinct()
-    val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("shingle")
-    val sh = shAll.join(rare, Seq("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 3)).as("shingle"))
+      .groupBy("shingle").agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= MaxShingleDf)
+    val sizes = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = postings
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
@@ -103,11 +111,13 @@ object Dedup {
 
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // no distinct needed: the min-fold is duplicate-insensitive, so the
+    // signature aggregation runs straight off the explode with map-side
+    // partial mins — one small shuffle keyed by doc_id, nothing else.
     val sh = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
-      .distinct()
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 3)).as("shingle"))
     val minCols = (0 until MinhashK).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
     val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -202,15 +212,17 @@ object Dedup {
     while (!converged && rounds < 30) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
-        .select(col("doc_id"),
+      // one checkpointed pass carries BOTH the new label and a changed
+      // flag — convergence detection is then a cheap scan of the already
+      // materialized blocks instead of a second join per round.
+      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .withColumn("changed", col("label") =!= col("old_label"))
+        .select("doc_id", "label", "changed")
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter(col("label") =!= col("old_label"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("changed")).isEmpty
+      labels = step.select("doc_id", "label")
       rounds += 1
     }
     // A silent partial result would diverge from the recursive-CTE oracle

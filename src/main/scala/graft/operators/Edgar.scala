@@ -158,10 +158,10 @@ object Edgar {
       | CAST(ROUND(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(multiplier AS DECIMAL(10,0)), 2) AS DOUBLE) AS scaled
       |FROM (
       | SELECT *,
-      |  CASE WHEN LOWER(header) LIKE '%thousand%' THEN 1000
+      |  CAST(CASE WHEN LOWER(header) LIKE '%thousand%' THEN 1000
       |       WHEN LOWER(header) LIKE '%million%' THEN 1000000
       |       WHEN LOWER(header) LIKE '%billion%' THEN 1000000000
-      |       ELSE 1 END AS multiplier
+      |       ELSE 1 END AS BIGINT) AS multiplier
       | FROM (
       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
       |   CASE l_orderkey % 4 WHEN 0 THEN '(In Thousands)'

@@ -176,8 +176,8 @@ object Relational {
     val cum = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     o.select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        rank().over(byPrice).as("price_rank"),
-        row_number().over(byDate).as("seq"),
+        rank().over(byPrice).cast(LongType).as("price_rank"),
+        row_number().over(byDate).cast(LongType).as("seq"),
         lag("o_totalprice", 1).over(byDate).as("prev_price"),
         lead("o_totalprice", 1).over(byDate).as("next_price"),
         out2(sum(dmoney(col("o_totalprice"))).over(cum)).as("run_spend")

@@ -38,7 +38,7 @@ object Similarity {
       .withColumn("cos",
         round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
           (col("probe_nrm") * col("nrm")), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("rk"), col("vec_id"), col("cos"))
       .orderBy("probe_id", "rk")
@@ -86,7 +86,7 @@ object Similarity {
       .withColumn("cos",
         round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
           (col("probe_nrm") * col("nrm")), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
       .orderBy("probe_id", "rk")

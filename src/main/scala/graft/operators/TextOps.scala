@@ -67,7 +67,7 @@ object TextOps {
     val mwl = round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok.cast(DoubleType), 6)
     val mwlTerm = round(lit(1.0) - least(abs(mwl - 4.5) / 4.5, lit(1.0)), 6)
     d.select(col("doc_id"),
-        nTok.as("n_tokens"),
+        nTok.cast(LongType).as("n_tokens"),
         lenTerm.as("len_term"), punctTerm.as("punct_term"),
         stopTerm.as("stop_term"), mwlTerm.as("mwl_term"))
       // round the 4-term sum FIRST (each term has ≤6 decimals, so the sum
@@ -101,8 +101,8 @@ object TextOps {
     val d = Tables.documents(s, dir)
     val pat = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
     d.select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_subwords"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType).as("n_subwords"),
         ceil(length(col("text")).cast(DoubleType) / 4.0).cast(LongType).as("n_chars4"))
       .orderBy("doc_id")
   }
@@ -131,7 +131,7 @@ object TextOps {
     tf.join(df, Seq("token"))
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rk")
@@ -174,8 +174,8 @@ object TextOps {
     dirty.select(
         col("doc_id"),
         regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>").as("clean_text"),
-        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0))).as("n_phones"))
+        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))).cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0))).cast(LongType).as("n_phones"))
       .withColumn("was_redacted", (col("n_emails") + col("n_phones")) > 0)
       .orderBy("doc_id")
   }

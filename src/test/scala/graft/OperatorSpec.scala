@@ -21,10 +21,10 @@ class OperatorSpec extends GraftSpec {
     val out = Similarity.q46AnnIvf(spark, sfDir).collect()
     val byProbe = out.groupBy(_.getLong(0))
     byProbe.foreach { case (_, rows) =>
-      val ranks = rows.map(_.getInt(2)).toSeq.sorted
-      assert(ranks == (1 to ranks.size))
+      val ranks = rows.map(_.getLong(2)).toSeq.sorted
+      assert(ranks == (1L to ranks.size))
       // ordered by rank => cosine non-increasing
-      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(4))
+      val cosines = rows.sortBy(_.getLong(2)).map(_.getDouble(4))
       assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
     }
   }

@@ -69,14 +69,16 @@ def main():
         # Dtype gate: the driver hashes typed values, so an int64 column on
         # one side vs float64/object (e.g. DuckDB HUGEINT from SUM(int)) on
         # the other fails there even when values coerce equal. Both frames
-        # come through duckdb.fetchdf, so kind comparison is symmetric.
-        kinds_w = [want[c].dtype.kind for c in want.columns]
-        kinds_g = [got[c].dtype.kind for c in got.columns]
-        if kinds_w != kinds_g:
+        # come through duckdb.fetchdf, so full-dtype comparison is
+        # symmetric — int32 vs int64 or float32 vs float64 must fail here
+        # exactly as they would in the driver's typed-value hash.
+        dt_w = [str(want[c].dtype) for c in want.columns]
+        dt_g = [str(got[c].dtype) for c in got.columns]
+        if dt_w != dt_g:
             bad = [
                 f"{c}: oracle {want[c].dtype} vs spark {got[c].dtype}"
                 for c in want.columns
-                if want[c].dtype.kind != got[c].dtype.kind
+                if str(want[c].dtype) != str(got[c].dtype)
             ]
             print(f"FAIL {name}: dtype mismatch\n   " + "\n   ".join(bad))
             n_fail += 1
