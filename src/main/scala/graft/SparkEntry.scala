@@ -29,6 +29,10 @@ object SparkEntry {
     "q13_approx_distinct" -> (Relational.q13ApproxDistinct _),
     "q14_percentiles" -> (Relational.q14Percentiles _),
     "q15_cube" -> (Relational.q15Cube _),
+    "q16_correlated_subquery" -> (Relational.q16CorrelatedSubquery _),
+    "q17_setops" -> (Relational.q17SetOps _),
+    "q18_hash_sample" -> (Relational.q18HashSample _),
+    "q19_range_join" -> (Relational.q19RangeJoin _),
     "q20_edgar_index_parse" -> (Edgar.q20EdgarIndexParse _),
     "q21_cik_registry" -> (Edgar.q21CikRegistry _),
     "q22_clean_numeric" -> (Edgar.q22CleanNumeric _),
@@ -43,6 +47,7 @@ object SparkEntry {
     "q31_reconstruction" -> (BalanceSheet.q31Reconstruction _),
     "q32_filename_parse" -> (Edgar.q32FilenameParse _),
     "q33_seq_merge" -> (Edgar.q33SeqMerge _),
+    "q34_html_extract" -> (Edgar.q34HtmlExtract _),
     "q40_dedup_exact" -> (Dedup.q40DedupExact _),
     "q41_ngram_jaccard" -> (Dedup.q41NgramJaccard _),
     "q42_minhash_lsh" -> (Dedup.q42MinhashLsh _),
@@ -64,7 +69,8 @@ object SparkEntry {
     "q58_curation_pipeline" -> (Curation.q58CurationPipeline _),
     "q59_outliers" -> (Relational.q59Outliers _),
     "q60_histogram" -> (Relational.q60Histogram _),
-    "q61_merge_upsert" -> (Relational.q61MergeUpsert _)
+    "q61_merge_upsert" -> (Relational.q61MergeUpsert _),
+    "q62_bloom_membership" -> (Dedup.q62BloomMembership _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,6 +91,10 @@ object SparkEntry {
     "q12_explode_tokens" -> Relational.q12Sql,
     "q14_percentiles" -> Relational.q14Sql,
     "q15_cube" -> Relational.q15Sql,
+    "q16_correlated_subquery" -> Relational.q16Sql,
+    "q17_setops" -> Relational.q17Sql,
+    "q18_hash_sample" -> Relational.q18Sql,
+    "q19_range_join" -> Relational.q19Sql,
     "q20_edgar_index_parse" -> Edgar.q20Sql,
     "q21_cik_registry" -> Edgar.q21Sql,
     "q22_clean_numeric" -> Edgar.q22Sql,
@@ -98,6 +108,7 @@ object SparkEntry {
     "q31_reconstruction" -> BalanceSheet.q31Sql,
     "q32_filename_parse" -> Edgar.q32Sql,
     "q33_seq_merge" -> Edgar.q33Sql,
+    "q34_html_extract" -> Edgar.q34Sql,
     "q40_dedup_exact" -> Dedup.q40Sql,
     "q41_ngram_jaccard" -> Dedup.q41Sql,
     "q44_embed_dup" -> Dedup.q44Sql,
@@ -105,6 +116,7 @@ object SparkEntry {
     "q47_lang_id" -> TextOps.q47Sql,
     "q48_quality_score" -> TextOps.q48Sql,
     "q49_token_count" -> TextOps.q49Sql,
+    "q50_fingerprint" -> TextOps.q50Sql,
     "q52_window_agg" -> streaming.EventStream.q52Sql,
     "q53_tfidf" -> TextOps.q53Sql,
     "q54_redact" -> TextOps.q54Sql,
@@ -114,6 +126,7 @@ object SparkEntry {
     "q58_curation_pipeline" -> Curation.q58Sql,
     "q59_outliers" -> Relational.q59Sql,
     "q60_histogram" -> Relational.q60Sql,
-    "q61_merge_upsert" -> Relational.q61Sql
+    "q61_merge_upsert" -> Relational.q61Sql,
+    "q62_bloom_membership" -> Dedup.q62Sql
   )
 }

@@ -322,6 +322,45 @@ object Dedup {
       .orderBy("v1", "v2")
   }
 
+  // T19: sketch-accelerated membership — the Bloom-filter form of the
+  // decontamination sweep. The eval slice's content hashes are folded
+  // into a BloomFilter in ONE distributed pass (the sketch is mergeable;
+  // df.stat.bloomFilter aggregates per-partition then merges on the
+  // driver), broadcast to executors, and applied as a map-side
+  // pre-filter on the training scan BEFORE any shuffle — at 100 TB this
+  // discards ~everything early for the cost of a hash probe. The exact
+  // semi join afterwards removes the sketch's false positives, so the
+  // result is EXACTLY the semi join and stays oracle-checked. (This is
+  // the same pattern Spark's own InjectRuntimeFilter applies internally;
+  // the UDF is just the sketch probe — a 3-hash bit test — not data
+  // logic.)
+  def q62BloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    // membership key: hash of the first-8-token prefix — the standard
+    // "document head" key that catches templated/near-copied openings
+    // across sources (exact-text matches never cross sources here)
+    val withH = d.withColumn("h",
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+    val evalH = withH.filter(col("source") === "src0").select("h")
+    val bf = evalH.stat.bloomFilter("h", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bfB.value.mightContain(h))
+    withH.filter(col("source") =!= "src0")
+      .filter(mightContain(col("h")))
+      .join(evalH.distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("h").as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    """SELECT doc_id, MD5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS content_hash
+      |FROM documents
+      |WHERE source <> 'src0'
+      |  AND MD5(array_to_string(string_split(text, ' ')[1:8], ' ')) IN
+      |   (SELECT MD5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |    FROM documents WHERE source = 'src0')
+      |ORDER BY doc_id""".stripMargin
+
   val q44Sql: String = {
     val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
     s"""SELECT label, v1, v2, cos FROM (

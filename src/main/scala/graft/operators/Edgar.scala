@@ -264,4 +264,50 @@ object Edgar {
       | FROM part WHERE p_size > 25 GROUP BY 1) b
       |ON a.k = b.k
       |ORDER BY k""".stripMargin
+
+  // E18 (FocusReportExtract.py:39-220): HTML-table extraction — the
+  // reference scrapes filing index pages and pulls tables out of HTML.
+  // Re-created deterministically: build one HTML "filing page" per
+  // customer (rows sorted for determinism), then parse it BACK into
+  // typed cells with regexp_extract_all + regexp_extract. Explicit
+  // [^<]* cell patterns (no lazy quantifiers) keep the regex RE2-safe
+  // for the oracle. Page synthesis and parsing are both map-side; the
+  // only shuffle is the per-customer page assembly — at 100 TB pages
+  // are bounded (rows per entity), so no skew.
+  private val HtmlRowPat = "<tr><td>O-([0-9]+)</td><td>([0-9.]+)</td><td>([A-Z])</td></tr>"
+
+  def q34HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rowHtml = concat(lit("<tr><td>O-"), col("o_orderkey").cast(StringType),
+      lit("</td><td>"), col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+      lit("</td><td>"), col("o_orderstatus"), lit("</td></tr>"))
+    val pages = o.select(col("o_custkey"), rowHtml.as("row_html"))
+      .groupBy("o_custkey")
+      .agg(concat_ws("", array_sort(collect_list(col("row_html")))).as("html"))
+    pages.select(col("o_custkey"),
+        explode(regexp_extract_all(col("html"), lit(HtmlRowPat), lit(0))).as("r"))
+      .select(col("o_custkey"),
+        regexp_extract(col("r"), HtmlRowPat, 1).cast(LongType).as("o_orderkey"),
+        regexp_extract(col("r"), HtmlRowPat, 2).cast(DoubleType).as("parsed_price"),
+        regexp_extract(col("r"), HtmlRowPat, 3).as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  val q34Sql: String = {
+    val pat = HtmlRowPat
+    s"""WITH pages AS (
+       | SELECT o_custkey, string_agg(row_html, '' ORDER BY row_html) AS html
+       | FROM (SELECT o_custkey,
+       |   '<tr><td>O-' || CAST(o_orderkey AS VARCHAR) || '</td><td>' ||
+       |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '</td><td>' ||
+       |   o_orderstatus || '</td></tr>' AS row_html FROM orders)
+       | GROUP BY o_custkey
+       |), cells AS (
+       | SELECT o_custkey, UNNEST(regexp_extract_all(html, '$pat')) AS r FROM pages)
+       |SELECT o_custkey,
+       | CAST(regexp_extract(r, '$pat', 1) AS BIGINT) AS o_orderkey,
+       | CAST(regexp_extract(r, '$pat', 2) AS DOUBLE) AS parsed_price,
+       | regexp_extract(r, '$pat', 3) AS status
+       |FROM cells ORDER BY o_orderkey""".stripMargin
+  }
 }

@@ -560,6 +560,119 @@ object Relational {
       |WHERE action IN ('keep', 'update', 'insert')
       |ORDER BY o_orderkey""".stripMargin
 
+  // R20: correlated scalar subquery — orders priced above 1.5× their
+  // customer's average order value. Catalyst decorrelates exactly this
+  // shape into the aggregate + equi-join declared below (one keyed
+  // shuffle, no per-row re-aggregation), so the Spark side states the
+  // decorrelated plan directly; the oracle keeps the correlated syntax
+  // to pin the semantics. The average follows the avg6 discipline (exact
+  // decimal sum, one IEEE division) so the 1.5× threshold compare is
+  // bit-identical in both engines.
+  def q16CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(avg6(sum(dmoney(col("o_totalprice"))), count(lit(1))).as("cust_avg"))
+    o.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      | (SELECT ROUND(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+      |    FROM orders i WHERE i.o_custkey = o.o_custkey) AS cust_avg
+      |FROM orders o
+      |WHERE o_totalprice >
+      | (SELECT ROUND(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6)
+      |    FROM orders i WHERE i.o_custkey = o.o_custkey) * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  // R21: set operations — INTERSECT / EXCEPT over the customer sets of
+  // two adjacent half-years, emitted as one tagged union. Spark plans
+  // INTERSECT/EXCEPT as hash aggregates + existence joins — both shuffle
+  // once on the key and scale linearly; no sort-based set difference.
+  def q17SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def half(lo: String, hi: String) =
+      o.filter(col("o_orderdate") >= lit(lo).cast(TimestampType) &&
+          col("o_orderdate") < lit(hi).cast(TimestampType))
+        .select(col("o_custkey")).distinct()
+    val h1 = half("1997-01-01", "1997-07-01")
+    val h2 = half("1997-07-01", "1998-01-01")
+    h1.intersect(h2).withColumn("setop", lit("both"))
+      .union(h1.except(h2).withColumn("setop", lit("h1_only")))
+      .union(h2.except(h1).withColumn("setop", lit("h2_only")))
+      .orderBy("o_custkey", "setop")
+  }
+
+  val q17Sql: String =
+    """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |              AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'),
+      |     h2 AS (SELECT DISTINCT o_custkey FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, 'both' AS setop FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT o_custkey, 'h1_only' FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+      |UNION ALL
+      |SELECT o_custkey, 'h2_only' FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+      |ORDER BY o_custkey, setop""".stripMargin
+
+  // R22: deterministic hash sampling — the TABLESAMPLE that survives
+  // scale: keep a row iff the first two hex chars of md5(key) sort below
+  // '0d' (13/256 ≈ 5.08%). No RNG, no seed coordination, reproducible
+  // under any partitioning, retry, or engine — a pure map-side filter
+  // that composes with pushdown. (Spark's native .sample() is seeded
+  // per-partition and NOT stable across partitionings; hash sampling
+  // is.)
+  def q18HashSample(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 2) < "0d")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // R23: bounded range join — clicks within the hour before each
+  // purchase by the same user. The naive inequality join is quadratic in
+  // events-per-user; Spark-first we bucket time into 1-hour cells and
+  // equi-join on (user_id, bucket) with the probe exploded over the two
+  // covering buckets, then apply the exact range predicate. The shuffle
+  // is a plain hash partition on (user, bucket) and candidates per probe
+  // are bounded by two buckets of one user's clicks — the standard
+  // interval-join decomposition (Flink/KDB do the same under the hood).
+  def q19RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .withColumn("bucket", floor(unix_timestamp(col("cts")) / 3600))
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("b0", floor(unix_timestamp(col("ts")) / 3600))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"))))
+    probes.join(clicks, Seq("user_id", "bucket"), "left_outer")
+      .withColumn("hit", col("cts").isNotNull &&
+        col("cts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("cts") < col("ts"))
+      .groupBy("event_id", "user_id", "ts")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks_1h"))
+      .orderBy("event_id")
+  }
+
+  val q19Sql: String =
+    """SELECT p.event_id, p.user_id, p.ts, COUNT(c.cts) AS n_clicks_1h
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+      | ON c.user_id = p.user_id AND c.cts >= p.ts - INTERVAL 1 HOUR AND c.cts < p.ts
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

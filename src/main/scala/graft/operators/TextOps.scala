@@ -230,9 +230,13 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  // T10 (rows-only): document fingerprint via the custom rolling-hash
-  // Catalyst Expression (functions/RollingHash.scala) — native codegen,
-  // no UDF. Normalization: lowercase + collapse whitespace.
+  // T10: document fingerprint via the custom rolling-hash Catalyst
+  // Expression (functions/RollingHash.scala) — native codegen, no UDF.
+  // Normalization: lowercase + collapse whitespace. Oracle-checked: the
+  // polynomial hash h = Σ byte_i·257^i mod (2^61-1) is re-expressed in
+  // DuckDB as a Horner fold (list_reduce) over the UTF-8 bytes
+  // recovered from hex(encode(text)) — HUGEINT keeps the modular
+  // products exact.
   def q50Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
@@ -240,5 +244,28 @@ object TextOps {
         RollingHashExpr.rollingHash(norm).as("fingerprint"),
         RollingHashExpr.rollingHash(reverse(norm)).as("fingerprint_rev"))
       .orderBy("doc_id")
+  }
+
+  val q50Sql: String = {
+    val mod = "2305843009213693951" // 2^61 - 1, matches RollingHashExpr.Mod
+    // UTF-8 bytes recovered from a MATERIALIZED hex(encode(..)) column —
+    // never recompute the encode inside the lambda (per-element
+    // re-evaluation is the O(n²) HOF trap).
+    def bytesOf(hx: String): String =
+      s"""list_transform(range(1, (length($hx) // 2) + 1),
+         | i -> 16 * (strpos('0123456789ABCDEF', substr($hx, 2*i-1, 1)) - 1)
+         |       + strpos('0123456789ABCDEF', substr($hx, 2*i, 1)) - 1)""".stripMargin
+    // Σ b_i·257^i == Horner over the REVERSED byte list; seed 0 via
+    // list_prepend; HUGEINT accumulator keeps acc*257 exact before mod.
+    def horner(bytes: String): String =
+      s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_reverse($bytes)),
+         | (acc, x) -> (acc * 257 + x) % $mod) AS BIGINT)""".stripMargin
+    s"""SELECT doc_id,
+       | ${horner(bytesOf("hx"))} AS fingerprint,
+       | ${horner(bytesOf("hxr"))} AS fingerprint_rev
+       |FROM (SELECT doc_id, hex(encode(norm)) AS hx, hex(encode(reverse(norm))) AS hxr
+       |      FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS norm
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
   }
 }
