@@ -116,7 +116,9 @@ object SparkEntry {
     "q47_lang_id" -> TextOps.q47Sql,
     "q48_quality_score" -> TextOps.q48Sql,
     "q49_token_count" -> TextOps.q49Sql,
+    "q46_ann_ivf" -> Similarity.q46Sql,
     "q50_fingerprint" -> TextOps.q50Sql,
+    "q51_multimodal_meta" -> Multimodal.q51Sql,
     "q52_window_agg" -> streaming.EventStream.q52Sql,
     "q53_tfidf" -> TextOps.q53Sql,
     "q54_redact" -> TextOps.q54Sql,

@@ -51,8 +51,11 @@ object Multimodal {
     StructField("checksum", LongType)
   ))
 
-  // T11 (rows-only): binary payload + metadata struct → per-partition
-  // batch "decode" → flat feature table.
+  // T11: binary payload + metadata struct → per-partition batch "decode"
+  // → flat feature table. Oracle-checked: the deterministic stub is pure
+  // byte arithmetic, so DuckDB recomputes it from hex(encode(text)) —
+  // the wrapping int64 checksum via a HUGEINT fold mod 2^64 mapped back
+  // to signed.
   def q51MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // synthesize the multimodal table: payload = utf8 bytes of text,
@@ -80,5 +83,34 @@ object Multimodal {
       }
     }(enc)
     decoded.orderBy("doc_id")
+  }
+
+  val q51Sql: String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    val two63 = "9223372036854775808::HUGEINT"
+    s"""SELECT doc_id, media_type, width, height, n_bytes,
+       | CASE WHEN n_bytes = 0 THEN 0.0
+       |      ELSE CAST(list_sum(bytes) AS DOUBLE) / n_bytes END AS mean_byte,
+       | CAST(CASE WHEN cs >= $two63 THEN cs - $two64 ELSE cs END AS BIGINT) AS checksum
+       |FROM (
+       | SELECT doc_id, media_type, width, height, n_bytes, bytes,
+       |  list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+       |   (acc, x) -> (acc * 31 + x) % $two64) AS cs
+       | FROM (
+       |  SELECT doc_id, media_type, width, height,
+       |   CAST(length(hx) // 2 AS INTEGER) AS n_bytes,
+       |   list_transform(range(1, (length(hx) // 2) + 1),
+       |    i -> 16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS bytes
+       |  FROM (
+       |   SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |         ELSE 'video/mp4' END AS media_type,
+       |    CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
+       |    CAST(doc_id % 1080 + 1 AS INTEGER) AS height,
+       |    hex(encode(text)) AS hx
+       |   FROM documents)))
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -57,16 +57,19 @@ object Similarity {
        |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
 
-  // T6 scale path (rows-only): IVF — centroids per label cell via
-  // positional explode + mean, probes routed to nearest centroid, search
-  // restricted to that cell. Returns per-probe top-k within the routed
-  // cell plus the cell id, so recall vs q45 is inspectable.
+  // T6 scale path: IVF — centroids per label cell via positional explode
+  // + DECIMAL-EXACT mean (the sum is decimal, so partial aggregation
+  // order can't perturb the centroid bits — that determinism is what
+  // lets this be oracle-checked), probes routed to nearest centroid,
+  // search restricted to that cell. Returns per-probe top-k within the
+  // routed cell plus the cell id, so recall vs q45 is inspectable.
   def q46AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // centroid per cell: avg of each of the 64 dims (posexplode → agg)
     val cent = e.select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
-      .agg(avg(col("col").cast(DoubleType)).as("dim_avg"))
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+        .cast(DoubleType) / count(lit(1))).as("dim_avg"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
       .select(col("label").as("cell"),
@@ -90,5 +93,38 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .select(col("probe_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
       .orderBy("probe_id", "rk")
+  }
+
+  val q46Sql: String = {
+    // float dims go through DOUBLE before DECIMAL in BOTH engines so the
+    // quantization path is identical bit-for-bit
+    val dimDec = "CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))"
+    val ccos = VectorFunctions.cosineSql("p.embedding", "c.centroid")
+    val dotPE = VectorFunctions.dotSql("r.probe_vec", "e.embedding")
+    val nrmP = s"SQRT(${VectorFunctions.dotSql("r.probe_vec", "r.probe_vec")})"
+    val nrmE = s"SQRT(${VectorFunctions.dotSql("e.embedding", "e.embedding")})"
+    s"""WITH dims AS (
+       | SELECT label, i AS pos,
+       |  CAST(SUM($dimDec) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       | GROUP BY label, i
+       |), cent AS (
+       | SELECT label AS cell,
+       |  list_transform(list(dim_avg ORDER BY pos), x -> CAST(x AS REAL)) AS centroid
+       | FROM dims GROUP BY label
+       |), routed AS (
+       | SELECT probe_id, probe_vec, cell FROM (
+       |  SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $ccos DESC, c.cell) AS crk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumProbes) p CROSS JOIN cent c)
+       | WHERE crk = 1
+       |)
+       |SELECT probe_id, cell, rk, vec_id, cos FROM (
+       | SELECT r.probe_id, r.cell, e.vec_id,
+       |  ROUND($dotPE / ($nrmP * $nrmE), 6) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY r.probe_id
+       |    ORDER BY ROUND($dotPE / ($nrmP * $nrmE), 6) DESC, e.vec_id) AS rk
+       | FROM routed r JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.probe_id)
+       |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
 }
