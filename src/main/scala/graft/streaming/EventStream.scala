@@ -54,6 +54,18 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Streaming exact dedup — the streaming twin of T1 (q40): drop
+    * re-deliveries of the same event_id arriving within the watermark
+    * delay. dropDuplicatesWithinWatermark keeps per-key state only until
+    * the watermark passes, so state is O(keys per 2h), not O(stream) —
+    * the property that makes at-least-once ingestion dedup viable at
+    * 100 TB/day.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // T12 batch twin: identical semantics via date_trunc — oracle-checked.
   def q52WindowAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Edgar, Relational, Similarity}
 
 /** Physical-plan audits (SURVEY.md §5): these lock in the properties that
   * make the engine scale — pushdown reaching the parquet scan, column
@@ -58,5 +58,36 @@ class PlanSpec extends GraftSpec {
     val p = planOf(Relational.q12ExplodeTokens(spark, sfDir))
     // two HashAggregates (partial + final) around one Exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q19 range join stays an equi-join (no nested-loop blow-up)") {
+    val p = planOf(Relational.q19RangeJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16 decorrelates to one aggregate + equi-join (no per-row subquery)") {
+    val p = planOf(Relational.q16CorrelatedSubquery(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final agg
+  }
+
+  test("q18 hash sample prunes the scan to the projected columns") {
+    val p = planOf(Relational.q18HashSample(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_orderdate"),
+      s"scan should not read unused columns: $readSchema")
+  }
+
+  test("q62 bloom pre-filter sits on the scan side, below the semi join") {
+    val p = planOf(Dedup.q62BloomMembership(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the UDF probe must appear as a Filter, and the exact join as a semi
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q34 html page assembly aggregates map-side before its shuffle") {
+    val p = planOf(Edgar.q34HtmlExtract(spark, sfDir))
+    // collect_list runs as ObjectHashAggregate / SortAggregate pairs
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
   }
 }

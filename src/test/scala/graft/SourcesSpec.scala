@@ -52,6 +52,18 @@ class SourcesSpec extends GraftSpec {
     assert(back.orderBy("cik").collect().toSeq == reg.orderBy("cik").collect().toSeq)
   }
 
+  test("ORC round-trip preserves data and pushes filters") {
+    val out = tmp("orc") + "/orders_orc"
+    val o = Tables.orders(spark, sfDir)
+    o.write.mode("overwrite").orc(out)
+    val back = spark.read.schema(Tables.schemas("orders")).orc(out)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      o.orderBy("o_orderkey").collect().toSeq)
+    val filtered = back.filter(col("o_orderkey") === 42L)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"), scan)
+  }
+
   test("compaction sizes output files toward the target") {
     val out = tmp("compact") + "/lineitem_c"
     val l = Tables.lineitem(spark, sfDir)

@@ -78,6 +78,30 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-deliveries of the same event id") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val input = stream.toDF().toDF("ts", "event_id", "value")
+    val query = EventStream.dedupEvents(input)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 1.0), // re-delivery
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 2L, 2.0))
+      query.processAllAvailable()
+      stream.addData((Timestamp.valueOf("2024-01-01 00:20:00"), 1L, 1.0)) // still in watermark
+      query.processAllAvailable()
+      val got = sp.sql("SELECT event_id FROM dedup_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("watermark bounds state: late rows beyond 2h are dropped in append mode") {
     val sp = spark
     import sp.implicits._
