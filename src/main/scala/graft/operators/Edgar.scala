@@ -293,6 +293,54 @@ object Edgar {
       .orderBy("o_orderkey")
   }
 
+  // E19 (FocusReportExtract.py PDF merge; FocusReportSlicing.py page
+  // slice): binary assembly — a document's payload arrives as ORDERED
+  // CHUNKS on separate rows (the fetched parts); reassemble with an
+  // ordered binary-concat fold, then slice one fixed-size byte "page"
+  // out and fingerprint both. The chunk table genuinely shuffles (one
+  // keyed groupBy), so the assembly path is the real distributed
+  // operation; the oracle computes the identity reconstruction from the
+  // source bytes — equality PROVES the assembly is byte-exact.
+  // Fingerprints are md5 over lowercase hex so the DuckDB twin (whose
+  // md5 is VARCHAR-only) can reproduce them.
+  val ChunkBytes = 64
+  val PageBytes = 128
+
+  def q35BinaryAssembly(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val withPayload = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val nChunks = greatest(
+      ceil(octet_length(col("payload")).cast(DoubleType) / ChunkBytes).cast(IntegerType),
+      lit(1))
+    val chunked = withPayload.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => col("payload").substr(i * ChunkBytes + 1, lit(ChunkBytes)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    chunked.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))).as("parts"))
+      .withColumn("assembled",
+        aggregate(col("parts"), lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("chunk"))))
+      .withColumn("page_no", col("doc_id") % 4)
+      .withColumn("page",
+        col("assembled").substr(col("page_no").cast(IntegerType) * PageBytes + 1, lit(PageBytes)))
+      .select(col("doc_id"),
+        octet_length(col("assembled")).cast(LongType).as("n_bytes"),
+        md5(lower(hex(col("assembled")))).as("full_md5"),
+        col("page_no"),
+        md5(lower(hex(col("page")))).as("page_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q35Sql: String =
+    s"""SELECT doc_id,
+       | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       | md5(lower(hex(encode(text)))) AS full_md5,
+       | doc_id % 4 AS page_no,
+       | md5(lower(substr(hex(encode(text)), (doc_id % 4) * ${2 * PageBytes} + 1, ${2 * PageBytes}))) AS page_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val q34Sql: String = {
     val pat = HtmlRowPat
     s"""WITH pages AS (

@@ -51,6 +51,17 @@ class ExtendedOpsSpec extends GraftSpec {
     assert(mismatches == 0)
   }
 
+  test("q35 chunked reassembly is byte-identical to the source payload") {
+    val direct = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(lower(hex(encode(col("text"), "UTF-8")))).as("want_md5"))
+    val mismatches = Edgar.q35BinaryAssembly(spark, sfDir)
+      .join(direct, Seq("doc_id"))
+      .filter(col("full_md5") =!= col("want_md5"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("q62 bloom pre-filter + exact join equals the plain semi join") {
     val d = Tables.documents(spark, sfDir)
     val withH = d.withColumn("h",
