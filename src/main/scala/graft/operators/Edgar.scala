@@ -341,6 +341,49 @@ object Edgar {
        | md5(lower(substr(hex(encode(text)), (doc_id % 4) * ${2 * PageBytes} + 1, ${2 * PageBytes}))) AS page_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // E20 (OCRTextract.py stage 2a): OCR records → reading order. Textract
+  // emits per-WORD records (page, line, x-position, text, confidence) in
+  // arbitrary order; reconstruct lines by grouping (doc, page, line) and
+  // sorting words by x within each line, with a decimal-exact mean
+  // confidence per line. Word records are synthesized deterministically
+  // from the token stream (page = pos/40, line = (pos/8)%5, x = pos%8,
+  // conf = (pos·37)%100). One keyed shuffle; line text assembly is an
+  // in-row sorted fold.
+  def q36OcrLayout(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val words = d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "wpos")
+      .withColumnRenamed("col", "token")
+      .filter(length(col("token")) > 0)
+      .withColumn("page", (col("wpos") / 40).cast(IntegerType))
+      .withColumn("line_no", ((col("wpos") / 8) % 5).cast(IntegerType))
+      .withColumn("x", (col("wpos") % 8).cast(IntegerType))
+      .withColumn("conf_dec", ((col("wpos") * 37) % 100).cast(DecimalType(12, 4)))
+    words.groupBy("doc_id", "page", "line_no")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("x"), col("token")))),
+            t => t.getField("token"))).as("line_text"),
+        Relational.avg6(sum(col("conf_dec")), count(lit(1))).as("avg_conf"),
+        count(lit(1)).as("n_words"))
+      .orderBy("doc_id", "page", "line_no")
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id,
+      | CAST(wpos // 40 AS INTEGER) AS page,
+      | CAST((wpos // 8) % 5 AS INTEGER) AS line_no,
+      | string_agg(token, ' ' ORDER BY wpos) AS line_text,
+      | ROUND(CAST(SUM(CAST((wpos * 37) % 100 AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS avg_conf,
+      | COUNT(*) AS n_words
+      |FROM (
+      | SELECT doc_id, i - 1 AS wpos, tk[i] AS token
+      | FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |      UNNEST(range(1, len(tk) + 1)) AS t(i)
+      | WHERE LENGTH(tk[i]) > 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY doc_id, page, line_no""".stripMargin
+
   val q34Sql: String = {
     val pat = HtmlRowPat
     s"""WITH pages AS (
