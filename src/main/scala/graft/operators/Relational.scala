@@ -673,6 +673,61 @@ object Relational {
       |GROUP BY p.event_id, p.user_id, p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // R24: quantile bucketing — NTILE deciles of order value per priority
+  // with per-decile aggregates: the standard equal-frequency binning for
+  // feature engineering / monotone calibration. One window shuffle keyed
+  // by the (bounded-cardinality) stratum + one tiny agg; the window order
+  // is total so decile boundaries are engine-identical.
+  def q37NtileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        out2(sum(dmoney(col("o_totalprice")))).as("sum_price"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority, decile, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_price,
+      | MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM (
+      | SELECT o_orderpriority, o_totalprice,
+      |  NTILE(10) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS decile
+      | FROM orders)
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
+  // R25: deterministic stratified sample — exactly k rows per stratum,
+  // chosen by md5 rank (reservoir-equivalent but reproducible across
+  // engines, partitionings and reruns; no RNG state). The md5 order is
+  // uniform, so the k kept rows are an unbiased stratum sample; the
+  // shuffle is one window keyed by the stratum.
+  val StratumK = 20
+
+  def q38StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(md5(col("o_orderkey").cast(StringType)), col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= StratumK)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val q38Sql: String =
+    s"""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+       | SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+       | FROM orders)
+       |WHERE rk <= $StratumK
+       |ORDER BY o_orderpriority, rk""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
