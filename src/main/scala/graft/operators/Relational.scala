@@ -728,6 +728,58 @@ object Relational {
        |WHERE rk <= $StratumK
        |ORDER BY o_orderpriority, rk""".stripMargin
 
+  // R26: unpivot / melt — the inverse of the q07 transpose-to-wide
+  // (the reference round-trips both directions when assembling, then
+  // re-normalizing, the per-entity wide tables). Spark's Dataset.unpivot
+  // lowers to a single Expand — map-side only, no shuffle beyond the
+  // final sort.
+  def q39Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = q07PivotWide(s, dir)
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("n_click"), col("n_error"), col("n_purchase"),
+          col("n_signup"), col("n_view")),
+        "metric", "n")
+      .orderBy("user_id", "metric")
+  }
+
+  val q39Sql: String =
+    s"""WITH w AS ($q07Sql)
+       |SELECT user_id, metric, n FROM (
+       | SELECT user_id, 'n_click' AS metric, n_click AS n FROM w
+       | UNION ALL SELECT user_id, 'n_error', n_error FROM w
+       | UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM w
+       | UNION ALL SELECT user_id, 'n_signup', n_signup FROM w
+       | UNION ALL SELECT user_id, 'n_view', n_view FROM w)
+       |ORDER BY user_id, metric""".stripMargin
+
+  // R27 / S9: semi-structured JSON column — parse the events `props`
+  // payload with an explicit schema (from_json stays codegen'd and
+  // null-safe on malformed rows) and aggregate the extracted field.
+  // At 100 TB the parse is map-side; only the tiny per-type agg shuffles.
+  def q63JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+      .getField("k")
+    e.withColumn("k", k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        avg6(sum(col("k").cast(DecimalType(18, 4))), count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  val q63Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(k) AS BIGINT) AS sum_k,
+      | MIN(k) AS min_k, MAX(k) AS max_k,
+      | ROUND(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(k), 6) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
