@@ -780,6 +780,30 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // R28: custom typed Aggregator — mergeable bounded top-k
+  // (functions/TopKAgg): per-partition state never exceeds k pairs, so
+  // the shuffle carries ≤ k items per group instead of range-sorting the
+  // column. The udaf() registration path is the public typed-Aggregator
+  // API (no internal Catalyst surface needed).
+  def q64TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val top3 = udaf(graft.functions.TopKAgg.Top3)
+    e.groupBy("event_type")
+      .agg(top3(col("value"), col("event_id")).as("tops"))
+      .select(col("event_type"),
+        element_at(col("tops"), 1).as("v1"),
+        element_at(col("tops"), 2).as("v2"),
+        element_at(col("tops"), 3).as("v3"))
+      .orderBy("event_type")
+  }
+
+  val q64Sql: String =
+    """SELECT event_type, lst[1] AS v1, lst[2] AS v2, lst[3] AS v3
+      |FROM (SELECT event_type,
+      |       (list(value ORDER BY value DESC, event_id))[1:3] AS lst
+      |      FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

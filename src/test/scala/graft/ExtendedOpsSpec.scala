@@ -62,6 +62,21 @@ class ExtendedOpsSpec extends GraftSpec {
     assert(mismatches == 0)
   }
 
+  test("q64 top-k aggregator is partition-order invariant") {
+    val base = Relational.q64TopkAgg(spark, sfDir).collect().toSeq
+    // same aggregation over a deliberately different partitioning
+    val e = Tables.events(spark, sfDir).repartition(13, col("event_id"))
+    val top3 = org.apache.spark.sql.functions.udaf(graft.functions.TopKAgg.Top3)
+    val alt = e.groupBy("event_type")
+      .agg(top3(col("value"), col("event_id")).as("tops"))
+      .select(col("event_type"),
+        element_at(col("tops"), 1).as("v1"),
+        element_at(col("tops"), 2).as("v2"),
+        element_at(col("tops"), 3).as("v3"))
+      .orderBy("event_type").collect().toSeq
+    assert(base == alt)
+  }
+
   test("q62 bloom pre-filter + exact join equals the plain semi join") {
     val d = Tables.documents(spark, sfDir)
     val withH = d.withColumn("h",
