@@ -804,6 +804,46 @@ object Relational {
       |      FROM events GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
+  // R29: distributed describe() — per-column count/mean/std/min/max in
+  // ONE scan: unpivot the numeric columns (map-side Expand), then a
+  // keyed aggregate over (column) with DECIMAL-exact moments, so the
+  // parallel partial sums are engine-identical before the two IEEE
+  // divisions (same two-pass-free shape as q59's z-scores).
+  def q65Describe(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val long = o.select(col("o_orderkey"), col("o_totalprice"), col("o_custkey").cast(DoubleType).as("o_custkey"))
+      .unpivot(Array.empty[Column],
+        Array(col("o_totalprice"), col("o_custkey")), "column", "val")
+    val vd = col("val").cast(DecimalType(25, 6))
+    long.groupBy("column")
+      .agg(count(lit(1)).as("n"),
+        sum(vd).as("s1"), sum(vd * vd).as("s2"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .withColumn("mean", round(col("s1").cast(DoubleType) / col("n"), 6))
+      .withColumn("std",
+        round(sqrt(col("s2").cast(DoubleType) / col("n") -
+          (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))), 6))
+      .select(col("column"), col("n"), col("mean"), col("std"),
+        col("min_val"), col("max_val"))
+      .orderBy("column")
+  }
+
+  val q65Sql: String =
+    """SELECT "column", n, ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+      | ROUND(SQRT(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS std,
+      | min_val, max_val
+      |FROM (
+      | SELECT "column", COUNT(*) AS n,
+      |  SUM(CAST(val AS DECIMAL(25,6))) AS s1,
+      |  SUM(CAST(val AS DECIMAL(25,6)) * CAST(val AS DECIMAL(25,6))) AS s2,
+      |  MIN(val) AS min_val, MAX(val) AS max_val
+      | FROM (
+      |  SELECT 'o_totalprice' AS "column", o_totalprice AS val FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+      | GROUP BY "column")
+      |ORDER BY "column"""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

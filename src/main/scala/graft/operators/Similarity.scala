@@ -95,6 +95,57 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  // T20: embedding-space diagnostics per IVF cell — vector count,
+  // centroid norm, and inertia E||x||² − ||c||² (= mean squared distance
+  // to the centroid, since c is the mean). The sums that feed both terms
+  // are DECIMAL-exact (per-vector norms quantized once, centroid dims
+  // from exact sums), so the report is engine-identical — the health
+  // check that decides when IVF cells need re-clustering.
+  def q66CellStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val n2dec = VectorFunctions.norm2(col("embedding")).cast(DecimalType(25, 8))
+    val perCell = e.select(col("label"), n2dec.as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("n2")).as("s2"))
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+        .cast(DoubleType) / count(lit(1))).as("dim_avg"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+      .select(col("label"),
+        transform(col("dims"), d => d.getField("dim_avg")).as("centroid"))
+      .withColumn("cnorm2", VectorFunctions.dot(col("centroid"), col("centroid")))
+    perCell.join(cent, Seq("label"))
+      .select(col("label"), col("n_vectors"),
+        round(sqrt(col("cnorm2")), 6).as("centroid_norm"),
+        round(col("s2").cast(DoubleType) / col("n_vectors") - col("cnorm2"), 6).as("inertia"))
+      .orderBy("label")
+  }
+
+  val q66Sql: String = {
+    val dimDec = "CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))"
+    val n2 = VectorFunctions.dotSql("embedding", "embedding")
+    val cn2 = VectorFunctions.dotSql("centroid", "centroid")
+    s"""WITH dims AS (
+       | SELECT label, i AS pos,
+       |  CAST(SUM($dimDec) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       | GROUP BY label, i
+       |), cent AS (
+       | SELECT label, list(dim_avg ORDER BY pos) AS centroid FROM dims GROUP BY label
+       |), per_cell AS (
+       | SELECT label, COUNT(*) AS n_vectors,
+       |  SUM(CAST($n2 AS DECIMAL(25,8))) AS s2
+       | FROM embeddings GROUP BY label
+       |)
+       |SELECT p.label, p.n_vectors,
+       | ROUND(SQRT($cn2), 6) AS centroid_norm,
+       | ROUND(CAST(p.s2 AS DOUBLE) / p.n_vectors - $cn2, 6) AS inertia
+       |FROM per_cell p JOIN cent USING (label)
+       |ORDER BY label""".stripMargin
+  }
+
   val q46Sql: String = {
     // float dims go through DOUBLE before DECIMAL in BOTH engines so the
     // quantization path is identical bit-for-bit
