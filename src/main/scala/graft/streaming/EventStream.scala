@@ -66,6 +66,44 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming upsert sink — the streaming twin of q61's merge/upsert:
+    * each micro-batch of (key, value, is_delete) changes folds into a
+    * keyed snapshot directory via foreachBatch. Per batch: read current
+    * snapshot, full-outer merge on the key (latest change per key wins —
+    * ties broken by a monotonic batch sequence), write the new snapshot
+    * to the other of two alternating locations (atomic swap by pointer
+    * file would be the production form; two-generation alternation keeps
+    * this self-contained). At scale both sides co-partition on the key —
+    * the same one-shuffle shape as q61.
+    */
+  def upsertSink(changes: DataFrame, snapDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val cur = s"$snapDir/gen${batchId % 2}"
+        val next = s"$snapDir/gen${(batchId + 1) % 2}"
+        // latest change per key within the batch wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("seq").desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("key"), col("value").as("new_value"), col("is_delete"))
+        val base =
+          try sp.read.parquet(cur)
+          catch { case _: Throwable =>
+            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("key", LongType), StructField("value", DoubleType))))
+          }
+        base.join(latest, Seq("key"), "full_outer")
+          .filter(!coalesce(col("is_delete"), lit(false)))
+          .select(col("key"), coalesce(col("new_value"), col("value")).as("value"))
+          .write.mode("overwrite").parquet(next)
+        ()
+      }
+      .start()
+  }
+
   // T12 batch twin: identical semantics via date_trunc — oracle-checked.
   def q52WindowAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

@@ -102,6 +102,30 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming upsert sink folds change batches into the keyed snapshot") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    dir.deleteOnExit()
+    val stream = MemoryStream[(Long, Long, Double, Boolean)]
+    val changes = stream.toDF().toDF("seq", "key", "value", "is_delete")
+    val query = EventStream.upsertSink(changes, dir.getAbsolutePath)
+    try {
+      // batch 0: insert k1=1.0, k2=2.0 (k2 updated within the batch: seq wins)
+      stream.addData((1L, 1L, 1.0, false), (2L, 2L, 1.5, false), (3L, 2L, 2.0, false))
+      query.processAllAvailable()
+      // batch 1: update k1, delete k2, insert k3
+      stream.addData((4L, 1L, 9.0, false), (5L, 2L, 0.0, true), (6L, 3L, 3.0, false))
+      query.processAllAvailable()
+      val lastGen = s"${dir.getAbsolutePath}/gen${(query.lastProgress.batchId + 1) % 2}"
+      val got = sp.read.parquet(lastGen)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 9.0, 3L -> 3.0))
+    } finally query.stop()
+  }
+
   test("watermark bounds state: late rows beyond 2h are dropped in append mode") {
     val sp = spark
     import sp.implicits._
