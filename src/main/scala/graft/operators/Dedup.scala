@@ -206,17 +206,26 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // one propagation hop: labels' = min(label, min over in-neighbors),
+    // keeping the caller's old_label column for change detection
+    def hop(ls: DataFrame): DataFrame = {
+      val nbrMin = edges.join(ls, edges("dst") === ls("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      ls.join(nbrMin, ls("doc_id") === nbrMin("src"), "left_outer")
+        .select(ls("doc_id"), col("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // one checkpointed pass carries BOTH the new label and a changed
-      // flag — convergence detection is then a cheap scan of the already
-      // materialized blocks instead of a second join per round.
-      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left_outer")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    while (!converged && rounds < 15) {
+      // TWO hops per materialization: near-dup components are small
+      // cliques/short chains, so doubling the hop count per round
+      // usually converges in ONE checkpointed round instead of two or
+      // three — each checkpoint+scan round-trip is the dominant cost,
+      // not the extra map-side join depth. The changed flag rides in the
+      // same checkpointed frame, so convergence detection is a cheap
+      // scan of materialized blocks.
+      val step = hop(hop(labels.withColumn("old_label", col("label"))))
         .withColumn("changed", col("label") =!= col("old_label"))
         .select("doc_id", "label", "changed")
         .localCheckpoint(true)
