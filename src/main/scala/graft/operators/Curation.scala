@@ -17,10 +17,10 @@ import graft.Tables
   *  4. repetitive (top-2-gram fraction > 0.2, q57)
   *  5. low quality (composite < 0.4, q48)
   *
-  * Scale shape: one window over md5(text) + three keyed left joins of
-  * SMALL flag tables (flagged docs only — each a tiny fraction of the
-  * corpus, broadcast at any scale) + the per-doc quality map. The fact
-  * table is scanned once.
+  * Scale shape: one window over (doc_id, md5) + four keyed left joins —
+  * the flag tables carry flagged docs only, so the optimizer broadcasts
+  * them when they are genuinely small and falls back to shuffled joins
+  * when the drop rate makes them large. The fact table is scanned once.
   */
 object Curation {
 
@@ -32,27 +32,31 @@ object Curation {
       .withColumn("exact_keeper",
         min(col("doc_id")).over(Window.partitionBy("content_hash")))
 
-    val nearDrop = Dedup.q55DupClusters(s, dir)
+    // The three flag tables size with the DROP RATE, not a fixed dim —
+    // at 100 TB a 1% duplicate rate is 10^9 rows, past broadcast range.
+    // So: fold them into ONE prioritized flag table first (cheap keyed
+    // agg over only the flagged ids), then a single keyed left join
+    // against the fact side; the optimizer broadcasts it when genuinely
+    // small and shuffles otherwise. Precedence rides in the min(pri).
+    val flags = Dedup.q55DupClusters(s, dir)
       .filter(!col("is_keeper"))
-      .select(col("doc_id"), lit(true).as("near_dup"))
-    val contam = Dedup.q56Decontaminate(s, dir)
-      .select("doc_id").distinct()
-      .withColumn("contaminated", lit(true))
-    val repet = TextOps.q57Repetition(s, dir)
-      .filter(col("is_repetitive"))
-      .select(col("doc_id"), lit(true).as("repetitive"))
+      .select(col("doc_id"), lit(2).as("pri"))
+      .union(Dedup.q56Decontaminate(s, dir)
+        .select(col("doc_id"), lit(3).as("pri")))
+      .union(TextOps.q57Repetition(s, dir)
+        .filter(col("is_repetitive"))
+        .select(col("doc_id"), lit(4).as("pri")))
+      .groupBy("doc_id").agg(min(col("pri")).as("flag_pri"))
     val quality = TextOps.q48QualityScore(s, dir).select("doc_id", "quality")
 
     base
-      .join(broadcast(nearDrop), Seq("doc_id"), "left_outer")
-      .join(broadcast(contam), Seq("doc_id"), "left_outer")
-      .join(broadcast(repet), Seq("doc_id"), "left_outer")
+      .join(flags, Seq("doc_id"), "left_outer")
       .join(quality, Seq("doc_id"), "left_outer")
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("exact_keeper"), "exact_dup")
-          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
-          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
-          .when(coalesce(col("repetitive"), lit(false)), "repetitive")
+          .when(col("flag_pri") === 2, "near_dup")
+          .when(col("flag_pri") === 3, "contaminated")
+          .when(col("flag_pri") === 4, "repetitive")
           .when(col("quality") < 0.4, "low_quality"))
       .withColumn("keep", col("drop_reason").isNull)
       .select(col("doc_id"), col("keep"),

@@ -217,15 +217,13 @@ object Dedup {
     }
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 15) {
-      // TWO hops per materialization: near-dup components are small
-      // cliques/short chains, so doubling the hop count per round
-      // usually converges in ONE checkpointed round instead of two or
-      // three — each checkpoint+scan round-trip is the dominant cost,
-      // not the extra map-side join depth. The changed flag rides in the
+    while (!converged && rounds < 30) {
+      // ONE hop per materialized round (a two-hop variant measured
+      // SLOWER: the doubled un-checkpointed join depth costs more than
+      // the saved checkpoint round-trips). The changed flag rides in the
       // same checkpointed frame, so convergence detection is a cheap
       // scan of materialized blocks.
-      val step = hop(hop(labels.withColumn("old_label", col("label"))))
+      val step = hop(labels.withColumn("old_label", col("label")))
         .withColumn("changed", col("label") =!= col("old_label"))
         .select("doc_id", "label", "changed")
         .localCheckpoint(true)
