@@ -90,4 +90,18 @@ class PlanSpec extends GraftSpec {
     // collect_list runs as ObjectHashAggregate / SortAggregate pairs
     assert("Aggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q65 describe reads the table exactly once (unpivot, not N scans)") {
+    val p = planOf(Relational.q65Describe(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q41 posting-list jaccard has no join in the pair generation") {
+    val p = planOf(Dedup.q41NgramJaccard(spark, sfDir))
+    // joins only attach the small per-doc size table AFTER pair counting;
+    // pair generation itself is explode over grouped posting lists
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("Generate explode") < p.indexOf("SortMergeJoin"), p)
+  }
 }
