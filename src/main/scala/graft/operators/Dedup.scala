@@ -271,10 +271,13 @@ object Dedup {
 
   def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // hashed 64-bit shingle ids (no 5-gram string materialization) — the
+    // shared-shingle counts are unchanged up to a ~2^-65 collision, same
+    // argument as q41; the join and distinct shuffle 8-byte longs.
     def shingled(df: DataFrame) = df
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 5)).as("shingle"))
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 5)).as("shingle"))
       .distinct()
     val evalSh = shingled(d.filter(col("source") === "src0"))
       .select(col("doc_id").as("eval_id"), col("shingle"))

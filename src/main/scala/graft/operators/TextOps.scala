@@ -125,8 +125,10 @@ object TextOps {
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // tf's key set IS the distinct (doc, token) pairs — derive df from it
+    // instead of re-exploding + distinct-ing the token stream (one scan
+    // and one shuffle fewer; the second agg is map-side partial anyway)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(df, Seq("token"))
       .withColumn("score",
