@@ -844,6 +844,53 @@ object Relational {
       | GROUP BY "column")
       |ORDER BY "column"""".stripMargin
 
+  // R30: funnel analysis — how far each user progresses through the
+  // ordered view → click → purchase sequence, each stage within one day
+  // of the previous (clicks only count AFTER the first view, purchases
+  // only after that click). Three unordered windows over ONE user_id
+  // partition — each stage's timestamp is a per-user constant the next
+  // stage's predicate reads, so the whole funnel costs a single
+  // shuffle; the tiny stage histogram follows.
+  def q67Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val wu = Window.partitionBy("user_id")
+    val day = expr("INTERVAL 1 DAY")
+    e.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("fc", min(when(col("event_type") === "click" &&
+        col("ts") > col("fv") && col("ts") <= col("fv") + day, col("ts"))).over(wu))
+      .withColumn("fp", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("fc") && col("ts") <= col("fc") + day, col("ts"))).over(wu))
+      .select(col("user_id"),
+        when(col("fp").isNotNull, 3).when(col("fc").isNotNull, 2)
+          .when(col("fv").isNotNull, 1).otherwise(0).as("stage"))
+      .distinct()
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  val q67Sql: String =
+    """WITH v AS (
+      | SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+      | FROM events GROUP BY user_id),
+      |c AS (
+      | SELECT e.user_id, MIN(e.ts) AS fc
+      | FROM events e JOIN v USING (user_id)
+      | WHERE e.event_type = 'click' AND e.ts > v.fv
+      |   AND e.ts <= v.fv + INTERVAL 1 DAY GROUP BY e.user_id),
+      |p AS (
+      | SELECT e.user_id, MIN(e.ts) AS fp
+      | FROM events e JOIN c USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts > c.fc
+      |   AND e.ts <= c.fc + INTERVAL 1 DAY GROUP BY e.user_id)
+      |SELECT stage, COUNT(*) AS n_users FROM (
+      | SELECT v.user_id,
+      |  CASE WHEN p.fp IS NOT NULL THEN 3
+      |       WHEN c.fc IS NOT NULL THEN 2
+      |       WHEN v.fv IS NOT NULL THEN 1 ELSE 0 END AS stage
+      | FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
