@@ -891,6 +891,66 @@ object Relational {
       | FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
       |GROUP BY stage ORDER BY stage""".stripMargin
 
+  // R31: order-invariant table checksum — the cross-system
+  // reconciliation primitive (validate a replicated/migrated table
+  // without sorting it): canonical per-row string → 48-bit md5 prefix →
+  // XOR-fold per group. XOR is commutative/associative, so ANY
+  // partitioning or row order produces the same checksum, and partial
+  // aggregation is map-side. This is the same family of check the
+  // project's own DuckDB gate performs.
+  def q68TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val repr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+    val h = conv(substring(md5(repr), 1, 12), 16, 10).cast(LongType)
+    o.select(col("o_orderpriority"), h.as("h"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q68Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows, bit_xor(h) AS checksum
+      |FROM (
+      | SELECT o_orderpriority,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(range(1, 13),
+      |    i -> strpos('0123456789abcdef', substr(h12, i, 1)) - 1)),
+      |   (a, x) -> a * 16 + x) AS h
+      | FROM (
+      |  SELECT o_orderpriority, substr(md5(concat_ws('|',
+      |   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |   o_orderstatus, o_orderpriority,
+      |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+      |   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))), 1, 12) AS h12
+      |  FROM orders))
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // R16 (promoted to an oracle-checked query): salted join — the
+  // explicit hot-key spread. The salted plan's RESULT is exactly the
+  // plain join's, which is what the oracle verifies; the spread across
+  // (key, salt) sub-partitions is asserted in ScaleSpec.
+  def q69SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    SkewJoin.saltedJoin(o, c, "o_custkey",
+        saltSource = col("o_orderkey"), buckets = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        out2(sum(dmoney(col("o_totalprice")))).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  val q69Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
