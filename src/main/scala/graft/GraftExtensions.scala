@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.RollingHashExpr
+import graft.functions.{RollingHashExpr, RollingHashRevExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"rolling_hash expects exactly 1 argument, got ${children.length}")
         RollingHashExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash_rev"),
+      new ExpressionInfo(classOf[RollingHashRevExpr].getName, "rolling_hash_rev"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"rolling_hash_rev expects exactly 1 argument, got ${children.length}")
+        RollingHashRevExpr(children.head)
       }
     ))
   }

@@ -39,6 +39,35 @@ case class RollingHashExpr(child: Expression)
       s"${ev.value} = graft.functions.RollingHashExpr.hashBytes($c.getBytes());")
 }
 
+/** Reverse-direction twin of [[RollingHashExpr]]: Σ byte_i · B^(n-1-i)
+  * (a Horner fold over the bytes in forward order). Defined purely in
+  * the BYTE domain — no string reversal — so the DuckDB twin is
+  * byte-identical even for combining-character sequences where string
+  * reverse() semantics differ between engines (code points vs grapheme
+  * clusters).
+  */
+case class RollingHashRevExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash_rev requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "rolling_hash_rev"
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashRevExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHashExpr.hashBytesRev(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashExpr.hashBytesRev($c.getBytes());")
+}
+
 object RollingHashExpr {
   final val Base = 257L
   final val Mod = (1L << 61) - 1 // Mersenne prime 2^61-1
@@ -53,6 +82,17 @@ object RollingHashExpr {
     while (i < bytes.length) {
       h = modAdd(h, mulMod(bytes(i) & 0xffL, pow))
       pow = mulMod(pow, Base)
+      i += 1
+    }
+    h
+  }
+
+  /** Σ byte_i · B^(n-1-i) — Horner over the bytes in forward order. */
+  def hashBytesRev(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = modAdd(mulMod(h, Base), bytes(i) & 0xffL)
       i += 1
     }
     h
@@ -79,4 +119,7 @@ object RollingHashExpr {
     */
   def rollingHash(c: Column): Column =
     org.apache.spark.sql.functions.call_function("rolling_hash", c)
+
+  def rollingHashRev(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("rolling_hash_rev", c)
 }

@@ -24,7 +24,11 @@ object TopKAgg {
   object Top3 extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Double]] {
     override def zero: Seq[(Double, Long)] = Nil
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      ((a +: b).sorted(ord)).take(K)
+      // buffers are always kept sorted, so a full buffer rejects a
+      // non-improving row in O(1) — the overwhelmingly common case on a
+      // hot path; only genuine top-k candidates pay the re-sort
+      if (b.size >= K && ord.gteq(a, b.last)) b
+      else ((a +: b).sorted(ord)).take(K)
     override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
       (b1 ++ b2).sorted(ord).take(K)
     override def finish(r: Seq[(Double, Long)]): Seq[Double] = r.map(_._1)

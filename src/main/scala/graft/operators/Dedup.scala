@@ -351,7 +351,11 @@ object Dedup {
     val withH = d.withColumn("h",
       md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
     val evalH = withH.filter(col("source") === "src0").select("h")
-    val bf = evalH.stat.bloomFilter("h", 100000L, 0.01)
+    // size the sketch from the ACTUAL eval cardinality — a fixed
+    // expectedNumItems saturates (fpp → 1) once the eval slice outgrows
+    // it and the pre-filter silently stops filtering. The count is one
+    // cheap scan of the small side.
+    val bf = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1000L), 0.01)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContain(h))
     withH.filter(col("source") =!= "src0")

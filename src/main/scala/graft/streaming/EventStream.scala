@@ -68,37 +68,48 @@ object EventStream {
 
   /** Streaming upsert sink — the streaming twin of q61's merge/upsert:
     * each micro-batch of (key, value, is_delete) changes folds into a
-    * keyed snapshot directory via foreachBatch. Per batch: read current
-    * snapshot, full-outer merge on the key (latest change per key wins —
-    * ties broken by a monotonic batch sequence), write the new snapshot
-    * to the other of two alternating locations (atomic swap by pointer
-    * file would be the production form; two-generation alternation keeps
-    * this self-contained). At scale both sides co-partition on the key —
-    * the same one-shuffle shape as q61.
+    * keyed snapshot directory via foreachBatch. Per batch: read the
+    * generation named by the LATEST pointer file, full-outer merge on
+    * the key (latest change per key wins — ties broken by a monotonic
+    * batch sequence), write the other generation, then flip the
+    * pointer. The pointer (not the batch id) names the live generation,
+    * so a restarted query — whose batch ids reset — continues from the
+    * newest committed state; read failures propagate instead of being
+    * mistaken for an empty snapshot. At scale both sides co-partition
+    * on the key — the same one-shuffle shape as q61.
     */
   def upsertSink(changes: DataFrame, snapDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val cur = s"$snapDir/gen${batchId % 2}"
-        val next = s"$snapDir/gen${(batchId + 1) % 2}"
+        val fs = new org.apache.hadoop.fs.Path(snapDir)
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val pointer = new org.apache.hadoop.fs.Path(snapDir, "LATEST")
+        val current: Option[String] =
+          if (fs.exists(pointer)) {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(fs.open(pointer), "UTF-8"))
+            try Option(in.readLine()).map(_.trim).filter(_.nonEmpty)
+            finally in.close()
+          } else None
+        val nextGen =
+          if (current.exists(_.endsWith("gen0"))) s"$snapDir/gen1" else s"$snapDir/gen0"
         // latest change per key within the batch wins
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("key").orderBy(col("seq").desc)
         val latest = batch
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("key"), col("value").as("new_value"), col("is_delete"))
-        val base =
-          try sp.read.parquet(cur)
-          catch { case _: Throwable =>
-            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("key", LongType), StructField("value", DoubleType))))
-          }
+        val base = current.map(sp.read.parquet(_)).getOrElse(
+          sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("key", LongType), StructField("value", DoubleType)))))
         base.join(latest, Seq("key"), "full_outer")
           .filter(!coalesce(col("is_delete"), lit(false)))
           .select(col("key"), coalesce(col("new_value"), col("value")).as("value"))
-          .write.mode("overwrite").parquet(next)
+          .write.mode("overwrite").parquet(nextGen)
+        val out = fs.create(pointer, true)
+        try out.write(nextGen.getBytes("UTF-8")) finally out.close()
         ()
       }
       .start()

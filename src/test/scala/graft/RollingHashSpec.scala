@@ -42,4 +42,13 @@ class RollingHashSpec extends GraftSpec {
     val h2 = RollingHashExpr.hashBytes("ba".getBytes)
     assert(h1 != h2)
   }
+
+  test("rev hash equals the forward hash of the byte-reversed input") {
+    val bytes = "the quick brown fox".getBytes("UTF-8")
+    assert(RollingHashExpr.hashBytesRev(bytes) ==
+      RollingHashExpr.hashBytes(bytes.reverse))
+    // SQL-callable and matches the scalar path
+    val out = spark.sql("SELECT rolling_hash_rev('hello') AS h").collect()(0).getLong(0)
+    assert(out == RollingHashExpr.hashBytesRev("hello".getBytes("UTF-8")))
+  }
 }

@@ -119,7 +119,10 @@ class StreamingSpec extends GraftSpec {
       // batch 1: update k1, delete k2, insert k3
       stream.addData((4L, 1L, 9.0, false), (5L, 2L, 0.0, true), (6L, 3L, 3.0, false))
       query.processAllAvailable()
-      val lastGen = s"${dir.getAbsolutePath}/gen${(query.lastProgress.batchId + 1) % 2}"
+      val lastGen = {
+        val src = scala.io.Source.fromFile(new java.io.File(dir, "LATEST"))
+        try src.getLines().next().trim finally src.close()
+      }
       val got = sp.read.parquet(lastGen)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got == Map(1L -> 9.0, 3L -> 3.0))
