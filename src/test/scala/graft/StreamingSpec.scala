@@ -129,6 +129,38 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming upsert sink survives a query restart (pointer, not batch id)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_restart").toFile
+    dir.deleteOnExit()
+    def latestGen: String = {
+      val src = scala.io.Source.fromFile(new java.io.File(dir, "LATEST"))
+      try src.getLines().next().trim finally src.close()
+    }
+    // first query: two batches, so the live generation is NOT gen0
+    val s1 = MemoryStream[(Long, Long, Double, Boolean)]
+    val q1 = EventStream.upsertSink(s1.toDF().toDF("seq", "key", "value", "is_delete"),
+      dir.getAbsolutePath)
+    try {
+      s1.addData((1L, 1L, 1.0, false)); q1.processAllAvailable()
+      s1.addData((2L, 2L, 2.0, false)); q1.processAllAvailable()
+    } finally q1.stop()
+    // second query on the same dir: its batch ids restart at 0, but the
+    // pointer must carry state forward
+    val s2 = MemoryStream[(Long, Long, Double, Boolean)]
+    val q2 = EventStream.upsertSink(s2.toDF().toDF("seq", "key", "value", "is_delete"),
+      dir.getAbsolutePath)
+    try {
+      s2.addData((1L, 3L, 3.0, false)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = sp.read.parquet(latestGen)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("watermark bounds state: late rows beyond 2h are dropped in append mode") {
     val sp = spark
     import sp.implicits._
