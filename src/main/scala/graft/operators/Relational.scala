@@ -956,6 +956,36 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // R32: SCD2 interval construction — turn a change history into
+  // effective-dated versions: each customer's orders become rows with
+  // [valid_from, valid_to) via lead() over the per-key history, the
+  // open current version marked with a NULL end. One window shuffle
+  // keyed by the entity — the standard slowly-changing-dimension build.
+  def q70Scd2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .select(col("o_custkey"), col("version"), col("o_orderkey"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("o_totalprice"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val q70Sql: String =
+    """SELECT o_custkey, version, o_orderkey, valid_from, valid_to,
+      | valid_to IS NULL AS is_current, o_totalprice
+      |FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate, 1) OVER w AS valid_to,
+      |  ROW_NUMBER() OVER w AS version
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |ORDER BY o_custkey, version""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
