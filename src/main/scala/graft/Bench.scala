@@ -33,10 +33,26 @@ object Bench {
           name -> -1.0 // sentinel: failed queries must not look like timings
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    // Full per-query detail goes to a file + stderr; the harness that runs us
+    // keeps only the last ~2000 chars of stdout and must be able to parse the
+    // final line as one JSON object, so stdout gets a compact line keyed by
+    // the qNN prefix (full names are in BENCH_DETAIL.json / SURVEY.md §2).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      (detailLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
+    System.err.println(detailLine)
+    val compact = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
