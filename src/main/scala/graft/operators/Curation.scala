@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 
@@ -88,4 +89,54 @@ object Curation {
        | LEFT JOIN repet r ON b.doc_id = r.doc_id
        | LEFT JOIN qual q ON b.doc_id = q.doc_id) b
        |ORDER BY doc_id""".stripMargin
+
+  // T23: corpus mixing weights — temperature-style sampling shares per
+  // (source, lang) stratum: weight ∝ sqrt(token count) (alpha = 0.5
+  // upsamples low-resource strata, the multilingual-mixing standard).
+  // Determinism: sqrt is IEEE-correctly-rounded in both engines; each
+  // per-stratum sqrt is pinned to DECIMAL(28,10) (HALF_UP, identical both
+  // sides) so the cross-strata denominator is an EXACT decimal sum —
+  // order-free — and each share is then one IEEE division, rounded.
+  // Scale shape: one scan + one tiny hash aggregate; the global-total
+  // window runs over #strata rows (dozens), not the corpus.
+  def q77MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val strata = d
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .withColumn("sq",
+        sqrt(col("n_tokens").cast(DoubleType)).cast(DecimalType(28, 10)))
+    val wAll = Window.partitionBy()
+    strata
+      .withColumn("sq_total", sum(col("sq")).over(wAll))
+      .withColumn("docs_total", sum(col("n_docs")).over(wAll))
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("sq").cast(DoubleType) / col("sq_total").cast(DoubleType), 6)
+          .as("weight_share"),
+        round(col("n_docs").cast(DoubleType) / col("docs_total"), 6)
+          .as("natural_share"),
+        round(
+          (col("sq").cast(DoubleType) / col("sq_total").cast(DoubleType)) /
+            (col("n_docs").cast(DoubleType) / col("docs_total")), 6)
+          .as("boost"))
+      .orderBy("source", "lang")
+  }
+
+  val q77Sql: String =
+    """WITH strata AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1, 2),
+      |sq AS (
+      |  SELECT *, CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS sq
+      |  FROM strata)
+      |SELECT source, lang, n_docs, n_tokens,
+      | ROUND(CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE), 6) AS weight_share,
+      | ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS natural_share,
+      | ROUND((CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE))
+      |  / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS boost
+      |FROM sq ORDER BY source, lang""".stripMargin
 }

@@ -385,4 +385,59 @@ object Dedup {
        |WHERE cos >= 0.35
        |ORDER BY v1, v2""".stripMargin
   }
+
+  /** Passage length in tokens for T21 — non-overlapping chunks. */
+  val PassageLen = 8
+
+  // T21: passage-level exact dedup (the chunk-granularity analog of exact
+  // substring dedup, Lee et al. 2022): split each document into
+  // non-overlapping 8-token passages, hash each, count cross-corpus
+  // occurrences, report the duplicated-passage fraction per document.
+  // Scale shape: explode is linear in token count; the occurrence count
+  // is one hash-partitioned groupBy; the count re-attach is a keyed join
+  // on the passage hash (never broadcast — the posting table sizes with
+  // the corpus).
+  def q75PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val P = PassageLen
+    // materialize the token array BEFORE the per-chunk lambda (never
+    // re-evaluate split() per element — O(tokens²) otherwise)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val passages = toks
+      .withColumn("pidx",
+        explode(when(col("n") > 0,
+          // `div` is integer division (Column./ would be a double divide);
+          // n>0 keeps the sequence ascending (sequence(1,0) counts DOWN)
+          expr(s"sequence(0, (n + ${P - 1}) div $P - 1)")
+        ).otherwise(array())))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"),
+          (col("pidx") * P + 1).cast(IntegerType), lit(P)), " ")).as("h"))
+    val occ = passages.groupBy("h").agg(count(lit(1)).as("occ"))
+    passages.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        round(col("n_dup_passages").cast(DoubleType) / col("n_passages"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |   len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |   MD5(array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(0, (n+7)//8)) AS i FROM toks)),
+      |g AS (SELECT h, COUNT(*) AS occ FROM p GROUP BY h)
+      |SELECT doc_id, COUNT(*) AS n_passages,
+      | CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+      | ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+      |FROM p JOIN g USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -986,6 +986,91 @@ object Relational {
       | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       |ORDER BY o_custkey, version""".stripMargin
 
+  // R33: gaps-and-islands — consecutive-activity-day runs per user. The
+  // classic (day - row_number) grouping trick: one distinct + one window +
+  // one aggregate, all partitioned by user_id (high-cardinality key, no
+  // global window). Dates are presented as strings (engine-neutral).
+  def q71GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val days = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast(DateType)) - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(
+        date_format(min("day"), "yyyy-MM-dd").as("island_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "island_start", "island_end", "n_days")
+      .orderBy("user_id", "island_start")
+  }
+
+  val q71Sql: String =
+    """SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS island_start,
+      | strftime(MAX(day), '%Y-%m-%d') AS island_end, COUNT(*) AS n_days
+      |FROM (
+      | SELECT user_id, day,
+      |  date_diff('day', DATE '1970-01-01', day)
+      |   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      | FROM (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events))
+      |GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin
+
+  // R34: event-time RANGE frame — 30-day trailing spend per order. The
+  // frame is a true range frame over epoch seconds (peers by time, not by
+  // row), so equal timestamps contribute identically in any engine and
+  // under any partitioning. Window is keyed by customer — scales out.
+  def q72RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_custkey").orderBy("ts_sec")
+      .rangeBetween(-2592000L, 0L) // 30 days in seconds
+    o.withColumn("ts_sec", unix_timestamp(col("o_orderdate")))
+      .withColumn("trail30_spend", out2(sum(dmoney(col("o_totalprice"))).over(w)))
+      .withColumn("trail30_orders", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "trail30_spend", "trail30_orders")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q72Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w, 2) AS DOUBLE) AS trail30_spend,
+      | COUNT(*) OVER w AS trail30_orders
+      |FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', o_orderdate) AS ts_sec FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_sec
+      | RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // R35: deterministic mode / frequency profile — most frequent p_type per
+  // brand. Built from count + row_number with an explicit value tiebreak
+  // (engine mode() functions break ties arbitrarily; this one is total).
+  def q73ModeFreq(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val counts = p.groupBy("p_brand", "p_type").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy("p_brand").orderBy(col("cnt").desc, col("p_type"))
+    val wAll = Window.partitionBy("p_brand")
+    counts
+      .withColumn("brand_total", sum("cnt").over(wAll))
+      .withColumn("n_types", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(
+        col("p_brand"), col("p_type").as("mode_type"), col("cnt").as("mode_cnt"),
+        col("n_types"),
+        round(col("cnt").cast(DoubleType) / col("brand_total"), 6).as("mode_share"))
+      .orderBy("p_brand")
+  }
+
+  val q73Sql: String =
+    """SELECT p_brand, p_type AS mode_type, cnt AS mode_cnt, n_types,
+      | ROUND(CAST(cnt AS DOUBLE) / brand_total, 6) AS mode_share
+      |FROM (
+      | SELECT p_brand, p_type, cnt,
+      |  SUM(cnt) OVER (PARTITION BY p_brand) AS brand_total,
+      |  COUNT(*) OVER (PARTITION BY p_brand) AS n_types,
+      |  ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cnt DESC, p_type) AS rn
+      | FROM (SELECT p_brand, p_type, COUNT(*) AS cnt FROM part GROUP BY 1, 2))
+      |WHERE rn = 1 ORDER BY p_brand""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

@@ -275,4 +275,58 @@ object TextOps {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  // T22: corpus bigram language-model scoring — per-document mean
+  // conditional bigram probability p(w_i | w_{i-1}) under the corpus's own
+  // bigram counts (the self-perplexity signal used to flag out-of-
+  // distribution documents, KenLM-style but deterministic: probabilities
+  // are exact count ratios and the per-doc sum is a SEQUENTIAL fold in
+  // position order, so both engines produce bit-identical doubles).
+  // Scale shape: one explode (linear in tokens), two hash aggregates for
+  // the count tables, two keyed joins to re-attach counts — no broadcast
+  // (vocabulary tables size with the corpus), no window.
+  def q76BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val bi = toks
+      .withColumn("i", explode(when(col("n") > 1, sequence(lit(0), col("n") - 2)).otherwise(array())))
+      .select(col("doc_id"), col("i"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("i"),
+        (col("c2").cast(DoubleType) / col("c1")).as("p"))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // position-ordered sequential fold: sort by i, then left-fold +
+        aggregate(
+          transform(array_sort(collect_list(struct(col("i"), col("p")))), x => x("p")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("psum"), 6).as("lm_sum"),
+        round(col("psum") / col("n_bigrams"), 6).as("lm_mean"))
+      .orderBy("doc_id")
+  }
+
+  val q76Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |   len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, i, t[i+1] AS w1, t[i+2] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(0, n-1)) AS i FROM toks)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, i, CAST(c2.c2 AS DOUBLE) / c1.c1 AS p
+      |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | ROUND(list_sum(list(p ORDER BY i)), 6) AS lm_sum,
+      | ROUND(list_sum(list(p ORDER BY i)) / COUNT(*), 6) AS lm_mean
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
