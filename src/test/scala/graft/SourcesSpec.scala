@@ -97,4 +97,37 @@ class SourcesSpec extends GraftSpec {
     assert(row.getLong(2) == 1234L)
     assert(row.getString(3) == "2003-02-18")
   }
+
+  test("text source round-trip (raw filing pages as lines)") {
+    val sp = spark
+    import sp.implicits._
+    val out = tmp("text") + "/pages"
+    val lines = Seq("ASSETS 100", "CASH 40", "LIABILITIES 60").toDF("value")
+    lines.coalesce(1).write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+    assert(back.as[String].collect().toSet ==
+      Set("ASSETS 100", "CASH 40", "LIABILITIES 60"))
+  }
+
+  test("binaryFile source reads filing blobs with path/length metadata") {
+    // the multimodal ingest path: PDFs/PNGs land as opaque blobs; the
+    // binaryFile source exposes (path, modificationTime, length, content)
+    // and pushes a pathGlobFilter down to the file listing.
+    val dir = tmp("bin")
+    val payloads = Map("a.pdf" -> "fake-pdf-bytes", "b.pdf" -> "more-bytes",
+      "skip.txt" -> "not-a-pdf")
+    payloads.foreach { case (name, s) =>
+      Files.write(java.nio.file.Paths.get(s"$dir/$name"), s.getBytes("UTF-8"))
+    }
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf").load(dir)
+    val got = blobs.collect().map { r =>
+      val path = r.getString(r.fieldIndex("path"))
+      val content = r.getAs[Array[Byte]]("content")
+      path.split('/').last -> new String(content, "UTF-8")
+    }.toMap
+    assert(got == payloads.view.filterKeys(_.endsWith(".pdf")).toMap)
+    val lengths = blobs.select(col("length")).collect().map(_.getLong(0)).sorted
+    assert(lengths.toSeq == Seq("more-bytes".length.toLong, "fake-pdf-bytes".length.toLong).sorted)
+  }
 }

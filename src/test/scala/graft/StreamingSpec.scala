@@ -52,6 +52,35 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("stream-static broadcast join enriches events without dropping facts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val input = stream.toDF().toDF("ts", "user_id", "value")
+
+    val query = EventStream.enrichWithDim(input, dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 10.0),
+        (Timestamp.valueOf("2024-01-01 00:06:00"), 2L, 20.0),
+        (Timestamp.valueOf("2024-01-01 00:07:00"), 99L, 30.0))) // no dim row
+      query.processAllAvailable()
+      val got = sp.sql("SELECT user_id, value, tier FROM enriched_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+        .toSet
+      assert(got == Set(
+        (1L, 10.0, Some("gold")),
+        (2L, 20.0, Some("basic")),
+        (99L, 30.0, None)))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window signups") {
     val sp = spark
     import sp.implicits._
