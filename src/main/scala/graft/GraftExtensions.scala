@@ -13,6 +13,12 @@ import graft.functions.{RollingHashExpr, RollingHashRevExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (logical node ->
+    // strategy -> sort-merge physical plan), graft.plans.AsOfJoin
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // governance: strip BROADCAST hints from join sides whose size
+    // estimate exceeds spark.graft.broadcastGuard.maxBytes
+    ext.injectOptimizerRule(session => graft.plans.BroadcastGuard(session))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),

@@ -1071,6 +1071,27 @@ object Relational {
       | FROM (SELECT p_brand, p_type, COUNT(*) AS cnt FROM part GROUP BY 1, 2))
       |WHERE rn = 1 ORDER BY p_brand""".stripMargin
 
+  // R11 (native form): the same as-of semantics as q10, but through the
+  // custom AsOfJoin plan (graft.plans: LogicalPlan + Strategy + sort-merge
+  // SparkPlan injected via SparkSessionExtensions) instead of the
+  // window-over-union composition. Shares q10's oracle SQL — two
+  // implementations, one ground truth.
+  def q78AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsOf.join(
+        purchases, signups,
+        on = Seq("user_id" -> "user_id"),
+        time = "ts" -> "ts",
+        seq = "event_id" -> "event_id",
+        values = Seq("ts" -> "last_signup_ts"))
+      .select("event_id", "user_id", "ts", "last_signup_ts")
+      .orderBy("event_id")
+  }
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

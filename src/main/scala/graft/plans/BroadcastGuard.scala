@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer extension point (SURVEY.md §3, ladder step c):
+  * a governance rule for 100 TB operation. A stray `broadcast(factTable)`
+  * hint is one of the fastest ways to take down a cluster — the driver
+  * collects the whole side, then ships it to every executor. Spark honors
+  * the hint regardless of size (hints win over
+  * spark.sql.autoBroadcastJoinThreshold by design), so the guard strips
+  * BROADCAST hints from join sides whose optimizer size estimate exceeds
+  * `spark.graft.broadcastGuard.maxBytes` (default 1 GiB; -1 disables).
+  * The join then falls back to Spark's normal strategy selection
+  * (sort-merge / shuffled-hash), and correctly-sized dim broadcasts pass
+  * through untouched.
+  *
+  * Runs in the user-provided optimizer batch — after
+  * EliminateResolvedHint has folded hints into Join.hint, before
+  * JoinSelection reads them.
+  */
+case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def maxBytes: Long =
+    spark.conf.get("spark.graft.broadcastGuard.maxBytes", (1L << 30).toString).toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val limit = maxBytes
+    if (limit < 0) return plan
+    plan.transformUp {
+      case j @ Join(l, r, _, _, hint)
+          if tooBig(hint.leftHint, l, limit) || tooBig(hint.rightHint, r, limit) =>
+        val newHint = JoinHint(
+          strip(hint.leftHint, l, limit), strip(hint.rightHint, r, limit))
+        logWarning(s"BroadcastGuard: stripped BROADCAST hint from join side " +
+          s"larger than $limit bytes " +
+          s"(left=${l.stats.sizeInBytes}, right=${r.stats.sizeInBytes})")
+        j.copy(hint = newHint)
+    }
+  }
+
+  private def tooBig(h: Option[HintInfo], side: LogicalPlan, limit: Long): Boolean =
+    h.exists(_.strategy.contains(BROADCAST)) && side.stats.sizeInBytes > limit
+
+  private def strip(h: Option[HintInfo], side: LogicalPlan, limit: Long): Option[HintInfo] =
+    if (tooBig(h, side, limit)) {
+      val cleaned = h.get.copy(strategy = None)
+      if (cleaned == HintInfo()) None else Some(cleaned)
+    } else h
+}
