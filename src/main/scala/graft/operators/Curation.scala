@@ -90,6 +90,44 @@ object Curation {
        | LEFT JOIN qual q ON b.doc_id = q.doc_id) b
        |ORDER BY doc_id""".stripMargin
 
+  // T24: token-budget shard packing — assign documents to fixed-budget
+  // training shards (2048 tokens) by greedy sequential packing in a
+  // deterministic order. Pure integer arithmetic: exclusive running token
+  // sum per source, integer-divided by the budget. The window is keyed by
+  // source — the per-key cumsum is the textbook two-phase prefix sum on a
+  // cluster, never a global single-partition window.
+  def q80ShardPack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val d = Tables.documents(s, dir)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
+  val q80Sql: String =
+    """SELECT source, shard, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+      | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      | SELECT source, doc_id, n_tok,
+      |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
+      | FROM (
+      |  SELECT source, doc_id,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents))
+      |GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
   // T23: corpus mixing weights — temperature-style sampling shares per
   // (source, lang) stratum: weight ∝ sqrt(token count) (alpha = 0.5
   // upsamples low-resource strata, the multilingual-mixing standard).

@@ -1092,6 +1092,41 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // R37: the SQL front door — the same engine surface through raw SQL
+  // text over registered temp views (what a reference user's ad-hoc
+  // queries look like). The plan Catalyst produces from this text is the
+  // same one the DataFrame API yields: one scan per table, dims
+  // broadcast, decimal-exact aggregation. Shipping-priority (TPC-H Q3)
+  // shape.
+  def q79SqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |   (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        | JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """SELECT o_orderkey,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |   (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DOUBLE) AS revenue,
+      | o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

@@ -109,6 +109,27 @@ class Round4OpsSpec extends GraftSpec {
     }
   }
 
+  test("q80 shard packing conserves tokens over consecutive contiguous shards") {
+    val rows = Curation.q80ShardPack(spark, sfDir).collect()
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(3)).sum == totalTokens)
+    rows.groupBy(_.getString(0)).foreach { case (_, shards) =>
+      val sorted = shards.sortBy(_.getLong(1))
+      // shard ids are 0..n consecutive
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      // doc ranges are contiguous and non-overlapping in order
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4), s"$a / $b")
+        case _ => ()
+      }
+      // greedy budget: every shard but the last begins before its
+      // predecessor's cumulative total crossed the NEXT boundary, so no
+      // shard except possibly the last can be empty
+      assert(sorted.forall(_.getLong(2) > 0))
+    }
+  }
+
   test("q77 mixing weights: shares sum to 1, sqrt-boost favors small strata") {
     val out = Curation.q77MixWeights(spark, sfDir).collect()
     val wSum = out.map(_.getDouble(4)).sum
