@@ -34,7 +34,11 @@ object Bench {
       }
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"$v%.3f" uses the JVM default locale and would emit
+    // comma decimals (invalid JSON) on e.g. de_DE JVMs
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailLine =

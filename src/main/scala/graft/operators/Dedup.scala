@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -414,12 +415,18 @@ object Dedup {
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"),
           (col("pidx") * P + 1).cast(IntegerType), lit(P)), " ")).as("h"))
-    val occ = passages.groupBy("h").agg(count(lit(1)).as("occ"))
-    passages.join(occ, "h")
+    // single lineage: pre-aggregate to per-(doc, hash) counts, then attach
+    // the corpus-wide occurrence count with a WINDOW over the hash instead
+    // of a count-table self-join — the corpus explode is computed exactly
+    // once (the join form re-evaluated it per consumer: AQE would not
+    // reuse the exchange because each branch prunes different columns)
+    val perDoc = passages.groupBy("doc_id", "h").agg(count(lit(1)).as("k"))
+    perDoc
+      .withColumn("occ", sum(col("k")).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_passages"),
-        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+        sum(col("k")).as("n_passages"),
+        sum(when(col("occ") > 1, col("k")).otherwise(0L)).as("n_dup_passages"))
       .withColumn("dup_frac",
         round(col("n_dup_passages").cast(DoubleType) / col("n_passages"), 6))
       .orderBy("doc_id")

@@ -294,9 +294,15 @@ object TextOps {
       .select(col("doc_id"), col("i"),
         element_at(col("toks"), col("i") + 1).as("w1"),
         element_at(col("toks"), col("i") + 2).as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // single lineage: both corpus counts attach as WINDOW counts over the
+    // bigram occurrences themselves (count over (w1,w2) = c2, count over
+    // (w1) = c1) — the corpus explode runs exactly once and there are no
+    // count-table joins; the count-table + join form re-evaluated the
+    // explode once per consumer (AQE exchange reuse does not fire across
+    // the differently-pruned branches)
+    val scored = bi
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("w1")))
       .select(col("doc_id"), col("i"),
         (col("c2").cast(DoubleType) / col("c1")).as("p"))
     scored.groupBy("doc_id")

@@ -8,9 +8,12 @@ import graft.Tables
 
 /** Per-key one-row summary of one side of the reconciliation. Amounts are
   * finalized (decimal-exact sum, rounded, cast) BEFORE the typed merge so
-  * the cogroup never folds raw doubles in iterator order.
+  * the cogroup never folds raw doubles in iterator order. `amt` is an
+  * Option: sum() over an all-NULL group is NULL, and a non-nullable
+  * Double field would make the Dataset decoder throw on such a group
+  * (the q64 encoder lesson).
   */
-case class SideAgg(key: Long, n: Long, amt: Double)
+case class SideAgg(key: Long, n: Long, amt: Option[Double])
 
 /** Reconciliation verdict for one key across the two sources. */
 case class Recon(
@@ -60,8 +63,8 @@ object TypedOps {
           k,
           e.map(_.n).getOrElse(0L),
           o.map(_.n).getOrElse(0L),
-          e.map(_.amt),
-          o.map(_.amt),
+          e.flatMap(_.amt),
+          o.flatMap(_.amt),
           status))
       }
       .toDF()

@@ -180,6 +180,16 @@ object AsOf {
     def rAttr(n: String): Attribute =
       rByName.getOrElse(n,
         throw new IllegalArgumentException(s"right column $n not found"))
+    // fail fast on type disagreement: the physical comparators are built
+    // from LEFT-side types and read right-side rows with the same
+    // accessors — mismatched widths would compare garbage, not error
+    (on.map(p => (p, lAttr(p._1).dataType, rAttr(p._2).dataType)) :+
+      ((time, lAttr(time._1).dataType, rAttr(time._2).dataType)) :+
+      ((seq, lAttr(seq._1).dataType, rAttr(seq._2).dataType)))
+      .foreach { case ((ln, rn), lt, rt) =>
+        require(lt == rt,
+          s"as-of column type mismatch: left $ln: $lt vs right $rn: $rt")
+      }
     val valueAttrs = values.map { case (rn, outName) =>
       val a = rAttr(rn)
       AttributeReference(outName, a.dataType, nullable = true)()
