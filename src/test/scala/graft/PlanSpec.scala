@@ -104,4 +104,42 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("SortMergeJoin") ||
       p.indexOf("Generate explode") < p.indexOf("SortMergeJoin"), p)
   }
+
+  test("q75/q76 scan the corpus exactly once (window form, no count-table join)") {
+    for (df <- Seq(Dedup.q75PassageDedup(spark, sfDir),
+        operators.TextOps.q76BigramLm(spark, sfDir))) {
+      val p = planOf(df)
+      assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+      assert("Generate explode".r.findAllIn(p).size == 1, p)
+      assert(!p.contains("Join"), p)
+    }
+  }
+
+  test("q71 islands windows are user-keyed, never a global single partition") {
+    val p = planOf(Relational.q71GapsIslands(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q72 range frame runs on one customer-keyed exchange") {
+    val p = planOf(Relational.q72RangeFrame(spark, sfDir))
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q79 SQL front door pushes the segment filter into the customer scan") {
+    val df = Relational.q79SqlFrontend(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    // final top-100 is TakeOrdered, not a global sort
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q80 shard packing prunes the document scan to (source, doc_id, text)") {
+    val p = planOf(operators.Curation.q80ShardPack(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
