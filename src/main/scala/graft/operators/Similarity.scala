@@ -178,4 +178,48 @@ object Similarity {
        | FROM routed r JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.probe_id)
        |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
+
+  /** SemDeDup cosine threshold (same corpus-calibrated value as q44). */
+  val SemDedupTau = 0.35
+
+  // T25: semantic dedup (SemDeDup, Abbas et al. 2023): within each
+  // embedding cell, a vector is a semantic duplicate if some LOWER-id
+  // vector in the same cell has cosine >= tau; the keeper chain points to
+  // the smallest such id. Pair work is cell-bounded (the SemDeDup point:
+  // clustering first makes near-quadratic dedup tractable); norms are
+  // precomputed per vector (q44 lesson); the verdict re-attaches to the
+  // full table with one keyed left join.
+  def q81SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+      col("nrm").as("a_nrm"), col("label"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
+      col("nrm").as("b_nrm"), col("label"))
+    val dupOf = a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(
+        VectorFunctions.dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")),
+        6) >= SemDedupTau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    Tables.embeddings(s, dir)
+      .join(dupOf, col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"), col("label"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val q81Sql: String = {
+    val dotAB = VectorFunctions.dotSql("a.embedding", "b.embedding")
+    val nrm = VectorFunctions.dotSql("embedding", "embedding")
+    s"""WITH n AS (SELECT vec_id, label, embedding, SQRT($nrm) AS nrm FROM embeddings),
+       |d AS (
+       |  SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ROUND($dotAB / (a.nrm * b.nrm), 6) >= $SemDedupTau
+       |  GROUP BY b.vec_id)
+       |SELECT e.vec_id, e.label, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM embeddings e LEFT JOIN d ON e.vec_id = d.b_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
 }

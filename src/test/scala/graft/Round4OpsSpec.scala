@@ -134,6 +134,20 @@ class Round4OpsSpec extends GraftSpec {
     }
   }
 
+  test("q81 semdedup verdicts agree with the q44 ground-truth pairs") {
+    val verdicts = operators.Similarity.q81SemDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // q44 emits every within-cell pair with cos >= the same tau
+    val pairs = operators.Dedup.q44EmbedDup(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val expectedDupOf = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    verdicts.foreach { case (v, dupOf) =>
+      assert(dupOf == expectedDupOf.get(v), s"vec $v")
+      dupOf.foreach(d => assert(d < v))
+    }
+    assert(expectedDupOf.nonEmpty, "fixture should contain semantic dups")
+  }
+
   test("q77 mixing weights: shares sum to 1, sqrt-boost favors small strata") {
     val out = Curation.q77MixWeights(spark, sfDir).collect()
     val wSum = out.map(_.getDouble(4)).sum

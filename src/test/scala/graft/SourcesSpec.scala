@@ -130,4 +130,34 @@ class SourcesSpec extends GraftSpec {
     val lengths = blobs.select(col("length")).collect().map(_.getLong(0)).sorted
     assert(lengths.toSeq == Seq("more-bytes".length.toLong, "fake-pdf-bytes".length.toLong).sorted)
   }
+
+  test("file-stream source picks up landing parquet files incrementally") {
+    // production shape: filings land as parquet files in a directory;
+    // readStream tails it with exactly-once file tracking (checkpointed
+    // file log), the streaming twin of the batch Tables loaders
+    val sp = spark
+    import sp.implicits._
+    val landing = tmp("landing") + "/in"
+    val ckpt = tmp("landing_ckpt")
+    val schema = new StructType()
+      .add("id", LongType).add("name", StringType)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    assert(stream.isStreaming)
+    val query = stream.writeStream.format("memory").queryName("landed")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(sp.sql("SELECT count(*) FROM landed").head().getLong(0) == 2L)
+      // second file lands later; only the delta is processed
+      Seq((3L, "c")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(landing)
+      query.processAllAvailable()
+      val got = sp.sql("SELECT id, name FROM landed").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally query.stop()
+  }
 }
