@@ -401,4 +401,35 @@ object Edgar {
        | regexp_extract(r, '$pat', 3) AS status
        |FROM cells ORDER BY o_orderkey""".stripMargin
   }
+
+  // E21: incremental run planning — the reference's rerun_job skip logic
+  // (run_file_extraction.py:52-210 gates every stage on "output already in
+  // s3": registry, fetched PDFs, sliced pages, OCR blocks). In an engine
+  // this is one LEFT ANTI join of the work registry against the processed
+  // log, plus a per-stage audit count; exactly-once file tracking on the
+  // streaming path is the same idea (SourcesSpec S12). The processed log
+  // here is the deterministic md5-gate subset (q18's sample), so the
+  // result is reproducible across engines.
+  def q82IncrementalSkip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val processed = o
+      .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 2) < "0d")
+      .select(col("o_orderkey").as("done_key"))
+    val todo = o.join(processed, col("o_orderkey") === col("done_key"), "left_anti")
+    todo.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_todo"),
+        min("o_orderkey").as("first_key"),
+        max("o_orderkey").as("last_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q82Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_todo,
+      | MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+      |FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }
