@@ -1127,6 +1127,62 @@ object Relational {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // R39: distribution window functions — percent_rank and cume_dist over
+  // a TOTAL order (totalprice, orderkey). Both are exact rationals
+  // ((rank-1)/(n-1), peers/n) evaluated identically by any engine; the
+  // window is keyed by priority, never global.
+  def q83WindowDist(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val q83Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      | ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // R40: collection higher-order functions — per-order quantity vector
+  // built as an ORDERED array, then filtered/indexed/folded in-row
+  // (array_sort + filter + element_at + aggregate). The array never
+  // leaves the row: output is scalar, so the shuffle carries no payload
+  // beyond the aggregate itself.
+  def q84ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(dmoney(col("l_quantity")))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast(LongType).as("n_items"),
+        element_at(col("qtys"), 1).cast(DoubleType).as("min_qty"),
+        element_at(col("qtys"), -1).cast(DoubleType).as("max_qty"),
+        size(filter(col("qtys"), q => q > lit(25))).cast(LongType).as("n_big"),
+        aggregate(col("qtys"), lit(BigDecimal(0)).cast(DecimalType(25, 4)),
+          // pin the accumulator type: decimal + widens per step otherwise
+          (acc, q) => (acc + q).cast(DecimalType(25, 4))).cast(DoubleType).as("qty_sum"))
+      .orderBy("l_orderkey")
+  }
+
+  val q84Sql: String =
+    """SELECT l_orderkey,
+      | len(qtys) AS n_items,
+      | CAST(qtys[1] AS DOUBLE) AS min_qty,
+      | CAST(qtys[-1] AS DOUBLE) AS max_qty,
+      | CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_big,
+      | CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(25,4)), qtys),
+      |   (acc, q) -> acc + q) AS DOUBLE) AS qty_sum
+      |FROM (
+      | SELECT l_orderkey,
+      |  list(CAST(l_quantity AS DECIMAL(12,4)) ORDER BY CAST(l_quantity AS DECIMAL(12,4))) AS qtys
+      | FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch
