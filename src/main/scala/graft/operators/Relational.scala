@@ -1183,6 +1183,61 @@ object Relational {
       | FROM lineitem GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
 
+  // R41: GROUPING SETS — arbitrary grouping-set lattices beyond
+  // rollup/cube (here: by-status, by-priority, and grand total in ONE
+  // pass over the fact table; Spark plans a single Expand + aggregate).
+  // SQL front-door form (the DataFrame API exposes only rollup/cube).
+  def q85GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val q85Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      | COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  // R42: null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
+  // match each other instead of vanishing, the semantics reconciliation
+  // and SCD merges need when the business key is nullable. NULL keys are
+  // synthesized from the corpus ('F' status → NULL) so both engines see
+  // the same nullable domain.
+  def q86NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val keyed = o.select(nullif(col("o_orderstatus"), lit("F")).as("k"), col("o_totalprice"))
+    val left = keyed.groupBy("k").agg(count(lit(1)).as("n_left"))
+    val right = keyed.groupBy(col("k").as("rk"))
+      .agg(out2(sum(dmoney(col("o_totalprice")))).as("total_right"))
+    left.join(right, col("k") <=> col("rk"))
+      .select(col("k"), col("n_left"), col("total_right"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  val q86Sql: String =
+    """SELECT l.k, l.n_left, r.total_right
+      |FROM (
+      | SELECT NULLIF(o_orderstatus, 'F') AS k, COUNT(*) AS n_left
+      | FROM orders GROUP BY 1) l
+      |JOIN (
+      | SELECT NULLIF(o_orderstatus, 'F') AS k,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_right
+      | FROM orders GROUP BY 1) r
+      |ON l.k IS NOT DISTINCT FROM r.k
+      |ORDER BY l.k NULLS FIRST""".stripMargin
+
   // R14: approximate aggregates — HLL++ sketch vs exact, per source.
   // Rows-only (DuckDB's approx sketch differs); the exact twin columns
   // are oracle-covered inside q04 (count distinct). At 100 TB the sketch

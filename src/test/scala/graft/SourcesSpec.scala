@@ -131,6 +131,38 @@ class SourcesSpec extends GraftSpec {
     assert(lengths.toSeq == Seq("more-bytes".length.toLong, "fake-pdf-bytes".length.toLong).sorted)
   }
 
+  test("malformed JSON records are quarantined, not dropped or fatal") {
+    // production ingest: a bad filing record must neither kill the job
+    // (FAILFAST) nor silently vanish — PERMISSIVE mode + a corrupt-record
+    // column keeps the row with its raw text for quarantine routing
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("json") + "/in"
+    Seq(
+      """{"cik": 1234, "name": "ALPHA BROKER"}""",
+      """{"cik": "not-a-number", "name": "BETA"}""",
+      """this is not json at all""",
+      """{"cik": 99, "name": "GAMMA"}"""
+    ).toDF("value").coalesce(1).write.text(dir)
+    val schema = new StructType()
+      .add("cik", LongType).add("name", StringType)
+      .add("_bad", StringType)
+    // cache: Spark disallows queries that touch ONLY the corrupt-record
+    // column against raw JSON — materialize the parse once first
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(dir)
+      .cache()
+    parsed.count()
+    val good = parsed.filter(col("_bad").isNull)
+    val bad = parsed.filter(col("_bad").isNotNull)
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.select("cik").as[Long].collect().toSet == Set(1234L, 99L))
+    // the quarantine lane preserves the raw text for replay
+    assert(bad.select("_bad").as[String].collect().forall(_.nonEmpty))
+  }
+
   test("file-stream source picks up landing parquet files incrementally") {
     // production shape: filings land as parquet files in a directory;
     // readStream tails it with exactly-once file tracking (checkpointed
