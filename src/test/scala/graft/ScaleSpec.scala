@@ -25,6 +25,39 @@ class ScaleSpec extends GraftSpec {
     assert(plain.count() == salted.count()) // same multiset size
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val sp = spark
+    import sp.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffled join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one white-hot key among 100 cold ones; md5 payload defeats shuffle
+      // compression so the hot partition's bytes actually register
+      val big = sp.range(0, 50000)
+        .select(lit(7L).as("k"), md5(col("id").cast("string")).as("payload"))
+        .union(sp.range(0, 1000).select((col("id") % 100).as("k"),
+          md5(col("id").cast("string")).as("payload")))
+      val dim = sp.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // downstream must not REQUIRE the join's hash partitioning (a keyed
+      // agg on k would make AQE decline the split to avoid a re-shuffle);
+      // a global aggregate only needs partial per-partition work
+      val joined = big.join(dim, Seq("k"))
+        .agg(sum(length(col("payload"))).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected AQE skew handling in:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val sp = spark
     try {
