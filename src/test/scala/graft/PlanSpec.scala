@@ -133,7 +133,8 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
     // final top-100 is TakeOrdered, not a global sort
     df.collect()
-    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"), p)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan)
   }
 
   test("q80 shard packing prunes the document scan to (source, doc_id, text)") {
