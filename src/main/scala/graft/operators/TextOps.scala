@@ -54,18 +54,34 @@ object TextOps {
   // word length → equal-weight composite. Each term is rounded BEFORE the
   // 0.25-weighted sum (0.25 is a power of two → exact), so Spark and
   // DuckDB agree bitwise.
-  def q48QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val nTok = size(split(col("text"), " "))
-    val nChar = length(col("text"))
-    val punct = nChar - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+  /** The four q48 quality terms over any text column — reusable by the
+    * batch query and the streaming curation pipeline (same expression
+    * tree, same determinism discipline).
+    */
+  def qualityTerms(text: Column): (Column, Column, Column, Column) = {
+    val nTok = size(split(text, " "))
+    val nChar = length(text)
+    val punct = nChar - length(regexp_replace(text, "[^a-z0-9 ]", ""))
     val lenTerm = round(least(nTok.cast(DoubleType) / 100.0, lit(1.0)), 6)
     val punctTerm = round(lit(1.0) - punct.cast(DoubleType) / nChar.cast(DoubleType), 6)
     val stopTerm = round(least(
-      TextFunctions.stopwordHits(col("text"), "en").cast(DoubleType) * 10.0 / nTok.cast(DoubleType),
+      TextFunctions.stopwordHits(text, "en").cast(DoubleType) * 10.0 / nTok.cast(DoubleType),
       lit(1.0)), 6)
-    val mwl = round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok.cast(DoubleType), 6)
+    val mwl = round(length(regexp_replace(text, " ", "")).cast(DoubleType) / nTok.cast(DoubleType), 6)
     val mwlTerm = round(lit(1.0) - least(abs(mwl - 4.5) / 4.5, lit(1.0)), 6)
+    (lenTerm, punctTerm, stopTerm, mwlTerm)
+  }
+
+  /** Composite quality score in [0, 1] (the q48 formula). */
+  def qualityExpr(text: Column): Column = {
+    val (a, b, c, d) = qualityTerms(text)
+    round(a + b + c + d, 6) / 4
+  }
+
+  def q48QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nTok = size(split(col("text"), " "))
+    val (lenTerm, punctTerm, stopTerm, mwlTerm) = qualityTerms(col("text"))
     d.select(col("doc_id"),
         nTok.cast(LongType).as("n_tokens"),
         lenTerm.as("len_term"), punctTerm.as("punct_term"),

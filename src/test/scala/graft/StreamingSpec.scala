@@ -81,6 +81,36 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming doc curation dedups re-deliveries and gates on quality") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val goodText = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home with a friend to rest for the evening meal"
+    val junkText = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$"
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val input = stream.toDF().toDF("ts", "doc_id", "text")
+
+    val query = streaming.DocStream.curate(input)
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, goodText),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, goodText), // dup content
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 3L, junkText)))
+      query.processAllAvailable()
+      val rows = sp.sql("SELECT doc_id, quality, keep FROM curated_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      // doc 2 (same content hash) was dropped by the watermarked dedup
+      assert(rows.map(_._1).toSet == Set(1L, 3L), rows.mkString(", "))
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(1L)._3, s"good doc must pass the gate: ${byId(1L)}")
+      assert(!byId(3L)._3, s"junk doc must be gated out: ${byId(3L)}")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window signups") {
     val sp = spark
     import sp.implicits._
