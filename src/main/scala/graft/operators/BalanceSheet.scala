@@ -113,4 +113,53 @@ object BalanceSheet {
       | FROM lineitem GROUP BY l_orderkey) r
       |ON o_orderkey = r.l_orderkey
       |ORDER BY o_orderkey""".stripMargin
+
+  // E22: balance-sheet ANALYTICS over the constructed database — the
+  // downstream consumer the reference ships as
+  // Structured_assets_liabilities.ipynb: per (entity, year) asset and
+  // liability totals, the leverage ratio, and the year-over-year asset
+  // growth time series. Conditional decimal aggregates + one entity-keyed
+  // lag window; ratios are single IEEE divisions on decimal-exact sums.
+  def q87BsAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val yearly = o
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", dmoney(col("o_totalprice")))).as("assets_dec"),
+        sum(when(col("o_orderstatus") === "F", dmoney(col("o_totalprice")))).as("liab_dec"))
+    val w = Window.partitionBy("o_custkey").orderBy("yr")
+    yearly
+      .withColumn("prev_assets_dec", lag("assets_dec", 1).over(w))
+      .select(
+        col("o_custkey"), col("yr").cast(LongType).as("yr"),
+        out2(col("assets_dec")).as("assets"),
+        out2(col("liab_dec")).as("liabilities"),
+        when(col("assets_dec").isNotNull && col("liab_dec").isNotNull,
+          round(col("liab_dec").cast(DoubleType) / col("assets_dec").cast(DoubleType), 6))
+          .as("leverage"),
+        when(col("prev_assets_dec").isNotNull && col("assets_dec").isNotNull,
+          round((col("assets_dec") - col("prev_assets_dec")).cast(DoubleType) /
+            col("prev_assets_dec").cast(DoubleType), 6))
+          .as("yoy_asset_growth"))
+      .orderBy("o_custkey", "yr")
+  }
+
+  val q87Sql: String =
+    """SELECT o_custkey, yr,
+      | CAST(ROUND(assets_dec, 2) AS DOUBLE) AS assets,
+      | CAST(ROUND(liab_dec, 2) AS DOUBLE) AS liabilities,
+      | CASE WHEN assets_dec IS NOT NULL AND liab_dec IS NOT NULL THEN
+      |  ROUND(CAST(liab_dec AS DOUBLE) / CAST(assets_dec AS DOUBLE), 6) END AS leverage,
+      | CASE WHEN prev_assets_dec IS NOT NULL AND assets_dec IS NOT NULL THEN
+      |  ROUND(CAST(assets_dec - prev_assets_dec AS DOUBLE) / CAST(prev_assets_dec AS DOUBLE), 6)
+      | END AS yoy_asset_growth
+      |FROM (
+      | SELECT o_custkey, yr, assets_dec, liab_dec,
+      |  LAG(assets_dec, 1) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_assets_dec
+      | FROM (
+      |  SELECT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |   SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS assets_dec,
+      |   SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS liab_dec
+      |  FROM orders GROUP BY 1, 2))
+      |ORDER BY o_custkey, yr""".stripMargin
 }
