@@ -39,16 +39,19 @@ object Curation {
     // agg over only the flagged ids), then a single keyed left join
     // against the fact side; the optimizer broadcasts it when genuinely
     // small and shuffles otherwise. Precedence rides in the min(pri).
-    val flags = Dedup.q55DupClusters(s, dir)
+    // compose from the UNORDERED forms — the q-queries' final ORDER BYs
+    // are presentation-only and would cost a global range exchange each
+    // inside this plan (q55's even executes through its checkpoint)
+    val flags = Dedup.dupClusters(s, dir)
       .filter(!col("is_keeper"))
       .select(col("doc_id"), lit(2).as("pri"))
-      .union(Dedup.q56Decontaminate(s, dir)
+      .union(Dedup.contaminationHits(s, dir)
         .select(col("doc_id"), lit(3).as("pri")))
-      .union(TextOps.q57Repetition(s, dir)
+      .union(TextOps.repetitionScores(s, dir)
         .filter(col("is_repetitive"))
         .select(col("doc_id"), lit(4).as("pri")))
       .groupBy("doc_id").agg(min(col("pri")).as("flag_pri"))
-    val quality = TextOps.q48QualityScore(s, dir).select("doc_id", "quality")
+    val quality = TextOps.qualityScores(s, dir).select("doc_id", "quality")
 
     base
       .join(flags, Seq("doc_id"), "left_outer")

@@ -47,7 +47,11 @@ object Dedup {
   // space, so Jaccard stays well-defined and the DuckDB oracle agrees.
   val MaxShingleDf = 100
 
-  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q41 pair set — compose from THIS (q55/q58 do), not from
+    * q41NgramJaccard: the final ORDER BY exists only for presentation and
+    * would cost a global range exchange inside a composition.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // ONE keyed shuffle: explode → groupBy(shingle) with collect_set —
     // the set dedupes (doc, shingle) repeats map-side AND gives the
@@ -78,8 +82,10 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")).cast(DoubleType), 4))
       .filter(col("jaccard") >= 0.8)
       .select(col("d1"), col("d2"), col("n_inter"), col("n1"), col("n2"), col("jaccard"))
-      .orderBy("d1", "d2")
   }
+
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("d1", "d2")
 
   val q41Sql: String = {
     val sh3 = TextFunctions.shinglesSql3("text")
@@ -244,9 +250,12 @@ object Dedup {
       (col("doc_id") === col("label")).as("is_keeper"))
   }
 
+  /** Unordered q55 verdicts — the composition form (q58 uses it). */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    resolveClusters(jaccardPairs(s, dir).select("d1", "d2"))
+
   def q55DupClusters(s: SparkSession, dir: String): DataFrame =
-    resolveClusters(q41NgramJaccard(s, dir).select("d1", "d2"))
-      .orderBy("cluster_id", "doc_id")
+    dupClusters(s, dir).orderBy("cluster_id", "doc_id")
 
   val q55Sql: String =
     s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($q41Sql)),
@@ -270,7 +279,8 @@ object Dedup {
   // tiny → broadcast; cost is one scan of the training side.
   val MinContamShingles = 3
 
-  def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q56 hits — the composition form (q58 uses it). */
+  def contaminationHits(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // hashed 64-bit shingle ids (no 5-gram string materialization) — the
     // shared-shingle counts are unchanged up to a ~2^-65 collision, same
@@ -287,8 +297,10 @@ object Dedup {
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinContamShingles)
-      .orderBy("doc_id", "eval_id")
   }
+
+  def q56Decontaminate(s: SparkSession, dir: String): DataFrame =
+    contaminationHits(s, dir).orderBy("doc_id", "eval_id")
 
   val q56Sql: String = {
     val sh5 = "list_transform(range(1, len(string_split(text, ' ')) - 3), " +

@@ -78,7 +78,8 @@ object TextOps {
     round(a + b + c + d, 6) / 4
   }
 
-  def q48QualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q48 scores — the composition form (q58 uses it). */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val nTok = size(split(col("text"), " "))
     val (lenTerm, punctTerm, stopTerm, mwlTerm) = qualityTerms(col("text"))
@@ -92,8 +93,10 @@ object TextOps {
       .withColumn("quality",
         round(col("len_term") + col("punct_term") +
           col("stop_term") + col("mwl_term"), 6) / 4)
-      .orderBy("doc_id")
   }
+
+  def q48QualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScores(s, dir).orderBy("doc_id")
 
   val q48Sql: String = {
     val nTok = "len(string_split(text, ' '))"
@@ -220,7 +223,8 @@ object TextOps {
   // most frequent 2-gram. High values mark templated/boilerplate text
   // that quality-filters drop before training. One explode + two keyed
   // aggregations; fully parallel by doc_id.
-  def q57Repetition(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q57 scores — the composition form (q58 uses it). */
+  def repetitionScores(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val grams = d
       .withColumn("toks", split(col("text"), " "))
@@ -232,8 +236,10 @@ object TextOps {
       .withColumn("top_gram_frac",
         round(col("top_gram_n").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
       .withColumn("is_repetitive", col("top_gram_frac") > 0.2)
-      .orderBy("doc_id")
   }
+
+  def q57Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionScores(s, dir).orderBy("doc_id")
 
   val q57Sql: String = {
     val g2 = "list_transform(range(1, len(string_split(text, ' '))), " +
