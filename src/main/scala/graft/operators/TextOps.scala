@@ -63,7 +63,11 @@ object TextOps {
     val nChar = length(text)
     val punct = nChar - length(regexp_replace(text, "[^a-z0-9 ]", ""))
     val lenTerm = round(least(nTok.cast(DoubleType) / 100.0, lit(1.0)), 6)
-    val punctTerm = round(lit(1.0) - punct.cast(DoubleType) / nChar.cast(DoubleType), 6)
+    // empty text: define "no punctuation" = perfect term, rather than a
+    // 0/0 division (ANSI mode makes that a runtime ERROR, not a NULL —
+    // an empty doc would kill a whole streaming query otherwise)
+    val punctTerm = when(nChar === 0, lit(1.0))
+      .otherwise(round(lit(1.0) - punct.cast(DoubleType) / nChar.cast(DoubleType), 6))
     val stopTerm = round(least(
       TextFunctions.stopwordHits(text, "en").cast(DoubleType) * 10.0 / nTok.cast(DoubleType),
       lit(1.0)), 6)
@@ -107,7 +111,8 @@ object TextOps {
        |FROM (
        | SELECT doc_id, $nTok AS n_tokens,
        |  ROUND(LEAST(CAST($nTok AS DOUBLE) / 100.0, 1.0), 6) AS len_term,
-       |  ROUND(1.0 - CAST($punct AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_term,
+       |  CASE WHEN LENGTH(text) = 0 THEN 1.0
+       |   ELSE ROUND(1.0 - CAST($punct AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) END AS punct_term,
        |  ROUND(LEAST(CAST($stopHits AS DOUBLE) * 10.0 / CAST($nTok AS DOUBLE), 1.0), 6) AS stop_term,
        |  ROUND(1.0 - LEAST(ABS(ROUND(CAST(LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE) / CAST($nTok AS DOUBLE), 6) - 4.5) / 4.5, 1.0), 6) AS mwl_term
        | FROM documents)

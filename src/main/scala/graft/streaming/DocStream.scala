@@ -26,6 +26,9 @@ object DocStream {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
       .withColumn("quality", TextOps.qualityExpr(col("text")))
-      .withColumn("keep", col("quality") >= minQuality)
+      // quality is NULL for zero-char docs (0/0 division); mirror the
+      // batch q58 rule — an unscorable doc is KEPT, never a NULL verdict
+      // that filter(keep) and filter(!keep) would both silently drop
+      .withColumn("keep", col("quality").isNull || col("quality") >= minQuality)
       .select("ts", "doc_id", "content_hash", "quality", "keep")
 }

@@ -99,15 +99,21 @@ class StreamingSpec extends GraftSpec {
       stream.addData(Seq(
         (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, goodText),
         (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, goodText), // dup content
-        (Timestamp.valueOf("2024-01-01 00:10:00"), 3L, junkText)))
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 3L, junkText),
+        (Timestamp.valueOf("2024-01-01 00:15:00"), 4L, ""))) // unscorable
       query.processAllAvailable()
-      val rows = sp.sql("SELECT doc_id, quality, keep FROM curated_out").collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      val rows = sp.sql("SELECT doc_id, keep FROM curated_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
       // doc 2 (same content hash) was dropped by the watermarked dedup
-      assert(rows.map(_._1).toSet == Set(1L, 3L), rows.mkString(", "))
-      val byId = rows.map(r => r._1 -> r).toMap
-      assert(byId(1L)._3, s"good doc must pass the gate: ${byId(1L)}")
-      assert(!byId(3L)._3, s"junk doc must be gated out: ${byId(3L)}")
+      assert(rows.map(_._1).toSet == Set(1L, 3L, 4L), rows.mkString(", "))
+      val byId = rows.toMap
+      assert(byId(1L), "good doc must pass the gate")
+      assert(!byId(3L), "junk doc must be gated out")
+      // zero-char doc: must get a CONCRETE verdict (ANSI 0/0 would have
+      // killed the whole query; the guarded punct term scores it 0.2525,
+      // below the gate) — the regression this case pins is "empty doc
+      // neither crashes the stream nor yields a NULL verdict"
+      assert(!byId(4L), "empty doc must be concretely gated out")
     } finally query.stop()
   }
 
