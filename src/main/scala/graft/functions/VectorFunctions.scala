@@ -25,14 +25,23 @@ object VectorFunctions {
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity, rounded for cross-engine comparison. */
-  def cosine(a: Column, b: Column, scale: Int = 6): Column =
-    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), scale)
+  /** Cosine similarity, rounded for cross-engine comparison. NULL when
+    * either vector has zero norm: cosine is undefined there, and under
+    * ANSI mode (Spark 4 default) the raw 0-division would be a runtime
+    * ERROR that kills the whole job, not a NULL.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+    val n2a = norm2(a)
+    val n2b = norm2(b)
+    when(n2a === 0.0 || n2b === 0.0, lit(null).cast("double"))
+      .otherwise(round(dot(a, b) / (sqrt(n2a) * sqrt(n2b)), scale))
+  }
 
   /** DuckDB twins (same sequential fold). */
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   def cosineSql(a: String, b: String, scale: Int = 6): String =
-    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), $scale)"
+    s"""CASE WHEN ${dotSql(a, a)} = 0.0 OR ${dotSql(b, b)} = 0.0 THEN NULL
+       | ELSE ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), $scale) END""".stripMargin
 }

@@ -329,8 +329,11 @@ object Dedup {
   // (dot / (sqrt(n1)*sqrt(n2))) as the oracle, so results stay
   // bit-identical.
   def q44EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    // zero-norm vectors have no defined cosine; filter them (mirrored in
+    // the oracle) rather than hit ANSI's fatal 0-division
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
       col("nrm").as("n1"), col("label"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
@@ -392,8 +395,8 @@ object Dedup {
     s"""SELECT label, v1, v2, cos FROM (
        | SELECT a.label, a.vec_id, b.vec_id,
        |  ROUND($dot / (a.nrm * b.nrm), 6) AS cos
-       | FROM (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) a
-       | JOIN (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) b
+       | FROM (SELECT * FROM (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) WHERE nrm > 0) a
+       | JOIN (SELECT * FROM (SELECT *, SQRT(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm FROM embeddings) WHERE nrm > 0) b
        |  ON a.label = b.label AND a.vec_id < b.vec_id) AS t(label, v1, v2, cos)
        |WHERE cos >= 0.35
        |ORDER BY v1, v2""".stripMargin

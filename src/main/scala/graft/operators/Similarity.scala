@@ -28,8 +28,11 @@ object Similarity {
   // The probe side is tiny → broadcast; ranking is windowed per probe
   // (high-cardinality partition key at real probe volumes).
   def q45AnnTopk(s: SparkSession, dir: String): DataFrame = {
+    // zero-norm filter mirrored in the oracle — cosine undefined, and
+    // ANSI mode would turn the 0-division into a job-killing error
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
     val probes = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"),
         col("nrm").as("probe_nrm"))
@@ -51,8 +54,8 @@ object Similarity {
        | SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
        |  ROUND($dot / (p.nrm * e.nrm), 6) AS cos,
        |  ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY ROUND($dot / (p.nrm * e.nrm), 6) DESC, e.vec_id) AS rk
-       | FROM (SELECT *, $nrm AS nrm FROM embeddings) p
-       | JOIN (SELECT *, $nrm AS nrm FROM embeddings) e ON e.vec_id <> p.vec_id
+       | FROM (SELECT * FROM (SELECT *, $nrm AS nrm FROM embeddings) WHERE nrm > 0) p
+       | JOIN (SELECT * FROM (SELECT *, $nrm AS nrm FROM embeddings) WHERE nrm > 0) e ON e.vec_id <> p.vec_id
        | WHERE p.vec_id < $NumProbes)
        |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
@@ -74,7 +77,10 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
       .select(col("label").as("cell"),
         transform(col("dims"), d => d.getField("dim_avg").cast(FloatType)).as("centroid"))
-    val probes = e.filter(col("vec_id") < NumProbes)
+    // zero-norm probes/candidates are filtered (mirrored in the oracle):
+    // their cosine is undefined and ANSI 0-division is a fatal error
+    val probes = e.filter(col("vec_id") < NumProbes &&
+        VectorFunctions.norm2(col("embedding")) > 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val wCell = Window.partitionBy("probe_id").orderBy(desc("ccos"), asc("cell"))
     val routed = probes.join(broadcast(cent), lit(true))
@@ -85,6 +91,7 @@ object Similarity {
       .select(col("probe_id"), col("probe_vec"), col("probe_nrm"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))
     e.withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
       .join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
@@ -167,7 +174,8 @@ object Similarity {
        | SELECT probe_id, probe_vec, cell FROM (
        |  SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, c.cell,
        |   ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $ccos DESC, c.cell) AS crk
-       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumProbes) p CROSS JOIN cent c)
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NumProbes
+       |        AND ${VectorFunctions.dotSql("embedding", "embedding")} > 0) p CROSS JOIN cent c)
        | WHERE crk = 1
        |)
        |SELECT probe_id, cell, rk, vec_id, cos FROM (
@@ -175,7 +183,8 @@ object Similarity {
        |  ROUND($dotPE / ($nrmP * $nrmE), 6) AS cos,
        |  ROW_NUMBER() OVER (PARTITION BY r.probe_id
        |    ORDER BY ROUND($dotPE / ($nrmP * $nrmE), 6) DESC, e.vec_id) AS rk
-       | FROM routed r JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.probe_id)
+       | FROM routed r JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.probe_id
+       | WHERE ${VectorFunctions.dotSql("e.embedding", "e.embedding")} > 0)
        |WHERE rk <= $TopK ORDER BY probe_id, rk""".stripMargin
   }
 
@@ -192,6 +201,7 @@ object Similarity {
   def q81SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0) // cosine undefined at zero norm (oracle mirrors)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
       col("nrm").as("a_nrm"), col("label"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
@@ -212,7 +222,8 @@ object Similarity {
   val q81Sql: String = {
     val dotAB = VectorFunctions.dotSql("a.embedding", "b.embedding")
     val nrm = VectorFunctions.dotSql("embedding", "embedding")
-    s"""WITH n AS (SELECT vec_id, label, embedding, SQRT($nrm) AS nrm FROM embeddings),
+    s"""WITH n AS (SELECT vec_id, label, embedding, SQRT($nrm) AS nrm
+       |           FROM embeddings WHERE $nrm > 0),
        |d AS (
        |  SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -134,6 +134,20 @@ class Round4OpsSpec extends GraftSpec {
     }
   }
 
+  test("cosine of a zero-norm vector is NULL, not an ANSI fatal error") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Array(0f, 0f), Array(1f, 2f)),
+      (2L, Array(3f, 4f), Array(1f, 0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("cos"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isEmpty, "zero-norm cosine must be NULL")
+    assert(rows(2L).contains(0.6), s"regular cosine wrong: ${rows(2L)}")
+  }
+
   test("q81 semdedup verdicts agree with the q44 ground-truth pairs") {
     val verdicts = operators.Similarity.q81SemDedup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
