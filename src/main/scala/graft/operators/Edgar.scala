@@ -432,4 +432,94 @@ object Edgar {
       |  SELECT o_orderkey FROM orders
       |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // E23 (FocusReportExtract.py:39-220, XML/SGML side): EDGAR filing
+  // headers and EX-XX attachments are XML/SGML; q34 covers the HTML-table
+  // path, this covers the SCHEMA'D XML path with Spark 4's built-in
+  // from_xml — repeated <order> elements land as an array of structs
+  // (attribute `id` → `_id` field), exploded back to typed rows. The
+  // synthesis side mirrors q34 (sorted string_agg per entity), so the
+  // DuckDB twin parses the SAME page text with a regex and equality
+  // proves the XML parser's extraction. Parse is map-side; the only
+  // shuffle is the per-entity page assembly.
+  private val XmlRowPat =
+    "<order id=\"O-([0-9]+)\"><price>([0-9.]+)</price><status>([A-Z])</status></order>"
+
+  def q93XmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rowXml = concat(lit("<order id=\"O-"), col("o_orderkey").cast(StringType),
+      lit("\"><price>"), col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType),
+      lit("</price><status>"), col("o_orderstatus"), lit("</status></order>"))
+    val pages = o.select(col("o_custkey"), rowXml.as("row_xml"))
+      .groupBy("o_custkey")
+      .agg(concat(lit("<filing>"),
+        concat_ws("", array_sort(collect_list(col("row_xml")))),
+        lit("</filing>")).as("xml"))
+    val schema = StructType(Seq(StructField("order", ArrayType(StructType(Seq(
+      StructField("_id", StringType),
+      StructField("price", DoubleType),
+      StructField("status", StringType)))))))
+    pages
+      .select(col("o_custkey"),
+        explode(from_xml(col("xml"), schema).getField("order")).as("o"))
+      .select(col("o_custkey"),
+        regexp_extract(col("o").getField("_id"), "O-([0-9]+)", 1)
+          .cast(LongType).as("o_orderkey"),
+        col("o").getField("price").as("parsed_price"),
+        col("o").getField("status").as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  val q93Sql: String = {
+    val pat = XmlRowPat // double quotes are literal inside a single-quoted SQL string
+    s"""WITH pages AS (
+       | SELECT o_custkey, string_agg(row_xml, '' ORDER BY row_xml) AS xml
+       | FROM (SELECT o_custkey,
+       |   '<order id="O-' || CAST(o_orderkey AS VARCHAR) || '"><price>' ||
+       |   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '</price><status>' ||
+       |   o_orderstatus || '</status></order>' AS row_xml FROM orders)
+       | GROUP BY o_custkey
+       |), cells AS (
+       | SELECT o_custkey, UNNEST(regexp_extract_all(xml, '$pat')) AS r FROM pages)
+       |SELECT o_custkey,
+       | CAST(regexp_extract(r, '$pat', 1) AS BIGINT) AS o_orderkey,
+       | CAST(regexp_extract(r, '$pat', 2) AS DOUBLE) AS parsed_price,
+       | regexp_extract(r, '$pat', 3) AS status
+       |FROM cells ORDER BY o_orderkey""".stripMargin
+  }
+
+  // E2b: collation-aware registry dedup — the CIK→name registry (q21)
+  // arrives with case-inconsistent names across filings (EDGAR names are
+  // uppercase in form.idx, mixed-case in filing headers). Spark 4
+  // collations express "equal under UTF8_LCASE" as a first-class string
+  // semantics: grouping on collate(name, 'UTF8_LCASE') dedups case
+  // variants WITHOUT materializing a lower() key column, and the
+  // comparison is collation-aware inside the hash aggregate itself. The
+  // canonical representative is min(name) under binary order (total,
+  // engine-identical) — the collated grouping key itself is never output,
+  // since which variant it displays is engine-dependent.
+  def q94CollateDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val entries = c.select((col("c_custkey") * 2).as("entry_id"),
+        col("c_name").as("name"))
+      .unionAll(c.select((col("c_custkey") * 2 + 1).as("entry_id"),
+        upper(col("c_name")).as("name")))
+    entries
+      .groupBy(collate(col("name"), "UTF8_LCASE").as("k"))
+      .agg(min(col("name")).as("canonical"),
+        count(lit(1)).as("n_variants"),
+        min(col("entry_id")).as("first_entry"))
+      .select("canonical", "n_variants", "first_entry")
+      .orderBy("canonical")
+  }
+
+  val q94Sql: String =
+    """SELECT MIN(name) AS canonical, COUNT(*) AS n_variants,
+      | MIN(entry_id) AS first_entry
+      |FROM (
+      | SELECT c_custkey * 2 AS entry_id, c_name AS name FROM customer
+      | UNION ALL
+      | SELECT c_custkey * 2 + 1, UPPER(c_name) FROM customer)
+      |GROUP BY LOWER(name)
+      |ORDER BY canonical""".stripMargin
 }

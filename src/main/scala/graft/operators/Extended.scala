@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Relational.{avg6, dmoney, out2}
+
+/** Round-5 relational extensions (SURVEY.md §2.1 R43–R45): time-series
+  * densification with forward fill, snapshot diff (reconciliation), and
+  * percentile winsorization. Same determinism discipline as Relational:
+  * decimal-exact aggregates, total final ORDER BY, lockstep DuckDB twins.
+  */
+object Extended {
+
+  // R43: calendar densification + forward fill. Observed daily revenue per
+  // order priority is sparse (gap days are simply absent rows); analytics
+  // and feature pipelines need a DENSE series. Build each group's calendar
+  // with sequence() (one row per group → array of days → explode: no
+  // driver-side loop, no cross join against a global calendar), left-join
+  // the observations back, then forward-fill with last(_, ignoreNulls)
+  // over an unbounded-preceding row frame.
+  //
+  // Scale: the calendar explode is proportional to groups × span-days
+  // (output-sized, not input-sized); the window is keyed by group. The
+  // observation aggregate before the join is decimal-exact, so the filled
+  // values are engine-identical.
+  def q88TsFill(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val daily = o
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(out2(sum(dmoney(col("o_totalprice")))).as("day_revenue"),
+        count(lit(1)).as("n_orders"))
+    val span = daily.groupBy("priority").agg(min("day").as("d0"), max("day").as("d1"))
+    val calendar = span.select(col("priority"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("priority", "day"), "left_outer")
+      .withColumn("observed", col("day_revenue").isNotNull)
+      .withColumn("revenue_ffill", last(col("day_revenue"), ignoreNulls = true).over(w))
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("observed"), col("revenue_ffill"), col("n_orders"))
+      .orderBy("priority", "day")
+  }
+
+  val q88Sql: String =
+    """WITH daily AS (
+      | SELECT o_orderpriority AS priority,
+      |  CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS day_revenue,
+      |  COUNT(*) AS n_orders
+      | FROM orders GROUP BY 1, 2
+      |), span AS (
+      | SELECT priority, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY priority
+      |), cal AS (
+      | SELECT priority,
+      |  CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      | FROM span
+      |)
+      |SELECT c.priority, strftime(c.day, '%Y-%m-%d') AS day,
+      | d.day_revenue IS NOT NULL AS observed,
+      | last_value(d.day_revenue IGNORE NULLS) OVER (
+      |   PARTITION BY c.priority ORDER BY c.day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill,
+      | COALESCE(d.n_orders, 0) AS n_orders
+      |FROM cal c LEFT JOIN daily d ON c.priority = d.priority AND c.day = d.day
+      |ORDER BY c.priority, c.day""".stripMargin
+
+  // R44: snapshot diff — the inverse of q61's merge-apply: given two
+  // snapshots of a keyed table, classify every key as inserted / deleted /
+  // changed / unchanged and report counts + the total value drift. This is
+  // the reconciliation primitive behind data-drift monitors and CDC
+  // backfills. The "next" snapshot is derived deterministically from the
+  // current one (key-modulus rules), so both engines diff the same pair.
+  // Shape: ONE full-outer join on the key — no collect, no second pass.
+  def q91TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("a_price"),
+      col("o_orderstatus").as("a_status"))
+    // derived next snapshot: %97 keys deleted, %13 repriced (+100.00),
+    // %101 keys spawn a synthetic insert at -(k+1) — strictly negative,
+    // so it can never collide with a real (nonnegative) key
+    val base = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")).as("b_price"),
+        col("o_orderstatus").as("b_status"))
+    val inserts = o.filter(col("o_orderkey") % 101 === 0)
+      .select((-col("o_orderkey") - 1).as("k"), col("o_totalprice").as("b_price"),
+        col("o_orderstatus").as("b_status"))
+    val b = base.unionAll(inserts)
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("b_price").isNull && col("b_status").isNull, lit("deleted"))
+          .when(col("a_price").isNull && col("a_status").isNull, lit("inserted"))
+          .when(col("a_price") =!= col("b_price") || col("a_status") =!= col("b_status"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        out2(sum(dmoney(abs(coalesce(col("b_price"), lit(0.0)) -
+          coalesce(col("a_price"), lit(0.0)))))).as("abs_drift"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("change_type")
+  }
+
+  val q91Sql: String =
+    """WITH a AS (
+      | SELECT o_orderkey AS k, o_totalprice AS a_price, o_orderstatus AS a_status
+      | FROM orders
+      |), b AS (
+      | SELECT o_orderkey AS k,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS b_price,
+      |  o_orderstatus AS b_status
+      | FROM orders WHERE o_orderkey % 97 <> 0
+      | UNION ALL
+      | SELECT -o_orderkey - 1, o_totalprice, o_orderstatus
+      | FROM orders WHERE o_orderkey % 101 = 0
+      |), d AS (
+      | SELECT COALESCE(a.k, b.k) AS k,
+      |  CASE WHEN b.b_price IS NULL AND b.b_status IS NULL THEN 'deleted'
+      |       WHEN a.a_price IS NULL AND a.a_status IS NULL THEN 'inserted'
+      |       WHEN a.a_price <> b.b_price OR a.a_status <> b.b_status THEN 'changed'
+      |       ELSE 'unchanged' END AS change_type,
+      |  ABS(COALESCE(b.b_price, 0.0) - COALESCE(a.a_price, 0.0)) AS drift
+      | FROM a FULL OUTER JOIN b ON a.k = b.k
+      |)
+      |SELECT change_type, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(drift AS DECIMAL(12,4))), 2) AS DOUBLE) AS abs_drift,
+      | MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  // R45: winsorization — clip each group's values at its own exact p05/p95
+  // (interpolated percentile, same primitive as q14) and report how many
+  // rows were clipped plus the raw vs winsorized mean. The robust-stats
+  // step every outlier-sensitive downstream (q59's z-scores, model
+  // features) wants before aggregating.
+  // Shape: one small percentile agg broadcast back onto the scan — the
+  // fact table is read once and never shuffled beyond the final 5-row agg.
+  // The clipped value is quantized to DECIMAL(18,4) before summing so the
+  // winsorized mean is partial-aggregation-order-proof.
+  def q92Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val pct = o.groupBy("o_orderpriority").agg(
+      expr("percentile(o_totalprice, 0.05)").as("p05"),
+      expr("percentile(o_totalprice, 0.95)").as("p95"))
+    val clipped = least(greatest(col("o_totalprice"), col("p05")), col("p95"))
+    o.join(broadcast(pct), Seq("o_orderpriority"))
+      .withColumn("clip_dec", round(clipped, 4).cast(DecimalType(18, 4)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("o_totalprice") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        round(min(col("p05")), 4).as("p05"),
+        round(min(col("p95")), 4).as("p95"),
+        avg6(sum(dmoney(col("o_totalprice"))), count(lit(1))).as("raw_mean"),
+        avg6(sum(col("clip_dec")), count(lit(1))).as("win_mean"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q92Sql: String =
+    """WITH pct AS (
+      | SELECT o_orderpriority,
+      |  QUANTILE_CONT(o_totalprice, 0.05) AS p05,
+      |  QUANTILE_CONT(o_totalprice, 0.95) AS p95
+      | FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN o.o_totalprice < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      | CAST(SUM(CASE WHEN o.o_totalprice > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      | ROUND(MIN(p.p05), 4) AS p05,
+      | ROUND(MIN(p.p95), 4) AS p95,
+      | ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+      | ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(o.o_totalprice, p.p05), p.p95), 4) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS win_mean
+      |FROM orders o JOIN pct p ON o.o_orderpriority = p.o_orderpriority
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+}

@@ -780,6 +780,39 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // R44: VARIANT semi-structured extraction — the Spark-4-native
+  // schema-on-read path. Where q63 parses `props` against a DECLARED
+  // struct schema (from_json), this parses it into the binary VariantType
+  // (parse_json) and extracts typed paths at query time (variant_get) —
+  // the open-schema ingestion pattern: land everything, type on read.
+  // try_variant_get on an absent path yields NULL (never an ANSI error) —
+  // the totality rule of SURVEY.md §4 applied to path extraction.
+  def q89VariantExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val v = parse_json(col("props"))
+    e.select(col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        try_variant_get(v, "$.absent", "string").as("absent"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("absent")).as("n_absent"))
+      .orderBy("event_type")
+  }
+
+  val q89Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(k) AS BIGINT) AS sum_k,
+      | MIN(k) AS min_k, MAX(k) AS max_k,
+      | COUNT(absent) AS n_absent
+      |FROM (SELECT event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       json_extract_string(props, '$.absent') AS absent
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // R28: custom typed Aggregator — mergeable bounded top-k
   // (functions/TopKAgg): per-partition state never exceeds k pairs, so
   // the shuffle carries ≤ k items per group instead of range-sorting the

@@ -219,6 +219,117 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** k for Lloyd clustering (q90): seeds are the k lowest vec_ids. */
+  val KmeansK = 8
+
+  // T26: distributed k-means (2 Lloyd iterations) — the re-clustering step
+  // that produces the IVF cells q46/q66 consume. Assignment is a broadcast
+  // join against the (tiny) centroid table + an argmin window per vector;
+  // the update is the q46 posexplode → DECIMAL-exact per-dim mean. All
+  // distances are strictly-sequential double folds (VectorFunctions), so
+  // assignments — and therefore the converged cells — are bit-identical
+  // in DuckDB and oracle-checkable, which is rare for iterative ML.
+  // Iteration count is FIXED (unrolled), so the plan is two bounded
+  // passes, not a driver-side convergence loop; at scale each pass is one
+  // broadcast-join scan + one keyed aggregate.
+  def q90Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("centroid"))
+    // d2 = ||x||² − 2x·c + ||c||²: same fold order both engines; argmin
+    // with explicit cid tiebreak so equidistant points are deterministic.
+    // Assignment is a ROW-LOCAL fold over the broadcast centroid array —
+    // zero shuffle (an argmin window over an exploded centroid join would
+    // shuffle k× the corpus with the embedding payload attached; at 100 TB
+    // the assignment pass must stay map-side). The array is sorted by cid
+    // and the fold keeps the first strict improvement, which is exactly
+    // the (d2 ASC, cid ASC) tiebreak of the oracle's ROW_NUMBER.
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.agg(array_sort(collect_list(struct(
+        col("cid"),
+        col("centroid"),
+        VectorFunctions.norm2(col("centroid")).as("n2c")))).as("cents"))
+      e.join(broadcast(centArr), lit(true))
+        .withColumn("n2x", VectorFunctions.norm2(col("embedding")))
+        .withColumn("best", aggregate(
+          col("cents"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+          (acc, c) => {
+            val d2 = col("n2x") -
+              lit(2.0) * VectorFunctions.dot(col("embedding"), c.getField("centroid")) +
+              c.getField("n2c")
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+          }))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cid").as("cid"), col("best").getField("d2").as("d2"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+          .cast(DoubleType) / count(lit(1))).as("dim_avg"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+        .select(col("cid"),
+          transform(col("dims"), d => d.getField("dim_avg")).as("centroid"))
+    val a2 = assign(recompute(assign(seeds)))
+    val c2 = recompute(a2)
+    a2.groupBy("cid")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("d2").cast(DecimalType(25, 8))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_d2"))
+      .join(c2, Seq("cid"))
+      .select(col("cid"), col("n_points"), col("mean_d2"),
+        round(sqrt(VectorFunctions.norm2(col("centroid"))), 6).as("centroid_norm"))
+      .orderBy("cid")
+  }
+
+  val q90Sql: String = {
+    val dimDec = "CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))"
+    def d2(c: String): String =
+      s"${VectorFunctions.dotSql("e.embedding", "e.embedding")} - 2.0 * " +
+        s"${VectorFunctions.dotSql("e.embedding", c)} + ${VectorFunctions.dotSql(c, c)}"
+    s"""WITH seeds AS (
+       | SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       | FROM embeddings WHERE vec_id < $KmeansK
+       |), a1 AS (
+       | SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, s.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${d2("s.centroid")} ASC, s.cid) AS rk
+       |  FROM embeddings e CROSS JOIN seeds s) WHERE rk = 1
+       |), c1d AS (
+       | SELECT cid, i AS pos,
+       |  CAST(SUM($dimDec) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM a1, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       | GROUP BY cid, i
+       |), c1 AS (
+       | SELECT cid, list(dim_avg ORDER BY pos) AS centroid FROM c1d GROUP BY cid
+       |), a2 AS (
+       | SELECT vec_id, embedding, cid, d2 FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid, ${d2("c.centroid")} AS d2,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${d2("c.centroid")} ASC, c.cid) AS rk
+       |  FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1
+       |), c2d AS (
+       | SELECT cid, i AS pos,
+       |  CAST(SUM($dimDec) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM a2, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       | GROUP BY cid, i
+       |), c2 AS (
+       | SELECT cid, list(dim_avg ORDER BY pos) AS centroid FROM c2d GROUP BY cid
+       |)
+       |SELECT a.cid, a.n_points, a.mean_d2,
+       | ROUND(SQRT(${VectorFunctions.dotSql("c2.centroid", "c2.centroid")}), 6) AS centroid_norm
+       |FROM (SELECT cid, COUNT(*) AS n_points,
+       |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6) AS mean_d2
+       |      FROM a2 GROUP BY cid) a
+       |JOIN c2 ON a.cid = c2.cid
+       |ORDER BY a.cid""".stripMargin
+  }
+
   val q81Sql: String = {
     val dotAB = VectorFunctions.dotSql("a.embedding", "b.embedding")
     val nrm = VectorFunctions.dotSql("embedding", "embedding")

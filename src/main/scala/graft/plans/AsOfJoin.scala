@@ -173,13 +173,22 @@ object AsOf {
     val rBase = right.queryExecution.analyzed
     val rAliases = rBase.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rBase)
-    val rByName = rPlan.output.map(a => a.name -> a).toMap
-    def lAttr(n: String): Attribute =
-      lPlan.output.find(_.name == n)
-        .getOrElse(throw new IllegalArgumentException(s"left column $n not found"))
-    def rAttr(n: String): Attribute =
-      rByName.getOrElse(n,
-        throw new IllegalArgumentException(s"right column $n not found"))
+    // resolve by name, mirroring Spark's AMBIGUOUS_REFERENCE behavior:
+    // after a join either side can carry duplicate column names, and
+    // silently binding the first match could pick the wrong key/time column
+    def resolve(side: String, output: Seq[Attribute])(n: String): Attribute =
+      output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() =>
+          throw new IllegalArgumentException(s"$side column $n not found")
+        case many =>
+          throw new IllegalArgumentException(
+            s"$side column $n is ambiguous: ${many.size} attributes match " +
+              s"(${many.map(_.qualifiedName).mkString(", ")}); " +
+              "alias the duplicates before AsOf.join")
+      }
+    val lAttr = resolve("left", lPlan.output) _
+    val rAttr = resolve("right", rPlan.output) _
     // fail fast on type disagreement: the physical comparators are built
     // from LEFT-side types and read right-side rows with the same
     // accessors — mismatched widths would compare garbage, not error

@@ -40,8 +40,17 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // stat-less plans (e.g. LogicalRDD) report spark.sql.defaultSizeInBytes
+  // (Long.MaxValue unless overridden) — that sentinel means "unknown", not
+  // "large", so an explicit broadcast() of such a frame passes through
+  // (the user asserted small; we only demote when the estimate SAYS big)
+  private def unknownSize: BigInt =
+    BigInt(spark.sessionState.conf.defaultSizeInBytes)
+
   private def tooBig(h: Option[HintInfo], side: LogicalPlan, limit: Long): Boolean =
-    h.exists(_.strategy.contains(BROADCAST)) && side.stats.sizeInBytes > limit
+    h.exists(_.strategy.contains(BROADCAST)) &&
+      side.stats.sizeInBytes > limit &&
+      side.stats.sizeInBytes != unknownSize
 
   private def strip(h: Option[HintInfo], side: LogicalPlan, limit: Long): Option[HintInfo] =
     if (tooBig(h, side, limit)) {

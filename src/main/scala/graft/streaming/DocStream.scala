@@ -26,9 +26,10 @@ object DocStream {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
       .withColumn("quality", TextOps.qualityExpr(col("text")))
-      // quality is NULL for zero-char docs (0/0 division); mirror the
-      // batch q58 rule — an unscorable doc is KEPT, never a NULL verdict
-      // that filter(keep) and filter(!keep) would both silently drop
+      // qualityExpr is total over empty text (nChar==0 is defined, not a
+      // 0/0 division); the null-keep branch covers NULL text and any
+      // future unscorable input — an unscorable doc is KEPT, never a NULL
+      // verdict that filter(keep) and filter(!keep) would both drop
       .withColumn("keep", col("quality").isNull || col("quality") >= minQuality)
       .select("ts", "doc_id", "content_hash", "quality", "keep")
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** T12, arbitrary-state v2: per-user running spend via Spark 4's
+  * transformWithState — the successor API to [[SessionStream]]'s
+  * flatMapGroupsWithState, with named state variables (ValueState /
+  * ListState / MapState), per-state TTL, and timers as first-class
+  * handles. Demonstrated here as the streaming twin of a running keyed
+  * aggregate: each micro-batch folds a user's purchases into one
+  * ValueState entry and emits the updated total.
+  *
+  * Scale shape: state is keyed by user_id (high cardinality → shards
+  * across executors); each entry is O(1) — two numbers, no event
+  * buffering. transformWithState requires the RocksDB state store
+  * provider, which is also the right provider at 100 TB: state lives
+  * off-heap/on-disk with incremental changelog checkpointing, so a
+  * billion-key store does not live on the JVM heap.
+  */
+object SpendTracker {
+
+  case class Purchase(user_id: Long, amount: Double)
+  case class SpendTotal(user_id: Long, n_events: Long, total_spend: Double)
+
+  class Processor extends StatefulProcessor[Long, Purchase, SpendTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Purchase],
+        timerValues: TimerValues): Iterator[SpendTotal] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { p => n += 1; s += p.amount }
+      totals.update((n, s))
+      Iterator.single(SpendTotal(key, n, s))
+    }
+  }
+
+  /** One updated (user, n_events, total_spend) row per key per batch. */
+  def totals(purchases: Dataset[Purchase]): Dataset[SpendTotal] = {
+    import purchases.sparkSession.implicits._
+    purchases
+      .groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+  }
+}

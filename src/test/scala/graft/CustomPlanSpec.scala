@@ -55,6 +55,52 @@ class CustomPlanSpec extends GraftSpec with AdaptiveSparkPlanHelper {
       (3L, 4L, None, None)))            // no right rows for key 3
   }
 
+  test("as-of join refuses ambiguous column names instead of binding the first") {
+    val sp = spark
+    import sp.implicits._
+    val right = Seq((1L, 10L, 100L, 7.0)).toDF("k", "t", "id", "v")
+    // a post-join frame commonly carries duplicate names — binding the
+    // first silently could pick the wrong key column
+    val dupLeft = Seq((1L, 10L, 1L)).toDF("k", "t", "id")
+      .select(col("k"), col("t"), col("id"), col("t").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(dupLeft, right,
+        on = Seq("k" -> "k"), time = "t" -> "t", seq = "id" -> "id",
+        values = Seq("v" -> "last_v"))
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  test("broadcast guard passes through unknown-size sides (stat-less plans)") {
+    val guardKey = "spark.graft.broadcastGuard.maxBytes"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldAuto = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "-1")
+      spark.conf.set(guardKey, "1") // everything with a KNOWN size is "too big"
+      val l = Tables.lineitem(spark, sfDir)
+      // LogicalRDD has no stats: sizeInBytes is the defaultSizeInBytes
+      // sentinel (Long.MaxValue), which means "unknown", not "large" —
+      // the user's explicit broadcast() assertion must be honored
+      val sp = spark
+      import sp.implicits._
+      val rows = sp.sparkContext.parallelize(Seq((1L, "O"), (2L, "F")))
+      val dim = rows.toDF("o_orderkey", "o_orderstatus")
+      val viaRdd = sp.createDataFrame(dim.rdd, dim.schema)
+      val df = l.join(broadcast(viaRdd), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      df.collect()
+      val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "unknown-size broadcast must not be demoted:\n" +
+        df.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set(autoKey, oldAuto)
+      spark.conf.unset("spark.graft.broadcastGuard.maxBytes")
+    }
+  }
+
   test("broadcast guard strips oversized hints but keeps dim broadcasts") {
     val guardKey = "spark.graft.broadcastGuard.maxBytes"
     val autoKey = "spark.sql.autoBroadcastJoinThreshold"

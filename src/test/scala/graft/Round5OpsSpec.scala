@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Edgar, Extended, Relational, Similarity}
+
+/** Round-5 operators: densified time series (q88), VARIANT extraction
+  * (q89), distributed k-means (q90), snapshot diff (q91), winsorization
+  * (q92), XML extraction (q93), collation dedup (q94) — invariants beyond
+  * the DuckDB hash gate — plus the Observation API as the zero-extra-pass
+  * pipeline audit.
+  */
+class Round5OpsSpec extends GraftSpec {
+
+  test("q88 calendar is dense: one row per day per priority, no gaps") {
+    val rows = Extended.q88TsFill(spark, sfDir).collect()
+    val byPriority = rows.groupBy(_.getString(0))
+    byPriority.foreach { case (p, rs) =>
+      val days = rs.map(_.getString(1)).sorted
+      val first = java.time.LocalDate.parse(days.head)
+      val last = java.time.LocalDate.parse(days.last)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(first, last) + 1
+      assert(days.length == span, s"$p: ${days.length} rows over $span days")
+      assert(days.distinct.length == days.length, s"$p: duplicate days")
+    }
+    // forward fill: after the first day every revenue_ffill is defined
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      rs.sortBy(_.getString(1)).foreach { r =>
+        assert(!r.isNullAt(3), s"$p ${r.getString(1)}: null ffill")
+      }
+    }
+    // gap days carry the previous observed value
+    val gap = rows.filter(!_.getBoolean(2))
+    assert(gap.nonEmpty, "sf0.001 should have unobserved days")
+  }
+
+  test("q89 variant extraction is total: absent paths count zero, k sums real") {
+    val rows = Relational.q89VariantExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"absent path must never materialize: $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 0)
+    }
+  }
+
+  test("q90 kmeans partitions all vectors and clusters are nonempty") {
+    val rows = Similarity.q90Kmeans(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.KmeansK)
+    val total = rows.map(_.getLong(1)).sum
+    val nVectors = Tables.embeddings(spark, sfDir).count()
+    assert(total == nVectors, s"$total assigned of $nVectors")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= -1e-9, s"mean d2 must be ~nonnegative: $r")
+    }
+  }
+
+  test("q91 diff classification matches the modulus derivation rules") {
+    val rows = Extended.q91TableDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val expDeleted = keys.count(_ % 97 == 0)
+    val expInserted = keys.count(_ % 101 == 0)
+    val expChanged = keys.count(k => k % 97 != 0 && k % 13 == 0)
+    assert(rows.getOrElse("deleted", 0L) == expDeleted)
+    assert(rows.getOrElse("inserted", 0L) == expInserted)
+    assert(rows.getOrElse("changed", 0L) == expChanged)
+    assert(rows.values.sum == keys.length + expInserted)
+    // every changed row drifted exactly +100.00
+    val drift = Extended.q91TableDiff(spark, sfDir).collect()
+      .find(_.getString(0) == "changed").map(_.getDouble(2))
+    assert(drift.forall(_ == expChanged * 100.0), s"$drift vs ${expChanged * 100.0}")
+  }
+
+  test("q92 winsorized mean moves toward the center, clip counts ~5%") {
+    Extended.q92Winsorize(spark, sfDir).collect().foreach { r =>
+      val (n, nLow, nHigh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // interpolated percentile: at most ~5% strictly outside each side
+      assert(nLow <= n * 0.06 + 1, s"$r")
+      assert(nHigh <= n * 0.06 + 1, s"$r")
+      assert(nLow + nHigh > 0, "sf0.001 should clip something")
+      val (p05, p95) = (r.getDouble(4), r.getDouble(5))
+      val win = r.getDouble(7)
+      assert(win >= p05 && win <= p95, s"winsorized mean outside clip range: $r")
+    }
+  }
+
+  test("q93 XML parse recovers every order row typed") {
+    val parsed = Edgar.q93XmlExtract(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    assert(parsed.count() == orders.count())
+    val sample = parsed.limit(5).collect()
+    sample.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getDouble(2) > 0 && r.getString(3).nonEmpty)
+    }
+  }
+
+  test("q94 collation dedup folds exactly the two case variants per name") {
+    val rows = Edgar.q94CollateDedup(spark, sfDir).collect()
+    val nCustomers = Tables.customer(spark, sfDir).count()
+    assert(rows.length == nCustomers, "one group per case-insensitive name")
+    rows.foreach { r => assert(r.getLong(1) == 2L, s"expected 2 variants: $r") }
+  }
+
+  test("Observation API audits the curation gate without a second pass") {
+    val d = Tables.documents(spark, sfDir)
+    val obs = Observation("curation-audit")
+    val scored = d
+      .withColumn("quality", graft.operators.TextOps.qualityExpr(col("text")))
+      .withColumn("keep", col("quality").isNull || col("quality") >= 0.4)
+      .observe(obs,
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    val kept = scored.filter(col("keep")).count()
+    val metrics = obs.get
+    val total = metrics("n_total").asInstanceOf[Long]
+    val dropped = metrics("n_dropped").asInstanceOf[Long]
+    assert(total == d.count())
+    assert(total - dropped == kept,
+      s"observed $total/$dropped vs counted $kept")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.SpendTracker
+import graft.streaming.SpendTracker.Purchase
+
+/** T12 arbitrary-state v2: transformWithState (Spark 4 StatefulProcessor)
+  * end-to-end on a MemoryStream, including cross-batch state carry.
+  * Requires the RocksDB state store provider — set per-test and restored.
+  */
+class SpendTrackerSpec extends GraftSpec {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("transformWithState folds per-user spend across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val before = sp.conf.getOption(providerKey)
+    sp.conf.set(providerKey, rocksDb)
+    val stream = MemoryStream[Purchase]
+    val query = SpendTracker.totals(stream.toDS())
+      .writeStream.format("memory").queryName("spend_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(Purchase(1, 10.0), Purchase(1, 5.0), Purchase(2, 7.0))
+      query.processAllAvailable()
+      val b1 = sp.sql("SELECT * FROM spend_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(b1 == Set((1L, 2L, 15.0), (2L, 1L, 7.0)), b1)
+
+      // second batch: state must carry — user 1 continues from (2, 15.0)
+      stream.addData(Purchase(1, 1.0), Purchase(3, 2.5))
+      query.processAllAvailable()
+      val b2 = sp.sql("SELECT * FROM spend_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(b2.contains((1L, 3L, 16.0)), b2)
+      assert(b2.contains((3L, 1L, 2.5)), b2)
+    } finally {
+      query.stop()
+      before match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None => sp.conf.unset(providerKey)
+      }
+    }
+  }
+}
