@@ -164,6 +164,35 @@ object Extended {
       .orderBy("o_orderpriority")
   }
 
+  // R47: deterministic argmin/argmax aggregation — "which order was the
+  // customer's first / most expensive". Spark's max_by/min_by (and
+  // DuckDB's arg_max) break ties ARBITRARILY, which violates the engine's
+  // determinism rule; min/max over a struct whose ordering ends in the
+  // unique key is the total form: one map-side-combining aggregate, no
+  // window, no sort. The struct never leaves the aggregate — output is
+  // scalar fields.
+  def q95ArgmaxAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(struct(col("o_orderdate"), col("o_orderkey"))).as("first"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("best"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("first").getField("o_orderdate").as("first_date"),
+        col("first").getField("o_orderkey").as("first_key"),
+        col("best").getField("o_totalprice").as("best_price"),
+        col("best").getField("o_orderkey").as("best_key"))
+      .orderBy("o_custkey")
+  }
+
+  val q95Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | (min({'d': o_orderdate, 'k': o_orderkey})).d AS first_date,
+      | (min({'d': o_orderdate, 'k': o_orderkey})).k AS first_key,
+      | (max({'p': o_totalprice, 'k': o_orderkey})).p AS best_price,
+      | (max({'p': o_totalprice, 'k': o_orderkey})).k AS best_key
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val q92Sql: String =
     """WITH pct AS (
       | SELECT o_orderpriority,

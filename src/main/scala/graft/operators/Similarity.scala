@@ -265,6 +265,12 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           col("best").getField("cid").as("cid"), col("best").getField("d2").as("d2"))
     }
+    // centroid update via posexplode → (cid, pos) decimal sums → per-cell
+    // ordered array (the q46 pattern). MEASURED against the "one wide
+    // aggregate of 64 decimal sums" alternative: the wide form is 3×
+    // SLOWER at sf0.1 — 64 decimal buffers blow past the codegen field
+    // budget and the aggregate falls back to interpreted evaluation. The
+    // explode costs 64× rows but stays fully codegen'd.
     def recompute(assigned: DataFrame): DataFrame =
       assigned.select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")

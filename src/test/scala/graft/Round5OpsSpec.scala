@@ -104,6 +104,21 @@ class Round5OpsSpec extends GraftSpec {
     rows.foreach { r => assert(r.getLong(1) == 2L, s"expected 2 variants: $r") }
   }
 
+  test("q95 struct-argmax picks the true extremes with deterministic ties") {
+    val rows = Extended.q95ArgmaxAgg(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val os = orders(r.getLong(0))
+      val maxPrice = os.map(_.getDouble(2)).max
+      assert(r.getDouble(4) == maxPrice, s"best_price mismatch: $r")
+      // tiebreak: among max-price orders, the HIGHEST key (struct max)
+      val expKey = os.filter(_.getDouble(2) == maxPrice).map(_.getLong(1)).max
+      assert(r.getLong(5) == expKey, s"best_key tiebreak mismatch: $r")
+    }
+  }
+
   test("Observation API audits the curation gate without a second pass") {
     val d = Tables.documents(spark, sfDir)
     val obs = Observation("curation-audit")

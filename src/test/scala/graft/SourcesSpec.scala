@@ -192,4 +192,26 @@ class SourcesSpec extends GraftSpec {
       assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
     } finally query.stop()
   }
+
+  test("XML source reads filing documents by rowTag (Spark 4 built-in)") {
+    // S14: EDGAR attachments are XML/SGML documents on disk; Spark 4
+    // ships the XML data source in core — no external package. Write a
+    // filing file, read it back schema'd by rowTag, attribute -> _id.
+    val sp = spark
+    import sp.implicits._
+    val dir = tmp("xml")
+    Files.writeString(java.nio.file.Paths.get(dir, "filing.xml"),
+      """<filing>
+        |<order id="O-1"><price>10.50</price><status>F</status></order>
+        |<order id="O-2"><price>20.25</price><status>O</status></order>
+        |<order id="O-3"><price>7.00</price><status>F</status></order>
+        |</filing>""".stripMargin)
+    val schema = new StructType()
+      .add("_id", StringType).add("price", DoubleType).add("status", StringType)
+    val back = spark.read.format("xml").option("rowTag", "order")
+      .schema(schema).load(dir)
+    val got = back.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(("O-1", 10.5, "F"), ("O-2", 20.25, "O"), ("O-3", 7.0, "F")))
+  }
 }
