@@ -136,6 +136,50 @@ object Extended {
       | MIN(k) AS min_key, MAX(k) AS max_key
       |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  // R48: recursive hierarchy traversal — resolve every node to its root
+  // and depth through an EDGE TABLE (the engine-surface twin of SQL's
+  // WITH RECURSIVE, which is exactly what the oracle runs). The EDGAR
+  // analog is amendment chains: an X-17A-5/A filing references its prior
+  // accession, and analytics need the original filing each amendment
+  // resolves to. The hierarchy here is synthesized from the customer ids
+  // (parent = id div 10, ids < 10 are roots), so both engines walk the
+  // same forest.
+  //
+  // Spark-first shape: iterate frontier ⋈ edges until the frontier is
+  // empty — each round is ONE keyed hash join; localCheckpoint truncates
+  // the growing lineage (the q55 lesson); rounds = tree depth (log-
+  // bounded), not node count. At 100 TB both sides hash-partition on the
+  // join key; no driver-side structure ever materializes.
+  def q96Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val edges = c.filter(col("k") >= 10)
+      .select(col("k").as("child"), expr("k div 10").as("parent"))
+    val start = c.select(col("k"), col("k").as("cur"), lit(0L).as("depth"))
+    var result = start.filter(col("cur") < 10)
+    var frontier = start.filter(col("cur") >= 10).localCheckpoint()
+    while (frontier.limit(1).count() > 0) {
+      val stepped = frontier.join(edges, col("cur") === col("child"))
+        .select(col("k"), col("parent").as("cur"), (col("depth") + 1).as("depth"))
+        .localCheckpoint()
+      result = result.unionAll(stepped.filter(col("cur") < 10))
+      frontier = stepped.filter(col("cur") >= 10)
+    }
+    result.select(col("k"), col("cur").as("root"), col("depth"))
+      .orderBy("k")
+  }
+
+  val q96Sql: String =
+    """WITH RECURSIVE walk(k, cur, depth) AS (
+      | SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+      | UNION ALL
+      | SELECT w.k, e.parent, w.depth + 1
+      | FROM walk w JOIN (
+      |   SELECT c_custkey AS child, c_custkey // 10 AS parent
+      |   FROM customer WHERE c_custkey >= 10) e
+      |  ON w.cur = e.child
+      |)
+      |SELECT k, cur AS root, depth FROM walk WHERE cur < 10 ORDER BY k""".stripMargin
+
   // R45: winsorization — clip each group's values at its own exact p05/p95
   // (interpolated percentile, same primitive as q14) and report how many
   // rows were clipped plus the raw vs winsorized mean. The robust-stats

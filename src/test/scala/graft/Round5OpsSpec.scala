@@ -119,6 +119,20 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("q96 hierarchy walk resolves every node to the arithmetic root/depth") {
+    val rows = Extended.q96Hierarchy(spark, sfDir).collect()
+    val keys = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    assert(rows.length == keys.length, "every node resolves exactly once")
+    rows.foreach { r =>
+      val (k, root, depth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // parent = k div 10 ⇒ root is the leading digit, depth = #digits-1
+      var (cur, d) = (k, 0L)
+      while (cur >= 10) { cur /= 10; d += 1 }
+      assert(root == cur && depth == d, s"$k -> ($root, $depth), want ($cur, $d)")
+    }
+  }
+
   test("Observation API audits the curation gate without a second pass") {
     val d = Tables.documents(spark, sfDir)
     val obs = Observation("curation-audit")
