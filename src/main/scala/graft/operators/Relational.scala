@@ -785,13 +785,17 @@ object Relational {
   // struct schema (from_json), this parses it into the binary VariantType
   // (parse_json) and extracts typed paths at query time (variant_get) —
   // the open-schema ingestion pattern: land everything, type on read.
-  // try_variant_get on an absent path yields NULL (never an ANSI error) —
-  // the totality rule of SURVEY.md §4 applied to path extraction.
+  // try_parse_json/try_variant_get yield NULL on malformed documents,
+  // absent paths, and uncastable values (never an ANSI error) — the
+  // totality rule of SURVEY.md §4 applied to ingestion: one bad JSON row
+  // in 100 TB drops to NULL instead of killing the job (strict
+  // parse_json/variant_get are the fail-fast variants for validated
+  // feeds).
   def q89VariantExtract(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val v = parse_json(col("props"))
+    val v = try_parse_json(col("props"))
     e.select(col("event_type"),
-        variant_get(v, "$.k", "bigint").as("k"),
+        try_variant_get(v, "$.k", "bigint").as("k"),
         try_variant_get(v, "$.absent", "string").as("absent"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

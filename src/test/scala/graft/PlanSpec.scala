@@ -143,4 +143,47 @@ class PlanSpec extends GraftSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q88 ffill window is priority-keyed, never a global single partition") {
+    val p = planOf(operators.Extended.q88TsFill(spark, sfDir))
+    // the only SinglePartition allowed is none: calendar explode, join,
+    // and the ffill window are all keyed by priority
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q90 kmeans assignment joins against a one-row broadcast build") {
+    val df = Similarity.q90Kmeans(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // centroids enter as BroadcastNestedLoopJoin (1-row array build);
+    // the corpus is never shuffled for assignment — the only exchanges
+    // are the centroid updates and the final 8-row report
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q92 winsorize broadcasts the percentile table back onto one scan") {
+    val df = operators.Extended.q92Winsorize(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q95 struct-argmax is one partial+final aggregate pair, no window") {
+    val p = planOf(operators.Extended.q95ArgmaxAgg(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    // struct min/max buffers are not hash-aggregable, so Spark plans a
+    // SortAggregate — STILL a partial (map-side combining) + final pair
+    // around one exchange: the shuffle carries one struct per group per
+    // partition, which is the property that matters at scale
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q93 xml parse prunes the orders scan to the three synthesized columns") {
+    val p = planOf(Edgar.q93XmlExtract(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderpriority"),
+      readSchema)
+  }
 }

@@ -87,6 +87,20 @@ class TotalitySpec extends GraftSpec {
     }
   }
 
+  test("variant path extraction is total over malformed JSON") {
+    val sp = spark
+    import sp.implicits._
+    val inputs = samples(junkString, 100).distinct :+ """{"k": "not-a-number"}"""
+    val out = inputs.toDF("props")
+      .select(
+        org.apache.spark.sql.functions.try_variant_get(
+          org.apache.spark.sql.functions.try_parse_json(col("props")),
+          "$.k", "bigint").as("k"))
+      .collect()
+    // no row throws; malformed docs and uncastable values land as NULL
+    assert(out.length == inputs.length)
+  }
+
   test("hashed shingles are total on short/empty token arrays") {
     val sp = spark
     import sp.implicits._
