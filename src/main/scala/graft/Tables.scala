@@ -124,4 +124,21 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every corpus table as a temp view so `spark.sql` works over
+    * the same names the oracle uses — the ad-hoc SQL front door (q79
+    * demonstrates per-query registration; this is the one-call session
+    * setup a reference user migrating their SQL would reach for). Uses
+    * the typed loaders above, so `events.ts` carries the same
+    * microsecond-truncated timestamp semantics as the DataFrame API.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] =
+      Map("events" -> (events _), "documents" -> (documents _),
+        "embeddings" -> (embeddings _))
+    schemas.keys.foreach { name =>
+      loaders.getOrElse(name, (ss: SparkSession, dd: String) => load(ss, dd, name))
+        .apply(s, d).createOrReplaceTempView(name)
+    }
+  }
 }

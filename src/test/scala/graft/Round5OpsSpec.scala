@@ -133,6 +133,20 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("registerViews exposes every corpus table to raw SQL by oracle name") {
+    Tables.registerViews(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+    // events.ts must carry the converted (micros) timestamp, not raw int64
+    val t = spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
+    assert(t == org.apache.spark.sql.types.TimestampType, t.toString)
+    Tables.schemas.keys.foreach { name =>
+      assert(spark.catalog.tableExists(name), s"view $name missing")
+    }
+  }
+
   test("Observation API audits the curation gate without a second pass") {
     val d = Tables.documents(spark, sfDir)
     val obs = Observation("curation-audit")
