@@ -147,6 +147,33 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("round-5 results are invariant under an adversarial partitioning") {
+    // the §4 partition-order-proof claim, exercised: a prime partition
+    // count with AQE coalescing off must not change a single output row
+    val sp = spark
+    val oldParts = sp.conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = sp.conf.get("spark.sql.adaptive.enabled")
+    def run() = Seq(
+      operators.Extended.q88TsFill(sp, sfDir),
+      operators.Similarity.q90Kmeans(sp, sfDir),
+      operators.Extended.q91TableDiff(sp, sfDir),
+      operators.Extended.q95ArgmaxAgg(sp, sfDir),
+      operators.Extended.q96Hierarchy(sp, sfDir)
+    ).map(_.collect().toSeq)
+    val base = run()
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", "7")
+      sp.conf.set("spark.sql.adaptive.enabled", "false")
+      val alt = run()
+      base.zip(alt).zipWithIndex.foreach { case ((b, a), i) =>
+        assert(b == a, s"query #$i diverged under 7-way/no-AQE partitioning")
+      }
+    } finally {
+      sp.conf.set("spark.sql.shuffle.partitions", oldParts)
+      sp.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("Observation API audits the curation gate without a second pass") {
     val d = Tables.documents(spark, sfDir)
     val obs = Observation("curation-audit")
