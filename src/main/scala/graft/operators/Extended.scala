@@ -139,9 +139,11 @@ object Extended {
   // R48: recursive hierarchy traversal — resolve every node to its root
   // and depth through an EDGE TABLE (the engine-surface twin of SQL's
   // WITH RECURSIVE, which is exactly what the oracle runs). The EDGAR
-  // analog is amendment chains: an X-17A-5/A filing references its prior
-  // accession, and analytics need the original filing each amendment
-  // resolves to. The hierarchy here is synthesized from the customer ids
+  // analog is amendment chains (an X-17A-5/A filing references its prior
+  // accession) and the reference's NIC entity network
+  // (notebook/rssd-network/network.ipynb: M&A predecessor→successor
+  // chains, parent→offspring relationship edges) — analytics need the
+  // root each chain resolves to. The hierarchy here is synthesized from the customer ids
   // (parent = id div 10, ids < 10 are roots), so both engines walk the
   // same forest.
   //

@@ -223,7 +223,10 @@ object Similarity {
   val KmeansK = 8
 
   // T26: distributed k-means (2 Lloyd iterations) — the re-clustering step
-  // that produces the IVF cells q46/q66 consume. Assignment is a broadcast
+  // that produces the IVF cells q46/q66 consume, and the engine form of
+  // the reference's label-clustering notebook
+  // (notebook/ml-model/mlClustering.ipynb: seeded KMeans(35) over
+  // TF-IDF'd line-item labels). Assignment is a broadcast
   // join against the (tiny) centroid table + an argmin window per vector;
   // the update is the q46 posexplode → DECIMAL-exact per-dim mean. All
   // distances are strictly-sequential double folds (VectorFunctions), so
