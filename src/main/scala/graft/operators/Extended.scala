@@ -182,6 +182,59 @@ object Extended {
       |)
       |SELECT k, cur AS root, depth FROM walk WHERE cur < 10 ORDER BY k""".stripMargin
 
+  // E25 (Full_process_failings.ipynb: "Quantifying losses at each step"):
+  // pipeline stage-yield audit. The reference counts the files present in
+  // the bucket after every pipeline step to find where filings drop out;
+  // the engine form computes each record's DEEPEST SURVIVING STAGE in one
+  // scan (a case chain over the stage gates — here deterministic md5/
+  // status gates standing in for fetch/slice/OCR success), buckets by it,
+  // and derives per-stage survivor counts with a 4-row cumulative window.
+  // One scan + one tiny aggregate; no per-stage rescans of the corpus,
+  // which is what the notebook's len(list_s3_files) per step becomes at
+  // 100 TB if translated literally.
+  def q97StageYield(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val h = substring(md5(col("o_orderkey").cast(StringType)), 1, 2)
+    val g2 = h < "e0" // "fetch succeeded"
+    val g3 = g2 && h >= "10" // "slice succeeded"
+    val g4 = g3 && col("o_orderstatus") =!= "P" // "OCR accepted"
+    val lastStage = when(g4, 4).when(g3, 3).when(g2, 2).otherwise(lit(1))
+    val buckets = o.select(col("o_orderkey").as("k"), lastStage.as("last_stage"))
+      .groupBy("last_stage")
+      .agg(count(lit(1)).as("n_stranded"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+    // survivors THROUGH stage s = Σ n over last_stage >= s: a 4-row
+    // window — bounded by stage count, never by data
+    val w = Window.orderBy(desc("last_stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.withColumn("survivors_through", sum(col("n_stranded")).over(w))
+      .select(col("last_stage"), col("n_stranded"), col("survivors_through"),
+        col("min_key"), col("max_key"))
+      .orderBy("last_stage")
+  }
+
+  val q97Sql: String =
+    """WITH staged AS (
+      | SELECT o_orderkey AS k,
+      |  CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e0'
+      |        AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '10'
+      |        AND o_orderstatus <> 'P' THEN 4
+      |       WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e0'
+      |        AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) >= '10' THEN 3
+      |       WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e0' THEN 2
+      |       ELSE 1 END AS last_stage
+      | FROM orders
+      |), buckets AS (
+      | SELECT last_stage, COUNT(*) AS n_stranded,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      | FROM staged GROUP BY last_stage
+      |)
+      |SELECT last_stage, n_stranded,
+      | CAST(SUM(n_stranded) OVER (ORDER BY last_stage DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors_through,
+      | min_key, max_key
+      |FROM buckets ORDER BY last_stage""".stripMargin
+
   // R45: winsorization — clip each group's values at its own exact p05/p95
   // (interpolated percentile, same primitive as q14) and report how many
   // rows were clipped plus the raw vs winsorized mean. The robust-stats

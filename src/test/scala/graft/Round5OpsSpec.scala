@@ -147,6 +147,20 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("q97 stage-yield buckets partition the corpus and survivors telescope") {
+    val rows = Extended.q97StageYield(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total, "every record lands in exactly one bucket")
+    // survivors_through(s) = stranded(s) + survivors_through(s+1)
+    rows.sliding(2).foreach {
+      case Array((_, n, surv), (_, _, survNext)) =>
+        assert(surv == n + survNext, rows.mkString(", "))
+      case _ =>
+    }
+    assert(rows.head._3 == total, "stage 1 survivors = everything")
+  }
+
   test("round-5 results are invariant under an adversarial partitioning") {
     // the §4 partition-order-proof claim, exercised: a prime partition
     // count with AQE coalescing off must not change a single output row
