@@ -85,6 +85,82 @@ object Multimodal {
     decoded.orderBy("doc_id")
   }
 
+  /** Fixed "frame" size for the video payload sampler (q98). */
+  val FrameBytes = 256
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("checksum", LongType)
+  ))
+
+  // T11b: FRAME SAMPLING — the video half of the multimodal brief. A
+  // video payload is a sequence of fixed-size frames; sample every
+  // stride-th frame (stride varies per doc, standing in for fps-aware
+  // sampling) and stub-decode each sampled frame per partition. The
+  // frame EXPLOSION is declarative (sequence + slice — output-sized, no
+  // UDF in the row-multiplying step); only the per-frame decode runs in
+  // mapPartitions with the swappable codec. Oracle-checked: DuckDB
+  // recomputes the same slices from the hex payload and the same stub
+  // arithmetic per frame.
+  def q98FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val media = d.filter(col("doc_id") % 3 === 2) // q51's video/mp4 slice
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 5 + 1).cast(LongType).as("stride"))
+    val nFrames = greatest(
+      ceil(octet_length(col("payload")).cast(DoubleType) / FrameBytes).cast(LongType),
+      lit(1L))
+    val frames = media
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), nFrames - 1, col("stride"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("payload").substr(
+          (col("frame_idx") * FrameBytes + 1).cast(IntegerType),
+          lit(FrameBytes)).as("frame"))
+    val enc = RowEncoder.encoderFor(frameSchema)
+    frames.mapPartitions { rows =>
+      rows.map { r =>
+        val (nBytes, meanByte, checksum) = decodeStub(r.getAs[Array[Byte]](2))
+        Row(r.getLong(0), r.getLong(1), nBytes, meanByte, checksum)
+      }
+    }(enc).orderBy("doc_id", "frame_idx")
+  }
+
+  val q98Sql: String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    val two63 = "9223372036854775808::HUGEINT"
+    s"""SELECT doc_id, frame_idx, n_bytes,
+       | CASE WHEN n_bytes = 0 THEN 0.0
+       |      ELSE CAST(list_sum(bs) AS DOUBLE) / n_bytes END AS mean_byte,
+       | CAST(CASE WHEN cs >= $two63 THEN cs - $two64 ELSE cs END AS BIGINT) AS checksum
+       |FROM (
+       | SELECT doc_id, frame_idx, n_bytes, bs,
+       |  list_reduce(list_prepend(CAST(0 AS HUGEINT), bs),
+       |   (acc, x) -> (acc * 31 + x) % $two64) AS cs
+       | FROM (
+       |  SELECT doc_id, frame_idx, CAST(length(fhx) // 2 AS INTEGER) AS n_bytes,
+       |   list_transform(range(1, (length(fhx) // 2) + 1),
+       |    i -> 16 * (strpos('0123456789ABCDEF', substr(fhx, 2*i-1, 1)) - 1)
+       |         + strpos('0123456789ABCDEF', substr(fhx, 2*i, 1)) - 1) AS bs
+       |  FROM (
+       |   SELECT doc_id, frame_idx,
+       |    substr(hx, CAST(frame_idx * ${2 * FrameBytes} + 1 AS BIGINT),
+       |      ${2 * FrameBytes}) AS fhx
+       |   FROM (
+       |    SELECT doc_id,
+       |     UNNEST(range(0,
+       |       GREATEST(CAST(CEIL(CAST(length(hx) // 2 AS DOUBLE) / $FrameBytes) AS BIGINT), 1),
+       |       1 + doc_id % 5)) AS frame_idx,
+       |     hx
+       |    FROM (SELECT doc_id, hex(encode(text)) AS hx
+       |          FROM documents WHERE doc_id % 3 = 2)))))
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val q51Sql: String = {
     val two64 = "18446744073709551616::HUGEINT"
     val two63 = "9223372036854775808::HUGEINT"

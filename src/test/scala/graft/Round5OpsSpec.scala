@@ -161,6 +161,21 @@ class Round5OpsSpec extends GraftSpec {
     assert(rows.head._3 == total, "stage 1 survivors = everything")
   }
 
+  test("q98 frame sampling respects stride and covers frame 0 of every video") {
+    val rows = graft.operators.Multimodal.q98FrameSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val videos = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2).count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == videos, "every video doc contributes frames")
+    byDoc.foreach { case (docId, fs) =>
+      val stride = docId % 5 + 1
+      val idxs = fs.map(_._2).sorted
+      assert(idxs.head == 0L, s"doc $docId missing frame 0")
+      idxs.foreach(i => assert(i % stride == 0, s"doc $docId frame $i off-stride"))
+    }
+  }
+
   test("round-5 results are invariant under an adversarial partitioning") {
     // the §4 partition-order-proof claim, exercised: a prime partition
     // count with AQE coalescing off must not change a single output row
