@@ -263,6 +263,91 @@ object Extended {
       .orderBy("o_orderpriority")
   }
 
+  // R49: contingency table + association profile — the dataset-profiling
+  // step before any stratification decision: observed vs expected counts
+  // per (status, priority) cell under independence, with the Pearson
+  // residual (obs−exp)/√exp. Expected counts are exact rationals
+  // (row_total × col_total / n) evaluated identically by both engines;
+  // one scan + one tiny cell aggregate + two broadcast margins.
+  def q99Contingency(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cells = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("obs"))
+    val rowM = cells.groupBy("o_orderstatus").agg(sum("obs").as("row_total"))
+    val colM = cells.groupBy("o_orderpriority").agg(sum("obs").as("col_total"))
+    // grand total derives from the cells — no second scan, no driver action
+    val nDf = cells.agg(sum(col("obs")).as("n"))
+    cells.join(broadcast(rowM), Seq("o_orderstatus"))
+      .join(broadcast(colM), Seq("o_orderpriority"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("expected",
+        round(col("row_total") * col("col_total") / col("n").cast(DoubleType), 4))
+      .withColumn("pearson_resid",
+        round((col("obs") - col("expected")) / sqrt(col("expected")), 4))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("obs"),
+        col("expected"), col("pearson_resid"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val q99Sql: String =
+    """WITH cells AS (
+      | SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+      | FROM orders GROUP BY 1, 2
+      |), rm AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+      |cm AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+      |SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
+      | ROUND(rm.row_total * cm.col_total / CAST(n.n AS DOUBLE), 4) AS expected,
+      | ROUND((c.obs - ROUND(rm.row_total * cm.col_total / CAST(n.n AS DOUBLE), 4))
+      |   / SQRT(ROUND(rm.row_total * cm.col_total / CAST(n.n AS DOUBLE), 4)), 4) AS pearson_resid
+      |FROM cells c
+      |JOIN rm ON c.o_orderstatus = rm.o_orderstatus
+      |JOIN cm ON c.o_orderpriority = cm.o_orderpriority
+      |CROSS JOIN n
+      |ORDER BY c.o_orderstatus, c.o_orderpriority""".stripMargin
+
+  // R50: hot-key skew profiler — the diagnostic that DECIDES when the
+  // q69 salted join is needed: per join-key frequency, report the top-k
+  // hottest keys with their corpus share and the ratio to a uniform
+  // key's expected share. One keyed count + a k-bounded top-k window
+  // over the (already tiny) per-key table.
+  val SkewTopK = 10
+
+  def q100SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val perKey = l.groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    // the per-key table can itself be huge for high-cardinality keys —
+    // top-k via orderBy+limit (a TakeOrdered physical op, no global sort
+    // or single-partition window) and the margins via a 1-row aggregate
+    val totals = perKey.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = perKey.orderBy(desc("cnt"), asc("key")).limit(SkewTopK)
+    val w = Window.orderBy(desc("cnt"), asc("key")) // over <= k rows
+    top.crossJoin(broadcast(totals))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("key"), col("cnt"),
+        round(col("cnt") / col("total").cast(DoubleType), 6).as("share"),
+        round(col("cnt") * col("n_keys") / col("total").cast(DoubleType), 4)
+          .as("x_uniform"))
+      .orderBy("rk")
+  }
+
+  val q100Sql: String =
+    s"""WITH per_key AS (
+       | SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+       |), m AS (
+       | SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM per_key
+       |)
+       |SELECT rk, key, cnt,
+       | ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,
+       | ROUND(cnt * n_keys / CAST(total AS DOUBLE), 4) AS x_uniform
+       |FROM (
+       | SELECT p.key, p.cnt, m.total, m.n_keys,
+       |  ROW_NUMBER() OVER (ORDER BY p.cnt DESC, p.key) AS rk
+       | FROM per_key p CROSS JOIN m)
+       |WHERE rk <= ${SkewTopK} ORDER BY rk""".stripMargin
+
   // R47: deterministic argmin/argmax aggregation — "which order was the
   // customer's first / most expensive". Spark's max_by/min_by (and
   // DuckDB's arg_max) break ties ARBITRARILY, which violates the engine's

@@ -176,6 +176,22 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("q99 residuals sum to ~zero per margin; q100 shares are a prefix of 1") {
+    val cells = Extended.q99Contingency(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    // expected counts reproduce the grand total (independence preserves n)
+    assert(math.abs(cells.map(_.getDouble(3)).sum - total) < 0.01)
+    assert(cells.map(_.getLong(2)).sum == total)
+
+    val hot = Extended.q100SkewProfile(spark, sfDir).collect()
+    assert(hot.length == Extended.SkewTopK)
+    val shares = hot.map(_.getDouble(3))
+    assert(shares.sum <= 1.0 + 1e-6)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b },
+      "top-k shares must be non-increasing")
+    hot.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("round-5 results are invariant under an adversarial partitioning") {
     // the §4 partition-order-proof claim, exercised: a prime partition
     // count with AQE coalescing off must not change a single output row
