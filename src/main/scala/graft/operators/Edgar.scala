@@ -25,7 +25,8 @@ object Edgar {
 
   // E1 (ExtractBrokerDealers.py:149-165): fixed-width/regex index-line
   // parse — form type filter, CIK from the URL path, date, company name.
-  def q20EdgarIndexParse(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q20 core — the parsed filing list; q101 chains on it. */
+  def indexFilings(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val line = concat(
@@ -41,8 +42,10 @@ object Edgar {
         regexp_extract(col("line"), "^X-17A-5  ([^ ]+)  ", 1).as("company"),
         regexp_extract(col("line"), "([0-9]{4}-[0-9]{2}-[0-9]{2})", 1).as("filing_date"),
         regexp_extract(col("line"), "/([0-9]+)\\.txt$", 1).cast(LongType).as("accession"))
-      .orderBy("accession")
   }
+
+  def q20EdgarIndexParse(s: SparkSession, dir: String): DataFrame =
+    indexFilings(s, dir).orderBy("accession")
 
   val q20Sql: String =
     """SELECT
@@ -432,6 +435,61 @@ object Edgar {
       |  SELECT o_orderkey FROM orders
       |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // E26 (run_file_extraction.py end-to-end shape): the CHAINED front half
+  // of the reference pipeline — index parse (1a) → registry build (E2) →
+  // incremental skip (E21) → output-filename derivation (E16 inverse) —
+  // where each stage consumes the PREVIOUS stage's output, not a fresh
+  // synthesis. This is the "could a user run their pipeline" proof: the
+  // per-operator queries compose into the actual driver work-list. One
+  // parse lineage feeds all three consumers; shuffles are the registry
+  // window (cik-keyed) and the anti join (accession-keyed).
+  def q101EdgarWorklist(s: SparkSession, dir: String): DataFrame = {
+    val filings = indexFilings(s, dir)
+    val w = Window.partitionBy("cik").orderBy(desc("filing_date"), desc("accession"))
+    val registry = filings
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cik").as("r_cik"), col("company").as("registry_name"))
+    val processed = filings
+      .filter(substring(md5(col("accession").cast(StringType)), 1, 2) < "0d")
+      .select(col("accession").as("done"))
+    filings
+      .join(processed, col("accession") === col("done"), "left_anti")
+      .join(registry, col("cik") === col("r_cik"))
+      .select(col("accession"), col("cik"), col("registry_name"),
+        col("filing_date"),
+        concat(col("cik").cast(StringType), lit("-"), col("filing_date"),
+          lit(".csv")).as("out_file"))
+      .orderBy("accession")
+  }
+
+  val q101Sql: String =
+    """WITH filings AS (
+      | SELECT
+      |  CAST(REGEXP_EXTRACT(line, 'edgar/data/([0-9]+)/', 1) AS BIGINT) AS cik,
+      |  REGEXP_EXTRACT(line, '^X-17A-5  ([^ ]+)  ', 1) AS company,
+      |  REGEXP_EXTRACT(line, '([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS filing_date,
+      |  CAST(REGEXP_EXTRACT(line, '/([0-9]+)\.txt$', 1) AS BIGINT) AS accession
+      | FROM (
+      |  SELECT 'X-17A-5  ' || c_name || '  ' || STRFTIME(o_orderdate, '%Y-%m-%d')
+      |    || '  edgar/data/' || CAST(o_custkey AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR) || '.txt' AS line
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      | WHERE LOWER(REGEXP_EXTRACT(line, '^(\S+)', 1)) SIMILAR TO 'x-17a.*'
+      |), reg AS (
+      | SELECT cik, company AS registry_name FROM (
+      |  SELECT cik, company,
+      |   ROW_NUMBER() OVER (PARTITION BY cik
+      |     ORDER BY filing_date DESC, accession DESC) AS rn
+      |  FROM filings) WHERE rn = 1
+      |), todo AS (
+      | SELECT * FROM filings WHERE accession NOT IN (
+      |  SELECT accession FROM filings
+      |  WHERE substring(md5(CAST(accession AS VARCHAR)), 1, 2) < '0d')
+      |)
+      |SELECT t.accession, t.cik, r.registry_name, t.filing_date,
+      | CAST(t.cik AS VARCHAR) || '-' || t.filing_date || '.csv' AS out_file
+      |FROM todo t JOIN reg r ON t.cik = r.cik
+      |ORDER BY t.accession""".stripMargin
 
   // E23 (FocusReportExtract.py:39-220, XML/SGML side): EDGAR filing
   // headers and EX-XX attachments are XML/SGML; q34 covers the HTML-table

@@ -192,6 +192,24 @@ class Round5OpsSpec extends GraftSpec {
     hot.foreach(r => assert(r.getDouble(4) >= 0.0))
   }
 
+  test("q101 chained work-list agrees with its component operators") {
+    val worklist = Edgar.q101EdgarWorklist(spark, sfDir).collect()
+    val filings = Edgar.q20EdgarIndexParse(spark, sfDir).collect()
+    val processed = filings.count { r =>
+      val acc = r.getLong(3).toString
+      java.security.MessageDigest.getInstance("MD5").digest(acc.getBytes)
+        .take(1).map("%02x".format(_)).mkString < "0d"
+    }
+    assert(worklist.length == filings.length - processed,
+      s"${worklist.length} != ${filings.length} - $processed")
+    // registry names in the chain match q21's last-wins registry
+    val reg = Edgar.q21CikRegistry(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    worklist.take(20).foreach { r =>
+      assert(reg(r.getLong(1)) == r.getString(2), s"registry mismatch: $r")
+    }
+  }
+
   test("round-5 results are invariant under an adversarial partitioning") {
     // the §4 partition-order-proof claim, exercised: a prime partition
     // count with AQE coalescing off must not change a single output row

@@ -101,6 +101,25 @@ class TotalitySpec extends GraftSpec {
     assert(out.length == inputs.length)
   }
 
+  test("from_xml is total over malformed filing pages") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("order", ArrayType(StructType(Seq(
+      StructField("_id", StringType),
+      StructField("price", DoubleType),
+      StructField("status", StringType)))))))
+    val inputs = samples(junkString, 100).distinct ++ Seq(
+      "<filing><order id=\"O-1\"><price>bad</price></order></filing>",
+      "<filing><unclosed>", "<filing/>")
+    // PERMISSIVE default: malformed pages land as NULL structs/fields,
+    // never an exception — one corrupt filing must not kill the batch
+    val out = inputs.toDF("xml")
+      .select(org.apache.spark.sql.functions.from_xml(col("xml"), schema).as("p"))
+      .collect()
+    assert(out.length == inputs.length)
+  }
+
   test("hashed shingles are total on short/empty token arrays") {
     val sp = spark
     import sp.implicits._
