@@ -14,6 +14,48 @@ class SpendTrackerSpec extends GraftSpec {
   private val rocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  test("transformWithState sessions close via event-time timers, matching v1") {
+    import java.sql.Timestamp
+    import graft.streaming.{SessionStream, SessionStreamV2}
+    def ts(s: String) = Timestamp.valueOf(s)
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val before = sp.conf.getOption(providerKey)
+    sp.conf.set(providerKey, rocksDb)
+    val stream = MemoryStream[SessionStream.Event]
+    val query = SessionStreamV2.sessions(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_v2")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        SessionStream.Event(7, ts("2024-01-01 00:00:00"), 1.0),
+        SessionStream.Event(7, ts("2024-01-01 00:05:00"), 2.0),
+        // 2h later: closes the first session within the same batch
+        SessionStream.Event(7, ts("2024-01-01 02:00:00"), 5.0))
+      query.processAllAvailable()
+      val got = sp.sql("SELECT user_id, n_events, total_value FROM sessions_v2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((7L, 2L, 3.0)), got)
+
+      // watermark passes the open session's gap → the TIMER closes it
+      stream.addData(SessionStream.Event(8, ts("2024-01-01 09:00:00"), 0.5))
+      query.processAllAvailable()
+      stream.addData(SessionStream.Event(8, ts("2024-01-01 09:01:00"), 0.5))
+      query.processAllAvailable()
+      val got2 = sp.sql("SELECT user_id, n_events, total_value FROM sessions_v2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got2.contains((7L, 1L, 5.0)), got2)
+    } finally {
+      query.stop()
+      before match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None => sp.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState folds per-user spend across micro-batches") {
     val sp = spark
     import sp.implicits._
