@@ -1000,7 +1000,8 @@ object Relational {
   // [valid_from, valid_to) via lead() over the per-key history, the
   // open current version marked with a NULL end. One window shuffle
   // keyed by the entity — the standard slowly-changing-dimension build.
-  def q70Scd2(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered q70 core — the versioned dimension; q102 chains on it. */
+  def scd2Versions(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -1010,8 +1011,54 @@ object Relational {
       .withColumn("version", row_number().over(w).cast(LongType))
       .select(col("o_custkey"), col("version"), col("o_orderkey"),
         col("valid_from"), col("valid_to"), col("is_current"), col("o_totalprice"))
-      .orderBy("o_custkey", "version")
   }
+
+  def q70Scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Versions(s, dir).orderBy("o_custkey", "version")
+
+  // R51: point-in-time (temporal) join — each fact row joined to the
+  // dimension VERSION that was valid at the fact's event time, against
+  // the q70-built SCD2 intervals. The classic "which address/rate/name
+  // did the entity have WHEN THIS HAPPENED" warehouse join. Shape: plain
+  // equi-join on the entity key + the half-open interval containment as
+  // a post-join filter — per-entity version counts are bounded, so the
+  // join stays a hash join (no range-join blow-up); intervals are
+  // non-overlapping by construction so each fact matches at most one
+  // version (zero-length intervals from same-day changes match nothing,
+  // the NULL-ended current version catches the open tail).
+  def q102TemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val versions = scd2Versions(s, dir)
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    purchases.join(versions,
+        col("user_id") === col("o_custkey") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("o_orderkey").as("dim_orderkey"),
+        col("is_current"), col("o_totalprice").as("dim_price"))
+      .orderBy("event_id")
+  }
+
+  val q102Sql: String =
+    """WITH versions AS (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  o_orderdate AS valid_from,
+      |  LEAD(o_orderdate, 1) OVER w AS valid_to,
+      |  ROW_NUMBER() OVER w AS version
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, v.version,
+      | v.o_orderkey AS dim_orderkey,
+      | v.valid_to IS NULL AS is_current,
+      | v.o_totalprice AS dim_price
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+      |JOIN versions v ON e.user_id = v.o_custkey
+      | AND v.valid_from <= e.ts
+      | AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+      |ORDER BY e.event_id""".stripMargin
 
   val q70Sql: String =
     """SELECT o_custkey, version, o_orderkey, valid_from, valid_to,

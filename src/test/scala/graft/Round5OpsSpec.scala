@@ -210,6 +210,23 @@ class Round5OpsSpec extends GraftSpec {
     }
   }
 
+  test("q102 temporal join matches at most one version, containing the event") {
+    val rows = Relational.q102TemporalJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // event_ids unique ⇒ each fact matched at most one version
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "a fact matched multiple versions")
+    // the matched version's interval genuinely contains the event time
+    val versions = Relational.q70Scd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(3), Option(r.getTimestamp(4)))).toMap
+    rows.foreach { r =>
+      val ts = r.getTimestamp(2)
+      val (from, to) = versions((r.getLong(1), r.getLong(3)))
+      assert(!ts.before(from) && to.forall(ts.before(_)), s"containment: $r")
+    }
+  }
+
   test("round-5 results are invariant under an adversarial partitioning") {
     // the §4 partition-order-proof claim, exercised: a prime partition
     // count with AQE coalescing off must not change a single output row
