@@ -152,14 +152,42 @@ object Extended {
   // the growing lineage (the q55 lesson); rounds = tree depth (log-
   // bounded), not node count. At 100 TB both sides hash-partition on the
   // join key; no driver-side structure ever materializes.
+  // Preconditions (both shared with the WITH RECURSIVE oracle twin):
+  // (1) the edge relation must be ACYCLIC — on a cycle the walk never
+  //     reaches a root, so the frontier never drains. MaxDepth caps the
+  //     rounds and fails loudly (the resolveClusters discipline) instead
+  //     of looping forever;
+  // (2) every non-root key must have an edge row (dense key space): the
+  //     inner join drops a frontier node with no matching edge, exactly
+  //     as the recursive CTE does. Synthesized parent = k div 10 over a
+  //     dense 1..N key set satisfies this by construction; for sparse
+  //     corpora, left-join the frontier and route null-parent rows to an
+  //     orphan output instead.
+  private[graft] val HierarchyMaxDepth = 30
+
   def q96Hierarchy(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
     val edges = c.filter(col("k") >= 10)
       .select(col("k").as("child"), expr("k div 10").as("parent"))
-    val start = c.select(col("k"), col("k").as("cur"), lit(0L).as("depth"))
+    hierarchyWalk(c.select(col("k")), edges)
+  }
+
+  /** Root-resolution walk shared by q96 and its guard spec: iterate
+    * frontier ⋈ edges until every node reaches a root (< 10), failing
+    * loudly after [[HierarchyMaxDepth]] rounds (cyclic edges, or a tree
+    * deeper than any real amendment chain).
+    */
+  private[graft] def hierarchyWalk(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val start = nodes.select(col("k"), col("k").as("cur"), lit(0L).as("depth"))
     var result = start.filter(col("cur") < 10)
     var frontier = start.filter(col("cur") >= 10).localCheckpoint()
+    var round = 0
     while (frontier.limit(1).count() > 0) {
+      round += 1
+      if (round > HierarchyMaxDepth)
+        throw new IllegalStateException(
+          s"q96Hierarchy: frontier not drained after $HierarchyMaxDepth rounds — " +
+            "cyclic edge relation or pathological depth; aborting instead of looping")
       val stepped = frontier.join(edges, col("cur") === col("child"))
         .select(col("k"), col("parent").as("cur"), (col("depth") + 1).as("depth"))
         .localCheckpoint()

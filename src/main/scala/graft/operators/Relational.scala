@@ -806,14 +806,20 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // The oracle mirrors the engine's drop-to-NULL totality: json_valid
+  // guards malformed documents and TRY_CAST yields NULL on uncastable
+  // values, matching try_parse_json/try_variant_get exactly (a strict
+  // CAST would ERROR on the first bad row instead of dropping to NULL).
   val q89Sql: String =
     """SELECT event_type, COUNT(*) AS n,
       | CAST(SUM(k) AS BIGINT) AS sum_k,
       | MIN(k) AS min_k, MAX(k) AS max_k,
       | COUNT(absent) AS n_absent
       |FROM (SELECT event_type,
-      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-      |       json_extract_string(props, '$.absent') AS absent
+      |       TRY_CAST(CASE WHEN json_valid(props)
+      |                     THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+      |       CASE WHEN json_valid(props)
+      |            THEN json_extract_string(props, '$.absent') END AS absent
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

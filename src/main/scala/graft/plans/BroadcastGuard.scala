@@ -43,14 +43,24 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
   // stat-less plans (e.g. LogicalRDD) report spark.sql.defaultSizeInBytes
   // (Long.MaxValue unless overridden) — that sentinel means "unknown", not
   // "large", so an explicit broadcast() of such a frame passes through
-  // (the user asserted small; we only demote when the estimate SAYS big)
+  // (the user asserted small; we only demote when the estimate SAYS big).
+  // Operators ABOVE a stat-less leaf (Project/Filter over LogicalRDD)
+  // propagate a derived-from-sentinel estimate that is huge but no longer
+  // EQUAL to it, so comparing the propagated value is not enough: we call
+  // a side unknown if any of its leaves is stat-less.
   private def unknownSize: BigInt =
     BigInt(spark.sessionState.conf.defaultSizeInBytes)
+
+  private def sizeUnknown(side: LogicalPlan): Boolean = {
+    val sentinel = unknownSize
+    side.stats.sizeInBytes >= sentinel ||
+      side.collectLeaves().exists(_.stats.sizeInBytes == sentinel)
+  }
 
   private def tooBig(h: Option[HintInfo], side: LogicalPlan, limit: Long): Boolean =
     h.exists(_.strategy.contains(BROADCAST)) &&
       side.stats.sizeInBytes > limit &&
-      side.stats.sizeInBytes != unknownSize
+      !sizeUnknown(side)
 
   private def strip(h: Option[HintInfo], side: LogicalPlan, limit: Long): Option[HintInfo] =
     if (tooBig(h, side, limit)) {

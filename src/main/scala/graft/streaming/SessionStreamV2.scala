@@ -41,7 +41,12 @@ object SessionStreamV2 {
           getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
           getHandle.registerTimer(
             math.max(st.end.getTime + GapMs, timerValues.getCurrentWatermarkInMs() + 1))
-        case None => open.clear()
+        case None =>
+          // no open session: clear state AND disarm any timer registered
+          // for the previous session, so a leftover timer can never fire
+          // against a future session opened later for this key
+          open.clear()
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       }
       done.iterator
     }
@@ -50,8 +55,13 @@ object SessionStreamV2 {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
       if (open.exists()) {
         val st = open.get()
-        open.clear()
-        Iterator.single(SessionOut(key, st.start, st.end, st.nEvents, st.totalValue))
+        // a stale timer (armed for an older deadline than the open
+        // session's current one) must not close the session early — only
+        // honor timers at or past the live deadline
+        if (expiredTimerInfo.getExpiryTimeInMs() >= st.end.getTime + GapMs) {
+          open.clear()
+          Iterator.single(SessionOut(key, st.start, st.end, st.nEvents, st.totalValue))
+        } else Iterator.empty
       } else Iterator.empty
     }
   }

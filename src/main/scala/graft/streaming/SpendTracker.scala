@@ -34,7 +34,11 @@ object SpendTracker {
     override def handleInputRows(key: Long, rows: Iterator[Purchase],
         timerValues: TimerValues): Iterator[SpendTotal] = {
       var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
-      rows.foreach { p => n += 1; s += p.amount }
+      // Row order for a key within a micro-batch is not guaranteed stable
+      // after groupByKey, and double addition is order-sensitive — sort on
+      // a total key before folding so reruns are bit-identical (same
+      // discipline as SessionStream.advance's (ts, value) sort).
+      rows.toSeq.sortBy(_.amount).foreach { p => n += 1; s += p.amount }
       totals.update((n, s))
       Iterator.single(SpendTotal(key, n, s))
     }
