@@ -285,6 +285,15 @@ object Dedup {
     // hashed 64-bit shingle ids (no 5-gram string materialization) — the
     // shared-shingle counts are unchanged up to a ~2^-65 collision, same
     // argument as q41; the join and distinct shuffle 8-byte longs.
+    // Form note (round 6): the r5 bench showed q56 at 2.6× its r4 time;
+    // warm re-measurement reproduces r4 (2.04 s vs 1.83 s — box noise in
+    // one run, not a plan change; Dedup.scala was untouched in r5). A
+    // single-tagged-pass posting-list rewrite (groupBy shingle +
+    // collect_list per side) was built and A/B-measured in the same warm
+    // session: 2.26 s vs 2.04 s — collect_list's ObjectHashAggregate
+    // buffers lists for EVERY shingle while this join form stays in
+    // whole-stage codegen and only pays for matched shingles. The
+    // two-scan join form is the keeper.
     def shingled(df: DataFrame) = df
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
@@ -298,6 +307,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinContamShingles)
   }
+
 
   def q56Decontaminate(s: SparkSession, dir: String): DataFrame =
     contaminationHits(s, dir).orderBy("doc_id", "eval_id")
