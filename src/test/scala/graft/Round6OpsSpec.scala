@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Extended
+import graft.operators.{BalanceSheet, Extended}
 
 /** Round-6 guards and compositions: the q96 walk's cycle guard, plus
   * invariants for the round's new operators (added below as they land).
@@ -27,5 +27,42 @@ class Round6OpsSpec extends GraftSpec {
     val rows = Extended.hierarchyWalk(nodes, edges).collect()
     val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((5L, 5L, 0L), (42L, 4L, 1L), (421L, 4L, 2L)), got.toString)
+  }
+
+  test("q103 back-half capstone composes every stage with the synthesized invariants") {
+    val rows = BalanceSheet.q103BackHalf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every (sheet, block) appears once; blocks are only the two real ones
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.map(_.getString(1)).toSet == Set("assets", "liabilities"))
+    // totals_check stripped the synthetic total rows: they never win top_class
+    assert(!rows.exists(_.getString(6) == "__total__"))
+    // manual override fired (nation-derived labels) alongside rule labels
+    val classes = rows.map(_.getString(6)).toSet
+    assert(classes.exists(_.startsWith("manual_")), classes.toString)
+    assert(classes.exists(_.endsWith("_related")), classes.toString)
+    // the key%7 distortion drives the full grade lattice
+    val byGrade = rows.groupBy(_.getString(11)).map { case (g, rs) => g -> rs.length }
+    assert(Set("PERFECT", "BOUNDED", "GROSS", "NOT FOUND").subsetOf(byGrade.keySet), byGrade.toString)
+    rows.foreach { r =>
+      val (okey, grade) = (r.getLong(0), r.getString(11))
+      val relErr = if (r.isNullAt(10)) None else Some(r.getDouble(10))
+      okey % 7 match {
+        case 0 => assert(grade == "NOT FOUND" && r.isNullAt(8), r.toString)
+        case 1 | 2 | 3 => // exact total → PERFECT unless the block sum is 0
+          // (all '-' OCR variants), where rel_err is undefined → GROSS
+          assert((grade == "PERFECT" && relErr.contains(0.0)) ||
+            (grade == "GROSS" && relErr.isEmpty), r.toString)
+        case 4 | 5 => // ×1.04 → |1 - 1/1.04| ≈ 0.038462 unless the block sum is 0
+          assert(grade == "BOUNDED" || (grade == "GROSS" && relErr.isEmpty), r.toString)
+        case _ => assert(grade == "GROSS", r.toString)
+      }
+      // reconstruction is the sum of kept (non-total) lines: PERFECT rows
+      // must reproduce the reported total exactly
+      if (grade == "PERFECT") assert(r.getDouble(8) == r.getDouble(9), r.toString)
+    }
+    // column_purge: sheets with l_partkey%13==0 rows report them
+    assert(rows.exists(_.getLong(5) > 0))
   }
 }
