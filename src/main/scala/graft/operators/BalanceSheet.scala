@@ -181,12 +181,7 @@ object BalanceSheet {
     val key = col("l_orderkey") * 31 + col("l_linenumber")
     val sideA = (col("l_orderkey") % 3) === 0
     val isPurge = (col("l_partkey") % 13) === 0
-    val labelOf: Column => Column = k =>
-      when(k % 5 === 0, "customer deposits held")
-        .when(k % 5 === 1, "order receivables net")
-        .when(k % 5 === 2, "stream service obligations")
-        .when(k % 5 === 3, "data center equipment")
-        .otherwise("sundry payables")
+    val labelOf: Column => Column = Classify.lineLabel
 
     // stage 1: OCR clean + merge (q22/q23) with purge rows value-less
     val cleaned = l

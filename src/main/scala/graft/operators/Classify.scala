@@ -73,6 +73,67 @@ object Classify {
       .orderBy("doc_id")
   }
 
+  /** Synthesized balance-sheet line-item label (shared with q103/q104):
+    * five deterministic accounting phrases keyed by a column.
+    */
+  def lineLabel(k: Column): Column =
+    when(k % 5 === 0, "customer deposits held")
+      .when(k % 5 === 1, "order receivables net")
+      .when(k % 5 === 2, "stream service obligations")
+      .when(k % 5 === 3, "data center equipment")
+      .otherwise(lit("sundry payables"))
+
+  // E12b (run_build_database.py:43, 301-327; rows-only like q28): DUAL-
+  // MODEL routed classification. The reference trains SEPARATE asset and
+  // liability LR models (`asset_log_reg_mdl_v2.joblib` /
+  // `liable_log_reg_mdl_v2.joblib`) and scores each line item with the
+  // model of its balance-sheet side (the q26 bisection). Here the two
+  // weight matrices are side-seeded hashed-TF linear models —
+  // w_side(class, bucket) = centered xxhash64(side, class, bucket) — so
+  // routing a line to the other matrix demonstrably changes its scores.
+  // All map-side except one per-line groupBy; the side column rides the
+  // same okey window the bisection uses. Rows-only: xxhash64 has no
+  // DuckDB twin; the spec proves routing by equality with force-sided
+  // runs.
+  def q104DualLr(s: SparkSession, dir: String): DataFrame = routedLr(s, dir, None)
+
+  private[graft] def routedLr(s: SparkSession, dir: String,
+      forceSide: Option[String]): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val wSheet = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    val bisected = l
+      .withColumn("split_line",
+        max(when(col("l_returnflag") === "A", col("l_linenumber"))).over(wSheet))
+      .filter(col("split_line").isNotNull)
+    val sided = bisected.withColumn("side",
+      forceSide.map(lit(_)).getOrElse(
+        when(col("l_linenumber") <= col("split_line"), "assets")
+          .otherwise(lit("liabilities"))))
+    val tok = sided.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("side"),
+        explode(split(lineLabel(col("l_partkey")), " ")).as("token"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(NumBuckets)))
+    // the side column SELECTS the weight matrix: two disjoint hash seeds
+    def wgt(c: Int): Column =
+      (pmod(xxhash64(col("side"), lit(c), col("bucket")), lit(1000L))
+        .cast(DoubleType) / 1000.0) - 0.5
+    val scoreCols = (0 until NumClasses).map(c => sum(wgt(c)).as(s"score_$c"))
+    val scored = tok
+      .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "side")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = (0 until NumClasses).map(c => col(s"score_$c"))
+      .reduceLeft((a, b) => greatest(a, b))
+    val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
+      when(col(s"score_$c") === best, lit(c)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_class", pred)
+      .withColumn("best_score", round(best, 4))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("side"), col("pred_class"), col("best_score"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
   // E13 (DatabaseStructured.py:21-48): manual-label override — left join
   // the (small, broadcast) manual table; manual wins over predicted.
   def q29LabelOverride(s: SparkSession, dir: String): DataFrame = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BalanceSheet, Extended}
+import graft.operators.{BalanceSheet, Classify, Extended}
 
 /** Round-6 guards and compositions: the q96 walk's cycle guard, plus
   * invariants for the round's new operators (added below as they land).
@@ -64,5 +64,28 @@ class Round6OpsSpec extends GraftSpec {
     }
     // column_purge: sheets with l_partkey%13==0 rows report them
     assert(rows.exists(_.getLong(5) > 0))
+  }
+
+  test("q104 routes each line to its side's weight matrix (dual-model parity)") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)) ->
+          (r.getString(4), r.getInt(5), r.getDouble(6))
+      }.toMap
+    val routed = keyed(Classify.q104DualLr(spark, sfDir))
+    val forcedA = keyed(Classify.routedLr(spark, sfDir, Some("assets")))
+    val forcedL = keyed(Classify.routedLr(spark, sfDir, Some("liabilities")))
+    assert(routed.nonEmpty)
+    val sides = routed.values.map(_._1).toSet
+    assert(sides == Set("assets", "liabilities"), sides.toString)
+    // routing parity: a line scored by the routed run matches the
+    // force-sided run for its own side, score and argmax alike
+    routed.foreach { case (k, (side, pred, score)) =>
+      val forced = if (side == "assets") forcedA(k) else forcedL(k)
+      assert((pred, score) == (forced._2, forced._3), s"$k: $side routed ($pred,$score) vs $forced")
+    }
+    // the two matrices are genuinely different models: some line gets a
+    // different class from the asset vs the liability matrix
+    assert(routed.keys.exists(k => forcedA(k)._2 != forcedL(k)._2))
   }
 }
