@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -329,6 +329,187 @@ object Similarity {
        | GROUP BY cid, i
        |), c2 AS (
        | SELECT cid, list(dim_avg ORDER BY pos) AS centroid FROM c2d GROUP BY cid
+       |)
+       |SELECT a.cid, a.n_points, a.mean_d2,
+       | ROUND(SQRT(${VectorFunctions.dotSql("c2.centroid", "c2.centroid")}), 6) AS centroid_norm
+       |FROM (SELECT cid, COUNT(*) AS n_points,
+       |       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6) AS mean_d2
+       |      FROM a2 GROUP BY cid) a
+       |JOIN c2 ON a.cid = c2.cid
+       |ORDER BY a.cid""".stripMargin
+  }
+
+  // T26-chain (notebook/ml-model/mlClustering.ipynb): TF-IDF → k-means —
+  // the notebook's ACTUAL computation (KMeans over TfidfVectorizer
+  // features of line-item labels), here chained from q53's TF-IDF
+  // lineage into q90's unrolled Lloyd loop instead of running k-means on
+  // the synthetic dense embeddings. Documents become SPARSE vectors over
+  // a bounded vocabulary (top-TkVocab tokens by document frequency, via
+  // TakeOrdered — never a global row_number over the full token set);
+  // distances use the same strictly-sequential double folds as q90
+  // (Spark aggregate == DuckDB list_sum(list_transform)), with the
+  // sparse dot indexing the dense centroid by dimension, so assignments
+  // stay bit-identical cross-engine and the ITERATIVE CHAIN is
+  // oracle-checked end to end.
+  //
+  // Scale shape: the corpus never shuffles with payload attached —
+  // assignment is a row-local fold over the broadcast centroid array
+  // (q90's zero-shuffle pattern); the update explodes sparse entries
+  // (≤ TkVocab per doc) into (cid, dim) decimal sums and densifies on a
+  // k×V grid that is always tiny.
+  val TkVocab = 32
+  val TkK = 6
+
+  def q105TfidfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nDocs = d.count() // tiny action; at scale pass the known corpus size
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // top-V vocabulary: orderBy+limit = TakeOrderedAndProject (k-bounded
+    // per partition, no global sort); the row_number then runs on V rows
+    val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
+    val vocab = topTok.withColumn("dim",
+      row_number().over(Window.orderBy(desc("df"), asc("token"))))
+    val docs = tf.join(broadcast(vocab), Seq("token"))
+      .withColumn("w", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("entries"))
+      .withColumn("n2x", aggregate(col("entries"), lit(0.0),
+        (a, e) => a + e.getField("w") * e.getField("w")))
+    val dims = s.range(1, TkVocab + 1)
+      .select(col("id").cast(IntegerType).as("dim"))
+
+    // densify (cid, dim, value) sparse triples onto the k×V grid
+    def densify(cids: DataFrame, triples: DataFrame, value: Column): DataFrame =
+      cids.crossJoin(dims)
+        .join(triples, Seq("cid", "dim"), "left_outer")
+        .withColumn("dim_val", value)
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("dim_val")))).as("ds"))
+        .select(col("cid"),
+          transform(col("ds"), x => x.getField("dim_val")).as("centroid"))
+
+    val seedTriples = docs.filter(col("doc_id") < TkK)
+      .select(col("doc_id").cast(IntegerType).as("cid"), explode(col("entries")).as("e"))
+      .select(col("cid"), col("e.dim").as("dim"), col("e.w").as("wv"))
+    val seedCids = docs.filter(col("doc_id") < TkK)
+      .select(col("doc_id").cast(IntegerType).as("cid"))
+    val seeds = densify(seedCids, seedTriples, coalesce(col("wv"), lit(0.0)))
+
+    // q90's zero-shuffle assignment: broadcast sorted centroid array,
+    // row-local argmin fold with first-strict-improvement = (d2, cid)
+    // tiebreak; the sparse dot indexes the dense centroid by dim
+    def assign(cents: DataFrame): DataFrame = {
+      val withNorm = cents.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
+      val centArr = withNorm.agg(array_sort(collect_list(struct(
+        col("cid"), col("centroid"), col("n2c")))).as("cents"))
+      docs.join(broadcast(centArr), lit(true))
+        .withColumn("best", aggregate(
+          col("cents"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+          (acc, c) => {
+            val dt = aggregate(col("entries"), lit(0.0),
+              (a, e) => a + e.getField("w") *
+                element_at(c.getField("centroid"), e.getField("dim")))
+            val d2 = col("n2x") - lit(2.0) * dt + c.getField("n2c")
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+          }))
+        .select(col("doc_id"), col("entries"),
+          col("best").getField("cid").as("cid"), col("best").getField("d2").as("d2"))
+    }
+
+    // centroid update: sparse-entry explode → (cid, dim) DECIMAL sums;
+    // mean divides by CLUSTER size (absent dims contribute zero)
+    def recompute(assigned: DataFrame): DataFrame = {
+      val sums = assigned
+        .select(col("cid"), explode(col("entries")).as("e"))
+        .groupBy(col("cid"), col("e.dim").as("dim"))
+        .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("dim_sum"))
+      val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      densify(sizes, sums,
+        coalesce(col("dim_sum").cast(DoubleType), lit(0.0)) / col("n"))
+    }
+
+    val a2 = assign(recompute(assign(seeds)))
+    val c2 = recompute(a2)
+    a2.groupBy("cid")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("d2").cast(DecimalType(25, 8))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_d2"))
+      .join(c2, Seq("cid"))
+      .select(col("cid"), col("n_points"), col("mean_d2"),
+        round(sqrt(VectorFunctions.norm2(col("centroid"))), 6).as("centroid_norm"))
+      .orderBy("cid")
+  }
+
+  val q105Sql: String = {
+    val sparseDot =
+      "list_sum(list_transform(d.entries, e -> struct_extract(e, 'w') * " +
+        "list_extract(c.centroid, struct_extract(e, 'dim'))))"
+    def d2Expr: String = s"(d.n2x - 2.0 * $sparseDot + c.n2c)"
+    val nrm = VectorFunctions.dotSql("centroid", "centroid")
+    s"""WITH tf_t AS (
+       | SELECT doc_id, token, COUNT(*) AS tf
+       | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       | WHERE LENGTH(token) > 0 GROUP BY doc_id, token
+       |), df_t AS (
+       | SELECT token, COUNT(*) AS df FROM tf_t GROUP BY token
+       |), vocab AS (
+       | SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS dim
+       | FROM df_t QUALIFY dim <= $TkVocab
+       |), docs AS (
+       | SELECT doc_id,
+       |  list(struct_pack(dim := dim, w := w) ORDER BY dim) AS entries,
+       |  list_sum(list(w * w ORDER BY dim)) AS n2x
+       | FROM (
+       |  SELECT t.doc_id, v.dim,
+       |   ROUND(t.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / v.df), 6) AS w
+       |  FROM tf_t t JOIN vocab v USING (token))
+       | GROUP BY doc_id
+       |), dims AS (SELECT UNNEST(range(1, $TkVocab + 1)) AS dim
+       |), seed_sparse AS (
+       | SELECT CAST(doc_id AS INTEGER) AS cid, struct_extract(e, 'dim') AS dim,
+       |  struct_extract(e, 'w') AS wv
+       | FROM docs, UNNEST(entries) AS u(e) WHERE doc_id < $TkK
+       |), seeds AS (
+       | SELECT g.cid, list(COALESCE(s.wv, 0.0) ORDER BY g.dim) AS centroid
+       | FROM (SELECT cid, dim FROM (SELECT DISTINCT CAST(doc_id AS INTEGER) AS cid
+       |        FROM docs WHERE doc_id < $TkK), dims) g
+       | LEFT JOIN seed_sparse s ON g.cid = s.cid AND g.dim = s.dim
+       | GROUP BY g.cid
+       |), cents0 AS (SELECT cid, centroid, $nrm AS n2c FROM seeds
+       |), a1 AS (
+       | SELECT doc_id, entries, n2x, cid FROM (
+       |  SELECT d.doc_id, d.entries, d.n2x, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY $d2Expr ASC, c.cid) AS rk
+       |  FROM docs d CROSS JOIN cents0 c) WHERE rk = 1
+       |), c1d AS (
+       | SELECT cid, struct_extract(e, 'dim') AS dim,
+       |  SUM(CAST(struct_extract(e, 'w') AS DECIMAL(20,6))) AS dim_sum
+       | FROM a1, UNNEST(entries) AS u(e) GROUP BY 1, 2
+       |), c1 AS (
+       | SELECT g.cid, list(COALESCE(CAST(s.dim_sum AS DOUBLE), 0.0) / g.n ORDER BY g.dim) AS centroid
+       | FROM (SELECT cid, n, dim FROM (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid), dims) g
+       | LEFT JOIN c1d s ON g.cid = s.cid AND g.dim = s.dim
+       | GROUP BY g.cid
+       |), cents1 AS (SELECT cid, centroid, $nrm AS n2c FROM c1
+       |), a2 AS (
+       | SELECT doc_id, entries, cid, d2 FROM (
+       |  SELECT d.doc_id, d.entries, c.cid, $d2Expr AS d2,
+       |   ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY $d2Expr ASC, c.cid) AS rk
+       |  FROM docs d CROSS JOIN cents1 c) WHERE rk = 1
+       |), c2d AS (
+       | SELECT cid, struct_extract(e, 'dim') AS dim,
+       |  SUM(CAST(struct_extract(e, 'w') AS DECIMAL(20,6))) AS dim_sum
+       | FROM a2, UNNEST(entries) AS u(e) GROUP BY 1, 2
+       |), c2 AS (
+       | SELECT g.cid, list(COALESCE(CAST(s.dim_sum AS DOUBLE), 0.0) / g.n ORDER BY g.dim) AS centroid
+       | FROM (SELECT cid, n, dim FROM (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid), dims) g
+       | LEFT JOIN c2d s ON g.cid = s.cid AND g.dim = s.dim
+       | GROUP BY g.cid
        |)
        |SELECT a.cid, a.n_points, a.mean_d2,
        | ROUND(SQRT(${VectorFunctions.dotSql("c2.centroid", "c2.centroid")}), 6) AS centroid_norm

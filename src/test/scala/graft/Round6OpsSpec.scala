@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BalanceSheet, Classify, Extended}
+import graft.operators.{BalanceSheet, Classify, Extended, Similarity}
 
 /** Round-6 guards and compositions: the q96 walk's cycle guard, plus
   * invariants for the round's new operators (added below as they land).
@@ -87,5 +87,25 @@ class Round6OpsSpec extends GraftSpec {
     // the two matrices are genuinely different models: some line gets a
     // different class from the asset vs the liability matrix
     assert(routed.keys.exists(k => forcedA(k)._2 != forcedL(k)._2))
+  }
+
+  test("q105 clusters TF-IDF features: partition of the vocab-bearing corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.q105TfidfKmeans(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.TkK)
+    // cluster sizes partition exactly the docs that carry >=1 vocab token
+    val d = Tables.documents(spark, sfDir)
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").count()
+    val vocab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(Similarity.TkVocab)
+    val nCorpus = tf.join(vocab, Seq("token")).select("doc_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCorpus)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= -1e-9, s"mean d2 must be ~nonnegative: $r")
+      assert(r.getDouble(3) >= 0.0)
+    }
   }
 }
