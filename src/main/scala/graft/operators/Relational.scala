@@ -1346,4 +1346,33 @@ object Relational {
         round(abs(col("n_approx") - col("n_exact")).cast(DoubleType) / col("n_exact"), 4))
       .orderBy("source")
   }
+
+  // R52 (rows-only, q13's exact-vs-sketch pattern): SKETCH percentiles —
+  // the declared 100 TB scale twin of q14/q92's exact percentile step.
+  // `percentile()` is a per-group sort that materializes every value; at
+  // 100 TB a per-group exact quantile of a fact column is a heavy global
+  // sort. `approx_percentile` (Greenwald-Khanna) is a MERGEABLE bounded-
+  // memory sketch: map-side partial sketches combine associatively, so
+  // the shuffle carries one sketch per group instead of the column.
+  // Accuracy 100 ⇒ rank error ≤ n/100 (asserted by the spec against the
+  // exact ranks; like q13's HLL there is no DuckDB twin because sketch
+  // internals differ across engines — the exact columns beside it ARE
+  // the oracle-checked q14 values).
+  val SketchAccuracy = 100
+
+  def q106ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        round(expr(s"approx_percentile(o_totalprice, 0.5, $SketchAccuracy)"), 4).as("p50_sketch"),
+        round(expr(s"approx_percentile(o_totalprice, 0.9, $SketchAccuracy)"), 4).as("p90_sketch"))
+      .withColumn("p50_rel_err",
+        round(abs(col("p50_sketch") - col("p50_exact")) / col("p50_exact"), 4))
+      .withColumn("p90_rel_err",
+        round(abs(col("p90_sketch") - col("p90_exact")) / col("p90_exact"), 4))
+      .orderBy("o_orderpriority")
+  }
 }

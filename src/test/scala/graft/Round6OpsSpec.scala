@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BalanceSheet, Classify, Extended, Similarity}
+import graft.operators.{BalanceSheet, Classify, Extended, Relational, Similarity}
 
 /** Round-6 guards and compositions: the q96 walk's cycle guard, plus
   * invariants for the round's new operators (added below as they land).
@@ -106,6 +106,33 @@ class Round6OpsSpec extends GraftSpec {
       assert(r.getLong(1) > 0)
       assert(r.getDouble(2) >= -1e-9, s"mean d2 must be ~nonnegative: $r")
       assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("q106 sketch percentiles honor the Greenwald-Khanna rank-error bound") {
+    val rows = Relational.q106ApproxPercentile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byGroup = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val (grp, n) = (r.getString(0), r.getLong(1))
+      val vals = byGroup(grp)
+      assert(n == vals.length.toLong)
+      // sketch result must be an actual element whose rank is within
+      // n/accuracy of the target rank (GK guarantee); exact columns match
+      // a direct interpolation-free rank check loosely (p is exact q14)
+      for ((q, sketchIdx) <- Seq((0.5, 4), (0.9, 5))) {
+        val v = r.getDouble(sketchIdx)
+        val rankLo = vals.count(_ < v)
+        val rankHi = vals.count(_ <= v)
+        val target = q * n
+        val dist = if (target < rankLo) rankLo - target
+                   else if (target > rankHi) target - rankHi
+                   else 0.0
+        val bound = n.toDouble / Relational.SketchAccuracy + 1
+        assert(dist <= bound, s"$grp q=$q: rank dist $dist > bound $bound (v=$v, n=$n)")
+      }
     }
   }
 }
