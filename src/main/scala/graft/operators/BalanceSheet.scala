@@ -177,7 +177,22 @@ object BalanceSheet {
   // q101 lesson (SURVEY §8: recompute ≤ localCheckpoint at this scale).
   def q103BackHalf(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.CleanNumeric
+    // Repartition by sheet key BEFORE the OCR-clean projection: the
+    // clean/merge chain is ~76 regex evaluations per row, and Catalyst
+    // otherwise pushes that projection down into the SCAN stage, whose
+    // parallelism is the parquet split count — a small input file would
+    // serialize ~45M regex calls on one core (measured: 57-82 s at
+    // sf0.1 single-task vs ~4 s repartitioned). This exchange is the
+    // very one the sheet windows require (hashpartitioning l_orderkey),
+    // so downstream needs no further shuffle — the regex work just moves
+    // to the reduce side where parallelism is the shuffle-partition
+    // count, independent of input layout. The count is EXPLICIT because
+    // a column-only repartition is AQE-coalescible, and these shuffle
+    // bytes are tiny relative to the CPU their rows carry — AQE folds
+    // them back to one partition and re-serializes the regex work
+    // (measured: 45-65 s coalesced vs ~4 s pinned at sf0.1).
     val l = Tables.lineitem(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
     val key = col("l_orderkey") * 31 + col("l_linenumber")
     val sideA = (col("l_orderkey") % 3) === 0
     val isPurge = (col("l_partkey") % 13) === 0

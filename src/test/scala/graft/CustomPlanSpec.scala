@@ -101,6 +101,38 @@ class CustomPlanSpec extends GraftSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("broadcast guard passes through operators ABOVE a stat-less leaf") {
+    val guardKey = "spark.graft.broadcastGuard.maxBytes"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldAuto = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "-1")
+      spark.conf.set(guardKey, "1")
+      val l = Tables.lineitem(spark, sfDir)
+      val sp = spark
+      import sp.implicits._
+      val rows = sp.sparkContext.parallelize(Seq((1L, "O"), (2L, "F")))
+      val dim = rows.toDF("o_orderkey", "o_orderstatus")
+      // Project + Filter over the LogicalRDD: the size estimate derived
+      // from the sentinel is huge but no longer EQUAL to it — the guard
+      // must still treat it as unknown (round-6 fix)
+      val viaRdd = sp.createDataFrame(dim.rdd, dim.schema)
+        .filter(col("o_orderkey") > 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val df = l.join(broadcast(viaRdd), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      df.collect()
+      val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "derived-from-sentinel size must not be demoted:\n" +
+        df.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set(autoKey, oldAuto)
+      spark.conf.unset("spark.graft.broadcastGuard.maxBytes")
+    }
+  }
+
   test("broadcast guard strips oversized hints but keeps dim broadcasts") {
     val guardKey = "spark.graft.broadcastGuard.maxBytes"
     val autoKey = "spark.sql.autoBroadcastJoinThreshold"
