@@ -1347,6 +1347,44 @@ object Relational {
       .orderBy("source")
   }
 
+  // R53: DECLARATIVE sessionization — Spark's built-in session_window
+  // as the third twin of the gap-session family (q11 = batch
+  // lag+cumsum islands, SessionStream/V2 = streaming state machines).
+  // One groupBy over a dynamic-gap window; in batch mode this is one
+  // keyed exchange + sort (the same cost shape as q11's window), and
+  // the IDENTICAL expression works under readStream with a watermark —
+  // the batch/stream-unified form the hand-built variants approximate.
+  // Boundary semantics (spec-verified on a MemoryStream): an event
+  // exactly gap after its predecessor MERGES into the session — the
+  // same `>`-starts-new rule as q11's lag form — so the oracle twin is
+  // q11's islands SQL without the ordinal.
+  def q107SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        out2(sum(dmoney(col("value")))).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val q107Sql: String =
+    """SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      | COUNT(*) AS n_events,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS session_value
+      |FROM (
+      | SELECT user_id, ts, value,
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |   CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM (
+      |   SELECT user_id, event_id, ts, value,
+      |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |   FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
+
   // R52 (rows-only, q13's exact-vs-sketch pattern): SKETCH percentiles —
   // the declared 100 TB scale twin of q14/q92's exact percentile step.
   // `percentile()` is a per-group sort that materializes every value; at

@@ -109,6 +109,69 @@ class Round6OpsSpec extends GraftSpec {
     }
   }
 
+  test("q107 session_window sessions are gap-consistent and event-conserving") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q107SessionWindow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val gapMs = 30L * 60 * 1000
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sessions = rs.sortBy(_.getTimestamp(1).getTime)
+      sessions.foreach { r =>
+        assert(r.getTimestamp(1).getTime <= r.getTimestamp(2).getTime)
+      }
+      // consecutive sessions of one user are separated by >= the gap
+      sessions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getTimestamp(1).getTime >= a.getTimestamp(2).getTime + gapMs,
+            s"sessions closer than gap: $a | $b")
+        case _ =>
+      }
+    }
+    // every event lands in exactly one session
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == totalEvents)
+  }
+
+  test("q107's session_window expression works identically under readStream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0), // same session (gap 10m)
+      (1L, "2024-01-01 00:40:00", 3.0), // exactly 30m after: MERGES (> rule)
+      (2L, "2024-01-01 00:00:00", 4.0)
+    ).map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val input = stream.toDF().toDF("user_id", "ts", "value")
+    val query = input
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n_events"), col("v"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      // advance the watermark past all sessions so they close and emit
+      stream.addData(Seq((9L, Timestamp.valueOf("2024-01-01 09:00:00"), 0.0)))
+      query.processAllAvailable()
+      val got = sp.sql("SELECT user_id, s, n_events, v FROM sess_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = Set(
+        // exactly-gap event merges: all three user-1 events are ONE
+        // session — the `>`-starts-new boundary rule the batch oracle uses
+        (1L, "2024-01-01 00:00:00.0", 3L, 6.0),
+        (2L, "2024-01-01 00:00:00.0", 1L, 4.0))
+      assert(want.subsetOf(got), s"got $got")
+    } finally query.stop()
+  }
+
   test("q106 sketch percentiles honor the Greenwald-Khanna rank-error bound") {
     val rows = Relational.q106ApproxPercentile(spark, sfDir).collect()
     assert(rows.nonEmpty)
