@@ -109,6 +109,28 @@ class Round6OpsSpec extends GraftSpec {
     }
   }
 
+  test("q103's clean chain stays above a pinned exchange, not in the scan stage") {
+    // Regression guard for the round-6 finding: Catalyst pushes the
+    // regex-heavy clean projection into the scan stage, whose
+    // parallelism is the parquet split count — one small file would
+    // serialize ~45M regex calls on one core. The fix hangs the chain
+    // above an explicit-count (non-AQE-coalescible) repartition; this
+    // asserts the shape so a refactor can't silently undo it.
+    val plan = BalanceSheet.q103BackHalf(spark, sfDir)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    val heavy = plan.zipWithIndex.filter { case (l, _) =>
+      "regexp_replace".r.findAllIn(l).size >= 10 }
+    assert(heavy.nonEmpty, "clean chain projection not found in plan")
+    heavy.foreach { case (_, i) =>
+      // children print BELOW parents: between the heavy projection and
+      // its leaf scan there must be the pinned repartition exchange
+      val below = plan.drop(i + 1).takeWhile(!_.contains("FileScan"))
+      assert(below.exists(_.contains("REPARTITION_BY_NUM")),
+        s"heavy projection at line $i is not above a pinned repartition:\n" +
+          plan.slice(i, i + 6).mkString("\n"))
+    }
+  }
+
   test("q107 session_window sessions are gap-consistent and event-conserving") {
     import org.apache.spark.sql.functions._
     val rows = Relational.q107SessionWindow(spark, sfDir).collect()
