@@ -89,4 +89,42 @@ class SpendTrackerSpec extends GraftSpec {
       }
     }
   }
+
+  test("per-key spend is bit-identical regardless of within-batch arrival order") {
+    // round-6 determinism fix: the fold sorts a key's batch rows before
+    // accumulating, so double-addition order can't vary across reruns.
+    // Values chosen so a different addition order WOULD change the ulp:
+    // (1e16 + 1) + 1 == 1e16 in IEEE double, but 1 + 1 + 1e16 keeps both.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val before = sp.conf.getOption(providerKey)
+    sp.conf.set(providerKey, rocksDb)
+
+    def run(purchases: Seq[Purchase], name: String): Double = {
+      val stream = MemoryStream[Purchase]
+      val query = SpendTracker.totals(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        stream.addData(purchases: _*)
+        query.processAllAvailable()
+        sp.sql(s"SELECT total_spend FROM $name WHERE user_id = 9")
+          .head().getDouble(0)
+      } finally query.stop()
+    }
+    try {
+      val vals = Seq(Purchase(9, 1e16), Purchase(9, 1.0), Purchase(9, 1.0))
+      val a = run(vals, "spend_fwd")
+      val b = run(vals.reverse, "spend_rev")
+      assert(a == b, s"arrival order changed the total: $a vs $b")
+      // the sorted fold adds small values first: both units survive
+      assert(a == 1e16 + 2.0, a.toString)
+    } finally {
+      before match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None => sp.conf.unset(providerKey)
+      }
+    }
+  }
 }
