@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{RollingHashExpr, RollingHashRevExpr}
+import graft.functions.{CleanNumericExpr, MessyNumericExpr, RollingHashExpr, RollingHashRevExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -26,6 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"rolling_hash expects exactly 1 argument, got ${children.length}")
         RollingHashExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("messy_numeric"),
+      new ExpressionInfo(classOf[MessyNumericExpr].getName, "messy_numeric"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"messy_numeric expects exactly 2 arguments, got ${children.length}")
+        MessyNumericExpr(children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("clean_numeric"),
+      new ExpressionInfo(classOf[CleanNumericExpr].getName, "clean_numeric"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"clean_numeric expects exactly 1 argument, got ${children.length}")
+        CleanNumericExpr(children.head)
       }
     ))
     ext.injectFunction((

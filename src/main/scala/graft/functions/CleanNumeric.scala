@@ -10,10 +10,17 @@ import org.apache.spark.sql.types._
   * fractional part longer than 2 digits means the periods were thousands
   * separators, and a bare `-`/`.` is 0.0.
   *
-  * Implemented as a pure Column composition (translate/regexp/CASE) so it
-  * stays inside whole-stage codegen — no UDF. `sqlExpr` emits the exact
-  * same logic as ANSI SQL for the DuckDB oracle; the two are kept in
-  * lockstep by construction (same branch structure, same regexes).
+  * [[messy]] and [[clean]] resolve to the native codegen'd Catalyst
+  * expressions in [[CleanNumericExprs]] (registered via
+  * SparkSessionExtensions): one static call per value inside the
+  * generated stage. They were previously pure Column compositions
+  * (translate/regexp/CASE); those trees duplicate sub-terms at every
+  * reference, and with two messy + two clean columns in one stage
+  * (q103) the generated span blew Janino's 64 KB limit, losing
+  * whole-stage codegen for the hottest projection in the repo — see
+  * CleanNumericExprs for the measured story. `messySqlExpr`/
+  * `cleanSqlExpr` below stay the oracle's ANSI-SQL source of truth; the
+  * expression helpers replicate their arithmetic exactly.
   */
 object CleanNumeric {
 
@@ -23,28 +30,8 @@ object CleanNumeric {
     * 3 padded whitespace  4 bare `-` (null-ish)  5 `-1234.56`
     * (leading-hyphen negative, no commas).
     */
-  def messy(value: Column, key: Column): Column = {
-    val cents = round(value * 100, 0).cast(LongType)
-    val ip = cents.divide(lit(100)).cast(LongType)
-    val fr = lpad((cents % 100).cast(StringType), 2, "0")
-    // manual comma grouping (values < 1e9 by construction)
-    val g = when(ip >= 1000000L,
-        concat((ip.divide(lit(1000000L))).cast(LongType).cast(StringType), lit(","),
-          lpad(((ip.divide(lit(1000L))).cast(LongType) % 1000).cast(StringType), 3, "0"), lit(","),
-          lpad((ip % 1000).cast(StringType), 3, "0")))
-      .when(ip >= 1000L,
-        concat((ip.divide(lit(1000L))).cast(LongType).cast(StringType), lit(","),
-          lpad((ip % 1000).cast(StringType), 3, "0")))
-      .otherwise(ip.cast(StringType))
-    val base = concat(g, lit("."), fr)
-    val v = key % 6
-    when(v === 0, concat(lit("$"), base))
-      .when(v === 1, concat(lit("("), base, lit(")")))
-      .when(v === 2, translate(base, "1", "I"))
-      .when(v === 3, concat(lit("  "), base, lit(" ")))
-      .when(v === 4, lit("-"))
-      .otherwise(concat(lit("-"), regexp_replace(base, ",", "")))
-  }
+  def messy(value: Column, key: Column): Column =
+    call_function("messy_numeric", value.cast(DoubleType), key.cast(LongType))
 
   /** SQL twin of [[messy]] (DuckDB dialect; `//` = integer division) —
     * kept as a single expression string pasteable into oracle queries.
@@ -73,22 +60,8 @@ object CleanNumeric {
     * reference keeps a first-position '-' (OCRClean.py:62
     * `(?<!^)-` removes only non-leading hyphens).
     */
-  def clean(raw: Column): Column = {
-    val s = trim(raw)
-    val neg = s.startsWith("(") || (s.startsWith("-") && s =!= "-")
-    val t = regexp_replace(translate(s, "Il", "11"), "[^0-9.]", "")
-    val nPeriods = length(t) - length(regexp_replace(t, "\\.", ""))
-    val intRaw = regexp_extract(t, "^(.*)\\.([^.]*)$", 1)
-    val decp = regexp_extract(t, "^(.*)\\.([^.]*)$", 2)
-    val ic = regexp_replace(intRaw, "\\.", "")
-    val digitsOnly = regexp_replace(t, "[^0-9]", "")
-    val mag = when(digitsOnly === "", lit(0.0))
-      .when(nPeriods === 0, t.cast(DoubleType))
-      .when(length(decp).between(1, 2),
-        concat(coalesce(when(ic =!= "", ic), lit("0")), lit("."), decp).cast(DoubleType))
-      .otherwise(concat(coalesce(when(concat(ic, decp) =!= "", concat(ic, decp)), lit("0"))).cast(DoubleType))
-    when(neg, -mag).otherwise(mag)
-  }
+  def clean(raw: Column): Column =
+    call_function("clean_numeric", raw)
 
   /** SQL twin of [[clean]] — same branches, same regexes. */
   def cleanSqlExpr(raw: String): String = {

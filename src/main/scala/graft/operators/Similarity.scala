@@ -362,7 +362,10 @@ object Similarity {
 
   def q105TfidfKmeans(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val nDocs = d.count() // tiny action; at scale pass the known corpus size
+    // corpus size for the IDF stays IN-LINEAGE: a one-row aggregate
+    // broadcast-crossJoined below, instead of a driver-side d.count()
+    // action in the query path (round-6 advice). Same IEEE division.
+    val nDocsDf = d.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -372,12 +375,21 @@ object Similarity {
     val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
     val vocab = topTok.withColumn("dim",
       row_number().over(Window.orderBy(desc("df"), asc("token"))))
+    // localCheckpoint BARRIER: the TF-IDF frame feeds both assignment
+    // passes, and each pass's output is itself consumed twice — without
+    // a barrier the tokenize→tf→df→join→collect_list lineage re-runs ~5
+    // times (round-6 verdict: 12-15 s at sf0.1; at 100 TB, 5 corpus
+    // scans where one + checkpoint does). The frame is the SPARSE
+    // vectorization — ≤ TkVocab (dim, w) pairs per doc — so it is far
+    // smaller than the token stream it derives from. A/B in SURVEY §8.
     val docs = tf.join(broadcast(vocab), Seq("token"))
-      .withColumn("w", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(nDocsDf))
+      .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("entries"))
       .withColumn("n2x", aggregate(col("entries"), lit(0.0),
         (a, e) => a + e.getField("w") * e.getField("w")))
+      .localCheckpoint()
     val dims = s.range(1, TkVocab + 1)
       .select(col("id").cast(IntegerType).as("dim"))
 
@@ -433,7 +445,12 @@ object Similarity {
         coalesce(col("dim_sum").cast(DoubleType), lit(0.0)) / col("n"))
     }
 
-    val a2 = assign(recompute(assign(seeds)))
+    // second barrier: the final assignment feeds both the centroid
+    // recompute and the output aggregate — checkpoint once so the second
+    // Lloyd pass (and everything above it) is not replayed per consumer.
+    // One materialization per Lloyd round, each round's lineage
+    // truncated — the standard iterative-refinement shape.
+    val a2 = assign(recompute(assign(seeds))).localCheckpoint()
     val c2 = recompute(a2)
     a2.groupBy("cid")
       .agg(count(lit(1)).as("n_points"),
@@ -445,6 +462,9 @@ object Similarity {
       .orderBy("cid")
   }
 
+  // (identical tail shape to q90 above, but HERE the final assignment is
+  // checkpointed: q105's upstream is the whole TF-IDF lineage, so per-
+  // consumer replay is a corpus re-scan, not a cheap fold re-run.)
   val q105Sql: String = {
     val sparseDot =
       "list_sum(list_transform(d.entries, e -> struct_extract(e, 'w') * " +

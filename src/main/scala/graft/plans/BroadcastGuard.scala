@@ -46,15 +46,15 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
   // (the user asserted small; we only demote when the estimate SAYS big).
   // Operators ABOVE a stat-less leaf (Project/Filter over LogicalRDD)
   // propagate a derived-from-sentinel estimate that is huge but no longer
-  // EQUAL to it, so comparing the propagated value is not enough: we call
-  // a side unknown if any of its leaves is stat-less.
-  private def unknownSize: BigInt =
-    BigInt(spark.sessionState.conf.defaultSizeInBytes)
-
+  // EQUAL to it, so the test is leaf provenance, not the propagated value:
+  // a side is unknown iff any of its leaves is stat-less. (Comparing the
+  // propagated value against the sentinel with >= would misfire when a
+  // deployment sets defaultSizeInBytes to a realistic finite value — every
+  // genuinely-large known-size side would then read as "unknown" and the
+  // guard would stop demoting exactly the broadcasts it exists to strip.)
   private def sizeUnknown(side: LogicalPlan): Boolean = {
-    val sentinel = unknownSize
-    side.stats.sizeInBytes >= sentinel ||
-      side.collectLeaves().exists(_.stats.sizeInBytes == sentinel)
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    side.collectLeaves().exists(_.stats.sizeInBytes == sentinel)
   }
 
   private def tooBig(h: Option[HintInfo], side: LogicalPlan, limit: Long): Boolean =

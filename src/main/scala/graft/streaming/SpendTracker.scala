@@ -35,10 +35,15 @@ object SpendTracker {
         timerValues: TimerValues): Iterator[SpendTotal] = {
       var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
       // Row order for a key within a micro-batch is not guaranteed stable
-      // after groupByKey, and double addition is order-sensitive — sort on
-      // a total key before folding so reruns are bit-identical (same
-      // discipline as SessionStream.advance's (ts, value) sort).
-      rows.toSeq.sortBy(_.amount).foreach { p => n += 1; s += p.amount }
+      // after groupByKey, and double addition is order-sensitive — so the
+      // batch folds into an EXACT BigDecimal (every double converts
+      // exactly; exact addition is order-insensitive), rounded back to
+      // double once per batch. Unlike the earlier sort-then-fold this
+      // keeps the single-pass O(1)-memory iterator for hot keys with
+      // very large per-batch row counts (round-6 advice).
+      var batch = java.math.BigDecimal.ZERO
+      rows.foreach { p => n += 1; batch = batch.add(new java.math.BigDecimal(p.amount)) }
+      s = batch.add(new java.math.BigDecimal(s)).doubleValue()
       totals.update((n, s))
       Iterator.single(SpendTotal(key, n, s))
     }
