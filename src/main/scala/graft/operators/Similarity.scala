@@ -360,7 +360,11 @@ object Similarity {
   val TkVocab = 32
   val TkK = 6
 
-  def q105TfidfKmeans(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, token, dim, w) TF-IDF weights over the bounded top-TkVocab
+    * vocabulary — the shared front of the mlClustering chain, consumed
+    * by q105 (sparse vectorization) and q108 (cluster labels).
+    */
+  private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // corpus size for the IDF stays IN-LINEAGE: a one-row aggregate
     // broadcast-crossJoined below, instead of a driver-side d.count()
@@ -375,6 +379,65 @@ object Similarity {
     val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
     val vocab = topTok.withColumn("dim",
       row_number().over(Window.orderBy(desc("df"), asc("token"))))
+    tf.join(broadcast(vocab), Seq("token"))
+      .crossJoin(broadcast(nDocsDf))
+      .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .select(col("doc_id"), col("token"), col("dim"), col("w"))
+  }
+
+  private def tkDims(s: SparkSession): DataFrame =
+    s.range(1, TkVocab + 1).select(col("id").cast(IntegerType).as("dim"))
+
+  // densify (cid, dim, value) sparse triples onto the k×V grid
+  private def tkDensify(s: SparkSession, cids: DataFrame, triples: DataFrame,
+      value: Column): DataFrame =
+    cids.crossJoin(tkDims(s))
+      .join(triples, Seq("cid", "dim"), "left_outer")
+      .withColumn("dim_val", value)
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("dim"), col("dim_val")))).as("ds"))
+      .select(col("cid"),
+        transform(col("ds"), x => x.getField("dim_val")).as("centroid"))
+
+  // q90's zero-shuffle assignment: broadcast sorted centroid array,
+  // row-local argmin fold with first-strict-improvement = (d2, cid)
+  // tiebreak; the sparse dot indexes the dense centroid by dim
+  private def tkAssign(docs: DataFrame, cents: DataFrame): DataFrame = {
+    val withNorm = cents.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
+    val centArr = withNorm.agg(array_sort(collect_list(struct(
+      col("cid"), col("centroid"), col("n2c")))).as("cents"))
+    docs.join(broadcast(centArr), lit(true))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        (acc, c) => {
+          val dt = aggregate(col("entries"), lit(0.0),
+            (a, e) => a + e.getField("w") *
+              element_at(c.getField("centroid"), e.getField("dim")))
+          val d2 = col("n2x") - lit(2.0) * dt + c.getField("n2c")
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("doc_id"), col("entries"),
+        col("best").getField("cid").as("cid"), col("best").getField("d2").as("d2"))
+  }
+
+  // centroid update: sparse-entry explode → (cid, dim) DECIMAL sums;
+  // mean divides by CLUSTER size (absent dims contribute zero)
+  private def tkRecompute(s: SparkSession, assigned: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cid"), explode(col("entries")).as("e"))
+      .groupBy(col("cid"), col("e.dim").as("dim"))
+      .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("dim_sum"))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+    tkDensify(s, sizes, sums,
+      coalesce(col("dim_sum").cast(DoubleType), lit(0.0)) / col("n"))
+  }
+
+  /** The 2-round Lloyd chain over the sparse TF-IDF vectors; returns the
+    * final checkpointed assignment (doc_id, entries, cid, d2).
+    */
+  private[graft] def tfidfAssignments(s: SparkSession, dir: String): DataFrame = {
     // localCheckpoint BARRIER: the TF-IDF frame feeds both assignment
     // passes, and each pass's output is itself consumed twice — without
     // a barrier the tokenize→tf→df→join→collect_list lineage re-runs ~5
@@ -382,76 +445,29 @@ object Similarity {
     // scans where one + checkpoint does). The frame is the SPARSE
     // vectorization — ≤ TkVocab (dim, w) pairs per doc — so it is far
     // smaller than the token stream it derives from. A/B in SURVEY §8.
-    val docs = tf.join(broadcast(vocab), Seq("token"))
-      .crossJoin(broadcast(nDocsDf))
-      .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val docs = tfidfWeights(s, dir)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("entries"))
       .withColumn("n2x", aggregate(col("entries"), lit(0.0),
         (a, e) => a + e.getField("w") * e.getField("w")))
       .localCheckpoint()
-    val dims = s.range(1, TkVocab + 1)
-      .select(col("id").cast(IntegerType).as("dim"))
-
-    // densify (cid, dim, value) sparse triples onto the k×V grid
-    def densify(cids: DataFrame, triples: DataFrame, value: Column): DataFrame =
-      cids.crossJoin(dims)
-        .join(triples, Seq("cid", "dim"), "left_outer")
-        .withColumn("dim_val", value)
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("dim_val")))).as("ds"))
-        .select(col("cid"),
-          transform(col("ds"), x => x.getField("dim_val")).as("centroid"))
-
     val seedTriples = docs.filter(col("doc_id") < TkK)
       .select(col("doc_id").cast(IntegerType).as("cid"), explode(col("entries")).as("e"))
       .select(col("cid"), col("e.dim").as("dim"), col("e.w").as("wv"))
     val seedCids = docs.filter(col("doc_id") < TkK)
       .select(col("doc_id").cast(IntegerType).as("cid"))
-    val seeds = densify(seedCids, seedTriples, coalesce(col("wv"), lit(0.0)))
-
-    // q90's zero-shuffle assignment: broadcast sorted centroid array,
-    // row-local argmin fold with first-strict-improvement = (d2, cid)
-    // tiebreak; the sparse dot indexes the dense centroid by dim
-    def assign(cents: DataFrame): DataFrame = {
-      val withNorm = cents.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
-      val centArr = withNorm.agg(array_sort(collect_list(struct(
-        col("cid"), col("centroid"), col("n2c")))).as("cents"))
-      docs.join(broadcast(centArr), lit(true))
-        .withColumn("best", aggregate(
-          col("cents"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
-          (acc, c) => {
-            val dt = aggregate(col("entries"), lit(0.0),
-              (a, e) => a + e.getField("w") *
-                element_at(c.getField("centroid"), e.getField("dim")))
-            val d2 = col("n2x") - lit(2.0) * dt + c.getField("n2c")
-            when(d2 < acc.getField("d2"),
-              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-          }))
-        .select(col("doc_id"), col("entries"),
-          col("best").getField("cid").as("cid"), col("best").getField("d2").as("d2"))
-    }
-
-    // centroid update: sparse-entry explode → (cid, dim) DECIMAL sums;
-    // mean divides by CLUSTER size (absent dims contribute zero)
-    def recompute(assigned: DataFrame): DataFrame = {
-      val sums = assigned
-        .select(col("cid"), explode(col("entries")).as("e"))
-        .groupBy(col("cid"), col("e.dim").as("dim"))
-        .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("dim_sum"))
-      val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
-      densify(sizes, sums,
-        coalesce(col("dim_sum").cast(DoubleType), lit(0.0)) / col("n"))
-    }
-
+    val seeds = tkDensify(s, seedCids, seedTriples, coalesce(col("wv"), lit(0.0)))
     // second barrier: the final assignment feeds both the centroid
     // recompute and the output aggregate — checkpoint once so the second
     // Lloyd pass (and everything above it) is not replayed per consumer.
     // One materialization per Lloyd round, each round's lineage
     // truncated — the standard iterative-refinement shape.
-    val a2 = assign(recompute(assign(seeds))).localCheckpoint()
-    val c2 = recompute(a2)
+    tkAssign(docs, tkRecompute(s, tkAssign(docs, seeds))).localCheckpoint()
+  }
+
+  def q105TfidfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val a2 = tfidfAssignments(s, dir)
+    val c2 = tkRecompute(s, a2)
     a2.groupBy("cid")
       .agg(count(lit(1)).as("n_points"),
         round(sum(col("d2").cast(DecimalType(25, 8))).cast(DoubleType) /
@@ -462,16 +478,49 @@ object Similarity {
       .orderBy("cid")
   }
 
+  // T26c (notebook/ml-model/mlClustering.ipynb cells 19-25 + the
+  // committed LDA_asset.csv / LDA_liability.csv): CLUSTER-LABEL NAMING.
+  // The reference follows its k-means with a per-cluster 1-topic
+  // LatentDirichletAllocation to surface a root word naming each
+  // cluster. A 1-topic LDA's top word over a cluster's documents is
+  // (up to smoothing) the cluster's dominant aggregate term weight, so
+  // the declarative twin is EXACT: per (cid, token) sum the TF-IDF
+  // weights of q105's assigned documents (decimal-exact, order-free)
+  // and keep the top term per cluster with an alphabetical tiebreak —
+  // the notebook's label table, oracle-checked.
+  //
+  // Scale shape: one keyed aggregate over (cid, token) — bounded by the
+  // TkVocab vocabulary join upstream — then a window over ≤ k×V rows.
+  def q108ClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val assigned = tfidfAssignments(s, dir).select(col("doc_id"), col("cid"))
+    val scored = tfidfWeights(s, dir)
+      .join(assigned, Seq("doc_id"))
+      .groupBy("cid", "token")
+      .agg(sum(col("w").cast(DecimalType(20, 6))).as("score_dec"),
+        count(lit(1)).as("n_docs"))
+    val wC = Window.partitionBy("cid").orderBy(desc("score_dec"), asc("token"))
+    scored
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("token").as("label_term"),
+        round(col("score_dec"), 6).cast(DoubleType).as("score"), col("n_docs"))
+      .orderBy("cid")
+  }
+
   // (identical tail shape to q90 above, but HERE the final assignment is
   // checkpointed: q105's upstream is the whole TF-IDF lineage, so per-
   // consumer replay is a corpus re-scan, not a cheap fold re-run.)
-  val q105Sql: String = {
+  //
+  // The CTE chain through the final assignment `a2` is shared between
+  // q105Sql and q108Sql, mirroring the shared tfidfWeights/
+  // tfidfAssignments core on the Spark side.
+  private def tkChainCtes: String = {
     val sparseDot =
       "list_sum(list_transform(d.entries, e -> struct_extract(e, 'w') * " +
         "list_extract(c.centroid, struct_extract(e, 'dim'))))"
     def d2Expr: String = s"(d.n2x - 2.0 * $sparseDot + c.n2c)"
     val nrm = VectorFunctions.dotSql("centroid", "centroid")
-    s"""WITH tf_t AS (
+    s"""tf_t AS (
        | SELECT doc_id, token, COUNT(*) AS tf
        | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
        | WHERE LENGTH(token) > 0 GROUP BY doc_id, token
@@ -480,14 +529,15 @@ object Similarity {
        |), vocab AS (
        | SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS dim
        | FROM df_t QUALIFY dim <= $TkVocab
+       |), weights AS (
+       | SELECT t.doc_id, v.token, v.dim,
+       |  ROUND(t.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / v.df), 6) AS w
+       | FROM tf_t t JOIN vocab v USING (token)
        |), docs AS (
        | SELECT doc_id,
        |  list(struct_pack(dim := dim, w := w) ORDER BY dim) AS entries,
        |  list_sum(list(w * w ORDER BY dim)) AS n2x
-       | FROM (
-       |  SELECT t.doc_id, v.dim,
-       |   ROUND(t.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / v.df), 6) AS w
-       |  FROM tf_t t JOIN vocab v USING (token))
+       | FROM weights
        | GROUP BY doc_id
        |), dims AS (SELECT UNNEST(range(1, $TkVocab + 1)) AS dim
        |), seed_sparse AS (
@@ -521,7 +571,11 @@ object Similarity {
        |  SELECT d.doc_id, d.entries, c.cid, $d2Expr AS d2,
        |   ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY $d2Expr ASC, c.cid) AS rk
        |  FROM docs d CROSS JOIN cents1 c) WHERE rk = 1
-       |), c2d AS (
+       |)""".stripMargin
+  }
+
+  val q105Sql: String =
+    s"""WITH ${tkChainCtes}, c2d AS (
        | SELECT cid, struct_extract(e, 'dim') AS dim,
        |  SUM(CAST(struct_extract(e, 'w') AS DECIMAL(20,6))) AS dim_sum
        | FROM a2, UNNEST(entries) AS u(e) GROUP BY 1, 2
@@ -538,7 +592,27 @@ object Similarity {
        |      FROM a2 GROUP BY cid) a
        |JOIN c2 ON a.cid = c2.cid
        |ORDER BY a.cid""".stripMargin
-  }
+
+  /** SQL twin of [[q108ClusterLabels]] — same decimal-exact per-(cid,
+    * token) weight sums over the shared a2 assignment chain, same
+    * (score DESC, token) tiebreak.
+    */
+  val q108Sql: String =
+    s"""WITH ${tkChainCtes}, scored AS (
+       | SELECT a.cid, wt.token,
+       |  SUM(CAST(wt.w AS DECIMAL(20,6))) AS score_dec,
+       |  COUNT(*) AS n_docs
+       | FROM weights wt JOIN a2 a USING (doc_id)
+       | GROUP BY a.cid, wt.token
+       |)
+       |SELECT cid, token AS label_term,
+       | CAST(ROUND(score_dec, 6) AS DOUBLE) AS score, n_docs
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+       |   ORDER BY score_dec DESC, token) AS rk
+       | FROM scored)
+       |WHERE rk = 1
+       |ORDER BY cid""".stripMargin
 
   val q81Sql: String = {
     val dotAB = VectorFunctions.dotSql("a.embedding", "b.embedding")

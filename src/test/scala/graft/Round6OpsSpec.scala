@@ -111,24 +111,34 @@ class Round6OpsSpec extends GraftSpec {
 
   test("q103's clean chain stays above a pinned exchange, not in the scan stage") {
     // Regression guard for the round-6 finding: Catalyst pushes the
-    // regex-heavy clean projection into the scan stage, whose
+    // CPU-heavy clean projection into the scan stage, whose
     // parallelism is the parquet split count — one small file would
-    // serialize ~45M regex calls on one core. The fix hangs the chain
+    // serialize ~45M clean calls on one core. The fix hangs the chain
     // above an explicit-count (non-AQE-coalescible) repartition; this
-    // asserts the shape so a refactor can't silently undo it.
-    val plan = BalanceSheet.q103BackHalf(spark, sfDir)
+    // asserts the shape so a refactor can't silently undo it. The
+    // heavy markers are the native messy_numeric/clean_numeric calls
+    // (round 7 — previously the inlined ~76-regex Column chain, which
+    // blew Janino's 64 KB limit and lost whole-stage codegen). The
+    // checkpoint=false variant is inspected because the production
+    // checkpoint truncates the returned plan at the stage-4 barrier —
+    // the chain's shape is only visible in the un-checkpointed lineage.
+    val plan = BalanceSheet.q103Impl(spark, sfDir, checkpoint = false)
       .queryExecution.executedPlan.toString.linesIterator.toVector
     val heavy = plan.zipWithIndex.filter { case (l, _) =>
-      "regexp_replace".r.findAllIn(l).size >= 10 }
+      l.contains("messy_numeric") || l.contains("clean_numeric") }
     assert(heavy.nonEmpty, "clean chain projection not found in plan")
     heavy.foreach { case (_, i) =>
       // children print BELOW parents: between the heavy projection and
       // its leaf scan there must be the pinned repartition exchange
       val below = plan.drop(i + 1).takeWhile(!_.contains("FileScan"))
-      assert(below.exists(_.contains("REPARTITION_BY_NUM")),
+      assert(below.isEmpty || below.exists(_.contains("REPARTITION_BY_NUM")),
         s"heavy projection at line $i is not above a pinned repartition:\n" +
           plan.slice(i, i + 6).mkString("\n"))
     }
+    // and the old failure mode stays dead: no projection line carries an
+    // inlined regex chain big enough to threaten the 64 KB codegen limit
+    assert(!plan.exists(l => "regexp_replace".r.findAllIn(l).size >= 10),
+      "an inlined regex chain reappeared in the q103 plan")
   }
 
   test("q107 session_window sessions are gap-consistent and event-conserving") {
