@@ -271,8 +271,10 @@ object BalanceSheet {
     // is tiny relative to the regex CPU it halves; at 100 TB this is one
     // corpus-wide regex pass instead of two. (q101's measured "recompute
     // wins" lesson held for a cheap parse projection, not this chain.)
-    // The checkpoint preserves the pinned hashpartitioning(l_orderkey),
-    // so the totals groupBy below still runs shuffle-free.
+    // The totals groupBy below re-shuffles the checkpointed frame (the
+    // plan's okey partitioning does not survive the RDD barrier), but
+    // that exchange carries the NARROW 5-column rows — cheap relative
+    // to the clean chain it stops from running twice.
     val rows = if (checkpoint) rowsPlan.localCheckpoint() else rowsPlan
     // stage 5a: synthesize the sheets' total rows from block sums with
     // the deterministic distortion (the groupBy reuses the okey exchange)
