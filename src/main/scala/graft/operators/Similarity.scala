@@ -364,6 +364,22 @@ object Similarity {
     * vocabulary — the shared front of the mlClustering chain, consumed
     * by q105 (sparse vectorization) and q108 (cluster labels).
     */
+  /** The bounded top-TkVocab vocabulary: (token, df, dim). Tiny (V
+    * rows) — always broadcast by its consumers.
+    */
+  private[graft] def tfidfVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // top-V vocabulary: orderBy+limit = TakeOrderedAndProject (k-bounded
+    // per partition, no global sort); the row_number then runs on V rows
+    val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
+    topTok.withColumn("dim",
+      row_number().over(Window.orderBy(desc("df"), asc("token"))))
+  }
+
   private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // corpus size for the IDF stays IN-LINEAGE: a one-row aggregate
@@ -373,13 +389,7 @@ object Similarity {
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // top-V vocabulary: orderBy+limit = TakeOrderedAndProject (k-bounded
-    // per partition, no global sort); the row_number then runs on V rows
-    val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
-    val vocab = topTok.withColumn("dim",
-      row_number().over(Window.orderBy(desc("df"), asc("token"))))
-    tf.join(broadcast(vocab), Seq("token"))
+    tf.join(broadcast(tfidfVocab(s, dir)), Seq("token"))
       .crossJoin(broadcast(nDocsDf))
       .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .select(col("doc_id"), col("token"), col("dim"), col("w"))
@@ -492,12 +502,17 @@ object Similarity {
   // Scale shape: one keyed aggregate over (cid, token) — bounded by the
   // TkVocab vocabulary join upstream — then a window over ≤ k×V rows.
   def q108ClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val assigned = tfidfAssignments(s, dir).select(col("doc_id"), col("cid"))
-    val scored = tfidfWeights(s, dir)
-      .join(assigned, Seq("doc_id"))
-      .groupBy("cid", "token")
-      .agg(sum(col("w").cast(DecimalType(20, 6))).as("score_dec"),
+    // The checkpointed assignment already CARRIES every (dim, w) weight
+    // of every assigned document — exploding it is strictly cheaper
+    // than re-deriving the (doc_id, token, w) frame from the corpus (a
+    // second tokenize→tf→join lineage = one extra corpus scan at
+    // 100 TB). Tokens are recovered from the broadcast V-row vocab.
+    val scored = tfidfAssignments(s, dir)
+      .select(col("cid"), explode(col("entries")).as("e"))
+      .groupBy(col("cid"), col("e.dim").as("dim"))
+      .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("score_dec"),
         count(lit(1)).as("n_docs"))
+      .join(broadcast(tfidfVocab(s, dir).select(col("dim"), col("token"))), Seq("dim"))
     val wC = Window.partitionBy("cid").orderBy(desc("score_dec"), asc("token"))
     scored
       .withColumn("rk", row_number().over(wC))
