@@ -68,6 +68,25 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q58 instrumented with `Dataset.observe` — the 100 TB ops surface
+    * for pipeline telemetry: the keep/drop tallies and the mean quality
+    * of KEPT documents accumulate inside the same single pass that
+    * produces the output (plain codegen'd aggregate expressions riding
+    * the task metrics channel), instead of a second corpus scan or a
+    * driver-side recount. The caller hands in the Observation and reads
+    * `obs.get` after any action on the returned frame; at scale this is
+    * how a curation run reports its yield without re-reading anything.
+    * Covered by Round7OpsSpec (metrics == recomputed counts); the
+    * observed frame is q58 itself, so its oracle story is unchanged.
+    */
+  def observedCuration(s: SparkSession, dir: String,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    q58CurationPipeline(s, dir).observe(obs,
+      count(lit(1)).as("docs_total"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("docs_dropped"),
+      avg(when(col("keep"), col("quality"))).as("kept_mean_quality"))
+
   val q58Sql: String =
     s"""WITH RECURSIVE
        |near AS (SELECT doc_id, TRUE AS near_dup FROM (${Dedup.q55Sql}) WHERE NOT is_keeper),

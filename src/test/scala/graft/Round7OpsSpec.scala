@@ -49,6 +49,20 @@ class Round7OpsSpec extends GraftSpec {
     }
   }
 
+  test("observe() metrics ride the curation pass and match recomputed tallies") {
+    import graft.operators.Curation
+    val obs = new org.apache.spark.sql.Observation("curation_stats")
+    val out = Curation.observedCuration(spark, sfDir, obs)
+    val rows = out.collect() // one action drives both output and metrics
+    val m = obs.get
+    assert(m("docs_total") == rows.length.toLong, m)
+    assert(m("docs_kept") == rows.count(_.getBoolean(1)).toLong, m)
+    assert(m("docs_dropped") == rows.count(!_.getBoolean(1)).toLong, m)
+    val keptQ = rows.filter(_.getBoolean(1)).map(_.getDouble(3))
+    assert(math.abs(m("kept_mean_quality").asInstanceOf[Double] -
+      keptQ.sum / keptQ.length) < 1e-9, m)
+  }
+
   test("native cleaner expressions keep every clean-chain plan compact") {
     // the round-6 failure mode: inlined Column chains for messy/clean
     // blew Janino's 64 KB method limit and silently lost whole-stage
