@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
+import graft.functions.CleanNumericExprs
 import graft.operators.Similarity
 
 /** Round-7 guards: the cluster-label naming operator (q108) and the
@@ -61,6 +65,76 @@ class Round7OpsSpec extends GraftSpec {
     val keptQ = rows.filter(_.getBoolean(1)).map(_.getDouble(3))
     assert(math.abs(m("kept_mean_quality").asInstanceOf[Double] -
       keptQ.sum / keptQ.length) < 1e-9, m)
+  }
+
+  /** Materialize n samples from a generator with a fixed seed. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, Seed(0x7eedL + i)))
+  }
+
+  /** Independent reference cleaner: the ORIGINAL declarative chain's
+    * semantics re-stated through java.util.regex — the same regexes the
+    * retired Column composition (and the live DuckDB twin) use. The
+    * native expression's hand-rolled single pass must agree bit-for-bit
+    * on ANY string, not just the corpus-shaped ones the oracle sees.
+    */
+  private def refClean(raw: String): Double = {
+    val s = raw.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+    val neg = s.startsWith("(") || (s.startsWith("-") && s != "-")
+    val t = s.replace('I', '1').replace('l', '1').replaceAll("[^0-9.]", "")
+    val digitsOnly = t.replaceAll("[^0-9]", "")
+    val nPeriods = t.length - t.replaceAll("\\.", "").length
+    val m = java.util.regex.Pattern.compile("^(.*)\\.([^.]*)$").matcher(t)
+    val (intRaw, decp) = if (m.matches()) (m.group(1), m.group(2)) else ("", "")
+    val ic = intRaw.replaceAll("\\.", "")
+    val mag =
+      if (digitsOnly.isEmpty) 0.0
+      else if (nPeriods == 0) t.toDouble
+      else if (decp.length >= 1 && decp.length <= 2)
+        ((if (ic.nonEmpty) ic else "0") + "." + decp).toDouble
+      else { val s2 = ic + decp; (if (s2.nonEmpty) s2 else "0").toDouble }
+    if (neg) -mag else mag
+  }
+
+  test("clean_numeric matches the regex-reference cleaner on arbitrary strings") {
+    val junk: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("(", ")", "-", ".", ",", "$", "I", "l", " ", "0",
+        "9", "1")).map(_.mkString),
+      Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString))
+    val edge = Seq("", ".", "-", "-.", "(", "()", "...", "1.2.3.4", "..12..",
+      "  (1,234.56) ", "-0.00", "1.", ".5", "I,lII.l2", "$-", "9" * 40,
+      ("1" * 20) + "." + ("2" * 20))
+    (samples(junk, 600) ++ edge).distinct.foreach { s =>
+      val got = CleanNumericExprs.clean(UTF8String.fromString(s))
+        .asInstanceOf[Double]
+      val want = refClean(s)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"clean mismatch for ${s.take(60)}: got $got, want $want")
+    }
+  }
+
+  test("messy/clean round-trip recovers round(value, 2) for every variant") {
+    val cases: Gen[(Double, Long)] = for {
+      v <- Gen.oneOf(Gen.choose(0.001, 9.0), Gen.choose(0.01, 999999.99),
+        Gen.choose(1.0e6, 9.99e8))
+      k <- Gen.choose(0L, 1000000000000L)
+    } yield (v, k)
+    samples(cases, 600).foreach { case (v, k) =>
+      val cents = java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val r2 = cents / 100.0
+      val want = (k % 6) match {
+        case 4 => 0.0 // the bare-dash "null-ish" variant cleans to zero
+        case 1 | 5 => -r2 // parens / leading hyphen = negative
+        case _ => r2
+      }
+      val messy = CleanNumericExprs.messy(v, k)
+      val got = CleanNumericExprs.clean(messy).asInstanceOf[Double]
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"roundtrip mismatch for v=$v k=$k messy=$messy: got $got, want $want")
+    }
   }
 
   test("native cleaner expressions keep every clean-chain plan compact") {
