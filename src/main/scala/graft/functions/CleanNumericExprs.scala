@@ -83,17 +83,24 @@ object CleanNumericExprs {
     */
   def messy(value: Double, key: Long): UTF8String = {
     // round(value*100, 0) on a DOUBLE is BigDecimal.valueOf (toString-
-    // based) + HALF_UP in both engines; then cast to long truncates
-    val cents = JBigDecimal.valueOf(value * 100)
-      .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+    // based) + HALF_UP in both engines — with Spark's Round passing
+    // NaN/Infinity through untouched (BigDecimal.valueOf would throw);
+    // the cast to long then truncates (NaN -> 0, Inf -> Long.MaxValue,
+    // the JVM's double->long conversion, same as Spark's non-ANSI Cast).
+    // The corpus never feeds non-finite values, but the expression must
+    // stay TOTAL like the Column chain it replaced (SURVEY §4).
+    val scaled = value * 100
+    val rounded =
+      if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled)) scaled
+      else JBigDecimal.valueOf(scaled).setScale(0, RoundingMode.HALF_UP).doubleValue()
+    val cents = rounded.toLong
     val ip = (cents / 100.0).toLong // Column.divide is double division
-    val frv = cents % 100
-    val fr = if (frv < 10) "0" + frv else String.valueOf(frv)
+    val fr = lpad(String.valueOf(cents % 100), 2)
     val g =
       if (ip >= 1000000L)
-        s"${(ip / 1000000.0).toLong},${pad3((ip / 1000.0).toLong % 1000)},${pad3(ip % 1000)}"
+        s"${(ip / 1000000.0).toLong},${lpad(String.valueOf((ip / 1000.0).toLong % 1000), 3)},${lpad(String.valueOf(ip % 1000), 3)}"
       else if (ip >= 1000L)
-        s"${(ip / 1000.0).toLong},${pad3(ip % 1000)}"
+        s"${(ip / 1000.0).toLong},${lpad(String.valueOf(ip % 1000), 3)}"
       else String.valueOf(ip)
     val base = g + "." + fr
     val out = (key % 6) match {
@@ -107,10 +114,13 @@ object CleanNumericExprs {
     UTF8String.fromString(out)
   }
 
-  private def pad3(v: Long): String =
-    if (v >= 100) String.valueOf(v)
-    else if (v >= 10) "0" + v
-    else "00" + v
+  // Spark's lpad: pads with '0' to len, and TRUNCATES to the first len
+  // chars when the input is longer (a negative remainder's "-42" padded
+  // to 2 is "-4", not "0-42") — matters only off-corpus, but parity is
+  // the whole point of these helpers.
+  private def lpad(s: String, len: Int): String =
+    if (s.length >= len) s.substring(0, len)
+    else ("0" * (len - s.length)) + s
 
   /** Cleaner — mirrors CleanNumeric.cleanSqlExpr exactly: trim spaces,
     * parens/leading-hyphen negative, I/l→1, keep [0-9.], split at the

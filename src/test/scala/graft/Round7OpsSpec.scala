@@ -137,6 +137,26 @@ class Round7OpsSpec extends GraftSpec {
     }
   }
 
+  test("messy_numeric is total: NaN, infinities, negatives, extremes") {
+    // the Column chain it replaced was total (Spark's Round passes
+    // non-finite through; Cast truncates) — the native expression must
+    // be too, even though the corpus never feeds these
+    val adversarial = Seq(
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, -1.23, -987654.321, Double.MinPositiveValue,
+      Double.MaxValue, -Double.MaxValue, 1e-300, 4.9e8)
+    val keys = Seq(Long.MinValue, -7L, -1L, 0L, 1L, 2L, 3L, 4L, 5L, 6L,
+      Long.MaxValue)
+    for (v <- adversarial; k <- keys) {
+      val a = CleanNumericExprs.messy(v, k)
+      val b = CleanNumericExprs.messy(v, k)
+      assert(a != null && a == b, s"messy not total/deterministic for v=$v k=$k")
+      // and the cleaner must take whatever messy produced without throwing
+      val c = CleanNumericExprs.clean(a)
+      assert(c != null, s"clean(messy($v, $k)) was null for ${a.toString}")
+    }
+  }
+
   test("native cleaner expressions keep every clean-chain plan compact") {
     // the round-6 failure mode: inlined Column chains for messy/clean
     // blew Janino's 64 KB method limit and silently lost whole-stage
