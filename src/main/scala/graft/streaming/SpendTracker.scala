@@ -36,14 +36,28 @@ object SpendTracker {
       var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
       // Row order for a key within a micro-batch is not guaranteed stable
       // after groupByKey, and double addition is order-sensitive — so the
-      // batch folds into an EXACT BigDecimal (every double converts
-      // exactly; exact addition is order-insensitive), rounded back to
-      // double once per batch. Unlike the earlier sort-then-fold this
-      // keeps the single-pass O(1)-memory iterator for hot keys with
-      // very large per-batch row counts (round-6 advice).
-      var batch = java.math.BigDecimal.ZERO
-      rows.foreach { p => n += 1; batch = batch.add(new java.math.BigDecimal(p.amount)) }
-      s = batch.add(new java.math.BigDecimal(s)).doubleValue()
+      // batch folds into an EXACT BigDecimal (every FINITE double
+      // converts exactly; exact addition is order-insensitive), rounded
+      // back to double once per batch. Unlike the earlier sort-then-fold
+      // this keeps the single-pass O(1)-memory iterator for hot keys
+      // with very large per-batch row counts (round-6 advice).
+      // Non-finite amounts can't enter a BigDecimal (the constructor
+      // throws, which would kill the whole query) — they accumulate in a
+      // separate IEEE carrier whose result is order-insensitive too: any
+      // NaN poisons to NaN, same-signed infinities keep their sign, and
+      // mixed infinities are NaN in every order.
+      var exact = java.math.BigDecimal.ZERO
+      var rest = 0.0
+      var hasRest = false
+      if (java.lang.Double.isFinite(s)) exact = new java.math.BigDecimal(s)
+      else { rest = s; hasRest = true }
+      rows.foreach { p =>
+        n += 1
+        if (java.lang.Double.isFinite(p.amount))
+          exact = exact.add(new java.math.BigDecimal(p.amount))
+        else { rest += p.amount; hasRest = true }
+      }
+      s = if (hasRest) exact.doubleValue() + rest else exact.doubleValue()
       totals.update((n, s))
       Iterator.single(SpendTotal(key, n, s))
     }

@@ -118,8 +118,15 @@ class SpendTrackerSpec extends GraftSpec {
       val a = run(vals, "spend_fwd")
       val b = run(vals.reverse, "spend_rev")
       assert(a == b, s"arrival order changed the total: $a vs $b")
-      // the sorted fold adds small values first: both units survive
+      // the exact fold loses no units to double-addition order
       assert(a == 1e16 + 2.0, a.toString)
+      // non-finite amounts must not kill the query (the exact fold
+      // routes them around the BigDecimal) and must propagate IEEE-style
+      val inf = run(Seq(Purchase(9, 5.0), Purchase(9, Double.PositiveInfinity)),
+        "spend_inf")
+      assert(inf.isPosInfinity, inf.toString)
+      val nan = run(Seq(Purchase(9, Double.NaN), Purchase(9, 5.0)), "spend_nan")
+      assert(nan.isNaN, nan.toString)
     } finally {
       before match {
         case Some(v) => sp.conf.set(providerKey, v)
