@@ -400,6 +400,109 @@ object Dedup {
       |    FROM documents WHERE source = 'src0')
       |ORDER BY doc_id""".stripMargin
 
+  // T5 scale path (NEW round 7): random-hyperplane LSH over the
+  // embedding column — the 100 TB form of q44's near-dup search,
+  // UNBLOCKED by any precomputed cell id. Charikar (STOC 2002) rounding:
+  // each vector gets a 16-bit signature, one bit per hyperplane
+  // (sign of the dot with a pseudo-random plane); bits are banded 4x4
+  // and ONLY band collisions generate candidate pairs, which are then
+  // verified with the exact cosine — so the output is a deterministic
+  // SUBSET of the brute-force tau-pairs, found without any all-pairs
+  // surface. The hyperplanes come from an integer LCG evaluated
+  // identically in both engines ((1103515245*(h*1000003+d)+12345) mod
+  // 2^31, scaled to [-0.5,0.5) — a power-of-two division, exact in
+  // IEEE), and the dots are the usual strictly-sequential folds, so
+  // signatures, buckets, candidates, and verified pairs all
+  // hash-match DuckDB: the LSH pipeline itself is oracle-checked,
+  // not just spec'd.
+  //
+  // Scale shape: the band shuffle carries (band, 4-bit key, vec_id) —
+  // never the vector payload; candidates re-join the (vec_id,
+  // embedding, nrm) side by id for verification. Bucket sizes bound
+  // the pair work exactly as in q42's banded minhash.
+  val RpPlanes = 16
+  val RpBandBits = 4
+
+  private def rpPlane(h: Int, d: Column): Column =
+    (((lit(1103515245L) * (lit(h.toLong * 1000003L) + d.cast(LongType)) + lit(12345L))
+      % lit(2147483648L)).cast(DoubleType) / 2147483648.0) - 0.5
+
+  private def rpBit(h: Int, e: Column): Column = {
+    val dotH = aggregate(
+      zip_with(e, sequence(lit(1), size(e)), (x, d) => x.cast(DoubleType) * rpPlane(h, d)),
+      lit(0.0), (acc, x) => acc + x)
+    when(dotH >= 0.0, 1).otherwise(0)
+  }
+
+  def q109EmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
+    val nBands = RpPlanes / RpBandBits
+    val bandKeys = (0 until nBands).map { b =>
+      (0 until RpBandBits).map { i =>
+        rpBit(b * RpBandBits + i, col("embedding")) * (1 << (RpBandBits - 1 - i))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    val sigs = e.select(col("vec_id") +: bandKeys: _*)
+    // the band shuffle carries only (band, key, vec_id) — no payload
+    val buckets = sigs.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)).as(Seq("band", "key")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    // exact verification: join the vectors back BY ID (narrow shuffle),
+    // same IEEE expression shape as q44 so the values hash-match
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    cand.join(a, Seq("v1")).join(b, Seq("v2"))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("v1"), col("v2"), col("cos"))
+      .orderBy("v1", "v2")
+  }
+
+  val q109Sql: String = {
+    def planeSql(h: Int) =
+      s"(CAST((1103515245 * ($h * 1000003 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+    def bitSql(h: Int) =
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |   i -> CAST(embedding[i] AS DOUBLE) * ${planeSql(h)})) >= 0.0
+         |  THEN 1 ELSE 0 END)""".stripMargin
+    val nBands = RpPlanes / RpBandBits
+    val bandCols = (0 until nBands).map { b =>
+      (0 until RpBandBits).map { i =>
+        s"${bitSql(b * RpBandBits + i)} * ${1 << (RpBandBits - 1 - i)}"
+      }.mkString("(", " + ", s") AS band$b")
+    }.mkString(",\n  ")
+    val bucketUnion = (0 until nBands)
+      .map(b => s"SELECT vec_id, $b AS band, band$b AS key FROM sig")
+      .mkString("\n UNION ALL ")
+    val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
+    val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
+    s"""WITH nz AS (
+       | SELECT * FROM (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings) WHERE nrm > 0
+       |), sig AS (
+       | SELECT vec_id,
+       |  $bandCols
+       | FROM nz
+       |), buckets AS (
+       | $bucketUnion
+       |), cand AS (
+       | SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       | FROM buckets x JOIN buckets y USING (band, key)
+       | WHERE x.vec_id < y.vec_id
+       |)
+       |SELECT v1, v2, cos FROM (
+       | SELECT c.v1, c.v2, ROUND($dot / (a.nrm * b.nrm), 6) AS cos
+       | FROM cand c JOIN nz a ON c.v1 = a.vec_id JOIN nz b ON c.v2 = b.vec_id)
+       |WHERE cos >= 0.35
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   val q44Sql: String = {
     val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
     s"""SELECT label, v1, v2, cos FROM (

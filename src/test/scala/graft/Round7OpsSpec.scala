@@ -137,6 +137,35 @@ class Round7OpsSpec extends GraftSpec {
     }
   }
 
+  test("q109 LSH pairs are a verified subset of the brute-force tau-pairs") {
+    import graft.operators.Dedup
+    import graft.functions.VectorFunctions
+    val got = Dedup.q109EmbedLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "LSH found no pairs at all on the test corpus")
+    got.foreach { case (v1, v2, cos) =>
+      assert(v1 < v2 && cos >= 0.35, s"bad pair ($v1, $v2, $cos)")
+    }
+    // brute force ALL pairs (test scale only — the operator exists so
+    // this surface never runs in production)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
+    val brute = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      .crossJoin(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.35)
+      .select("v1", "v2", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got.foreach(p => assert(brute.contains(p), s"LSH invented a pair: $p"))
+    // candidates are banded-signature collisions, so recall is partial
+    // by design — but it must be a real fraction of the ground truth
+    assert(got.length * 5 >= brute.size,
+      s"recall collapsed: ${got.length} of ${brute.size} pairs")
+  }
+
   test("messy_numeric is total: NaN, infinities, negatives, extremes") {
     // the Column chain it replaced was total (Spark's Round passes
     // non-finite through; Cast truncates) — the native expression must
