@@ -416,10 +416,15 @@ object Dedup {
   // hash-match DuckDB: the LSH pipeline itself is oracle-checked,
   // not just spec'd.
   //
-  // Scale shape: the band shuffle carries (band, 4-bit key, vec_id) —
-  // never the vector payload; candidates re-join the (vec_id,
-  // embedding, nrm) side by id for verification. Bucket sizes bound
-  // the pair work exactly as in q42's banded minhash.
+  // Scale shape: the band shuffle carries (band, key, vec_id) — never
+  // the vector payload; candidates re-join the (vec_id, embedding, nrm)
+  // side by id for verification. The bucket-size dial is the BITS PER
+  // BAND: expected bucket size is n / 2^RpBandBits, so r grows with
+  // log2(n) at scale (4 bits suits this 2k-vector test corpus; a
+  // 100 TB run uses 16-20-bit bands and correspondingly more planes,
+  // trading recall per band for more bands) — the same discipline as
+  // q42's banded minhash, where the band signature hash plays the role
+  // of the key space.
   val RpPlanes = 16
   val RpBandBits = 4
 
