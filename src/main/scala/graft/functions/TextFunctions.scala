@@ -43,6 +43,22 @@ object TextFunctions {
         i => xxhash64((0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** 60-bit non-negative integer hash from md5's first 15 hex chars —
+    * the CROSS-ENGINE hash: md5 is bit-identical in Spark and DuckDB
+    * and both sides parse the same hex prefix, so hashed-bucket /
+    * minhash / simhash operators built on it are fully ORACLE-CHECKED
+    * (xxhash64, the previous choice, exists only in Spark and forced
+    * those operators into rows-only verification). One md5 per value is
+    * map-side, codegen'd, and embarrassingly parallel — the same cost
+    * class as q40's md5 dedup at 100 TB.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Long]]. */
+  def md5LongSql(e: String): String =
+    s"CAST(('0x' || substring(md5(CAST($e AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   /** SQL twin of [[shingles]] for n=3 (DuckDB list syntax, 1-based). */
   def shinglesSql3(textCol: String): String =
     s"list_transform(range(1, len(string_split($textCol, ' ')) - 1), " +

@@ -43,34 +43,60 @@ object Classify {
   val q27Sql: String =
     s"""SELECT doc_id, $ruleLabelSql AS label FROM documents ORDER BY doc_id""".stripMargin
 
-  // E12 (rows-only): hashed-TF logistic scoring. tokens → xxhash64 mod D
-  // buckets; weight(class, bucket) = centered hash in [-0.5, 0.5);
-  // score_c = Σ_token w_c(bucket(token)); prediction = argmax_c.
-  // All map-side except one groupBy(doc_id) — scales linearly.
+  // E12: hashed-TF logistic scoring. tokens → md5-hash mod D buckets;
+  // weight(class, bucket) = centered hash in [-500, 500) MILLIS —
+  // integer weights, so per-class scores are exact LONG sums
+  // (partial-aggregation order can't perturb a bit) divided by 1000
+  // once at the end. With the cross-engine md5Long hash (round 7;
+  // previously xxhash64, Spark-only) the classifier is fully
+  // ORACLE-CHECKED instead of rows-only. All map-side except one
+  // groupBy(doc_id) — scales linearly.
   val NumBuckets = 1024
   val NumClasses = 5
+
+  import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
   def q28ClassifyLr(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val tok = d.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .withColumn("bucket", pmod(xxhash64(col("token")), lit(NumBuckets)))
-    def w(c: Int): Column =
-      (pmod(xxhash64(lit(c), col("bucket")), lit(1000L)).cast(DoubleType) / 1000.0) - 0.5
-    val scoreCols = (0 until NumClasses).map(c => sum(w(c)).as(s"score_$c"))
+      .withColumn("bucket", pmod(md5Long(col("token")), lit(NumBuckets)))
+    // weight in millis: centered integer hash of "c:bucket"
+    def wMillis(c: Int): Column =
+      pmod(md5Long(concat(lit(s"$c:"), col("bucket").cast("string"))), lit(1000L)) - 500L
+    val scoreCols = (0 until NumClasses).map(c => sum(wMillis(c)).as(s"s_$c"))
     val scored = tok.groupBy("doc_id")
       .agg(scoreCols.head, scoreCols.tail: _*)
-    val best = (0 until NumClasses).map(c => col(s"score_$c"))
+    val best = (0 until NumClasses).map(c => col(s"s_$c"))
       .reduceLeft((a, b) => greatest(a, b))
     val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
-      when(col(s"score_$c") === best, lit(c)).otherwise(acc)
+      when(col(s"s_$c") === best, lit(c)).otherwise(acc)
     }
     scored
       .withColumn("pred_class", pred)
-      .withColumn("best_score", round(best, 4))
+      .withColumn("best_score", round(best.cast(DoubleType) / 1000.0, 4))
       .select(col("doc_id"), col("pred_class"), col("best_score"))
       .orderBy("doc_id")
+  }
+
+  val q28Sql: String = {
+    val bucket = s"(${md5LongSql("token")} % $NumBuckets)"
+    def wMillis(c: Int) =
+      s"(${md5LongSql(s"'$c' || ':' || CAST(bucket AS VARCHAR)")} % 1000 - 500)"
+    val sums = (0 until NumClasses).map(c => s"SUM(${wMillis(c)}) AS s_$c").mkString(", ")
+    val best = s"GREATEST(${(0 until NumClasses).map(c => s"s_$c").mkString(", ")})"
+    val pred = (0 until NumClasses).map(c => s"WHEN s_$c = best THEN $c")
+      .mkString("CASE ", " ", " ELSE -1 END")
+    s"""SELECT doc_id, $pred AS pred_class,
+       | ROUND(CAST(best AS DOUBLE) / 1000.0, 4) AS best_score
+       |FROM (
+       | SELECT doc_id, $sums, $best AS best FROM (
+       |  SELECT doc_id, token, $bucket AS bucket
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE LENGTH(token) > 0)
+       | GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Synthesized balance-sheet line-item label (shared with q103/q104):
@@ -83,18 +109,19 @@ object Classify {
       .when(k % 5 === 3, "data center equipment")
       .otherwise(lit("sundry payables"))
 
-  // E12b (run_build_database.py:43, 301-327; rows-only like q28): DUAL-
-  // MODEL routed classification. The reference trains SEPARATE asset and
-  // liability LR models (`asset_log_reg_mdl_v2.joblib` /
+  // E12b (run_build_database.py:43, 301-327): DUAL-MODEL routed
+  // classification. The reference trains SEPARATE asset and liability
+  // LR models (`asset_log_reg_mdl_v2.joblib` /
   // `liable_log_reg_mdl_v2.joblib`) and scores each line item with the
   // model of its balance-sheet side (the q26 bisection). Here the two
   // weight matrices are side-seeded hashed-TF linear models —
-  // w_side(class, bucket) = centered xxhash64(side, class, bucket) — so
-  // routing a line to the other matrix demonstrably changes its scores.
-  // All map-side except one per-line groupBy; the side column rides the
-  // same okey window the bisection uses. Rows-only: xxhash64 has no
-  // DuckDB twin; the spec proves routing by equality with force-sided
-  // runs.
+  // w_side(class, bucket) = centered md5Long("side:c:bucket") in
+  // integer MILLIS — so routing a line to the other matrix demonstrably
+  // changes its scores, the per-class sums are exact long arithmetic,
+  // and (round 7, with the cross-engine hash) the whole routed scoring
+  // is ORACLE-CHECKED instead of rows-only. All map-side except one
+  // per-line groupBy; the side column rides the same okey window the
+  // bisection uses. The force-sided spec still proves the routing.
   def q104DualLr(s: SparkSession, dir: String): DataFrame = routedLr(s, dir, None)
 
   private[graft] def routedLr(s: SparkSession, dir: String,
@@ -112,26 +139,66 @@ object Classify {
     val tok = sided.select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"), col("side"),
         explode(split(lineLabel(col("l_partkey")), " ")).as("token"))
-      .withColumn("bucket", pmod(xxhash64(col("token")), lit(NumBuckets)))
-    // the side column SELECTS the weight matrix: two disjoint hash seeds
-    def wgt(c: Int): Column =
-      (pmod(xxhash64(col("side"), lit(c), col("bucket")), lit(1000L))
-        .cast(DoubleType) / 1000.0) - 0.5
-    val scoreCols = (0 until NumClasses).map(c => sum(wgt(c)).as(s"score_$c"))
+      .withColumn("bucket", pmod(md5Long(col("token")), lit(NumBuckets)))
+    // the side column SELECTS the weight matrix: disjoint hash inputs
+    def wgtMillis(c: Int): Column =
+      pmod(md5Long(concat(col("side"), lit(s":$c:"), col("bucket").cast("string"))),
+        lit(1000L)) - 500L
+    val scoreCols = (0 until NumClasses).map(c => sum(wgtMillis(c)).as(s"s_$c"))
     val scored = tok
       .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "side")
       .agg(scoreCols.head, scoreCols.tail: _*)
-    val best = (0 until NumClasses).map(c => col(s"score_$c"))
+    val best = (0 until NumClasses).map(c => col(s"s_$c"))
       .reduceLeft((a, b) => greatest(a, b))
     val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
-      when(col(s"score_$c") === best, lit(c)).otherwise(acc)
+      when(col(s"s_$c") === best, lit(c)).otherwise(acc)
     }
     scored
       .withColumn("pred_class", pred)
-      .withColumn("best_score", round(best, 4))
+      .withColumn("best_score", round(best.cast(DoubleType) / 1000.0, 4))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("side"), col("pred_class"), col("best_score"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  val q104Sql: String = {
+    val label = // the q103/q104 shared synthesized line label, by partkey
+      s"""CASE (l_partkey) % 5 WHEN 0 THEN 'customer deposits held'
+         | WHEN 1 THEN 'order receivables net'
+         | WHEN 2 THEN 'stream service obligations'
+         | WHEN 3 THEN 'data center equipment'
+         | ELSE 'sundry payables' END""".stripMargin
+    val bucket = s"(${md5LongSql("token")} % $NumBuckets)"
+    def wgtMillis(c: Int) =
+      s"(${md5LongSql(s"side || ':$c:' || CAST(bucket AS VARCHAR)")} % 1000 - 500)"
+    val sums = (0 until NumClasses).map(c => s"SUM(${wgtMillis(c)}) AS s_$c").mkString(", ")
+    val best = s"GREATEST(${(0 until NumClasses).map(c => s"s_$c").mkString(", ")})"
+    val pred = (0 until NumClasses).map(c => s"WHEN s_$c = best THEN $c")
+      .mkString("CASE ", " ", " ELSE -1 END")
+    s"""WITH sided AS (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CASE WHEN l_linenumber <= split_line THEN 'assets'
+       |       ELSE 'liabilities' END AS side,
+       |  $label AS label
+       | FROM (
+       |  SELECT *, MAX(CASE WHEN l_returnflag = 'A' THEN l_linenumber END)
+       |    OVER (PARTITION BY l_orderkey) AS split_line
+       |  FROM lineitem)
+       | WHERE split_line IS NOT NULL
+       |), tok AS (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
+       |  $bucket AS bucket
+       | FROM (SELECT *, UNNEST(string_split(label, ' ')) AS token FROM sided)
+       |)
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
+       | $pred AS pred_class,
+       | ROUND(CAST(best AS DOUBLE) / 1000.0, 4) AS best_score
+       |FROM (
+       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
+       |  $sums, $best AS best
+       | FROM tok
+       | GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey, side)
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
   }
 
   // E13 (DatabaseStructured.py:21-48): manual-label override — left join

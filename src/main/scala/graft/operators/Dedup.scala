@@ -106,33 +106,56 @@ object Dedup {
        |WHERE jaccard >= 0.8 ORDER BY d1, d2""".stripMargin
   }
 
-  // T3 (rows-only): MinHash + LSH — the 100 TB near-dup path. k=32
-  // xxhash64 permutations min-folded per doc, banded 8×4; candidate
-  // pairs only join inside (band, signature) buckets, so the shuffle is
-  // hash-partitioned on the band signature and worst-case pair count is
-  // bounded by bucket sizes. Estimated Jaccard = fraction of matching
-  // minhash components; final gate at 0.5.
+  // T3: MinHash + LSH — the 100 TB near-dup path. k=32 permutations
+  // min-folded per doc, banded 8×4; candidate pairs only join inside
+  // (band, signature) buckets, so the shuffle is hash-partitioned on
+  // the band signature and worst-case pair count is bounded by bucket
+  // sizes. Estimated Jaccard = fraction of matching minhash
+  // components; final gate at 0.5.
+  //
+  // Round 7: the permutations are now AFFINE MAPS over a 45-bit
+  // md5Long base — perm_i(x) = (a_i·x + b_i) mod 2^45 with odd 15-bit
+  // a_i (a bijection of the 45-bit space, i.e. a genuine permutation) —
+  // and the band signatures are md5Long of the rendered band slice.
+  // Every step is exact integer arithmetic both engines share, so the
+  // ENTIRE minhash+LSH pipeline is ORACLE-CHECKED (previously
+  // rows-only: xxhash64 is Spark-only). The a_i/b_i constants are
+  // generated once in Scala and embedded as literals in BOTH the
+  // Column expressions and the SQL twin.
   val MinhashK = 32
   val LshBands = 8 // × 4 rows per band
+  val MhMod = 1L << 45
+  private def mhA(i: Int): Long = 2L * ((i * 2654435761L) % 16384L) + 1L
+  private def mhB(i: Int): Long = (i * 22801763489L + 1234567891L) % MhMod
 
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // no distinct needed: the min-fold is duplicate-insensitive, so the
     // signature aggregation runs straight off the explode with map-side
     // partial mins — one small shuffle keyed by doc_id, nothing else.
+    // ONE md5 per shingle occurrence; the 32 permutations are cheap
+    // affine arithmetic on the shared base.
     val sh = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 3)).as("shingle"))
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
+      .withColumn("base", TextFunctions.md5Long(col("shingle")) % MhMod)
     val minCols = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      min((lit(mhA(i)) * col("base") + lit(mhB(i))) % MhMod).as(s"mh_$i"))
+    val rowsPerBand = MinhashK / LshBands
+    val mhAgg = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sigs = mhAgg
       .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh_$i")): _*))
       .select("doc_id", "sig")
-    val rowsPerBand = MinhashK / LshBands
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    // band signature: md5Long of "band:mh,mh,mh,mh" — identical string
+    // rendering of longs in both engines
+    val bandSigs = (0 until LshBands).map { b =>
+      TextFunctions.md5Long(concat_ws(",",
+        lit(s"$b:") +: (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*))
+    }
+    val banded = mhAgg.select(col("doc_id"),
+        posexplode(array(bandSigs: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
     // candidate pairs travel as bare (d1, d2) longs — the 32-long sig
@@ -155,6 +178,46 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  val q42Sql: String = {
+    val sh3 = TextFunctions.shinglesSql3("text")
+    val base = s"(${TextFunctions.md5LongSql("shingle")} % $MhMod)"
+    val minCols = (0 until MinhashK)
+      .map(i => s"MIN((${mhA(i)} * base + ${mhB(i)}) % $MhMod) AS mh_$i")
+      .mkString(",\n  ")
+    val rowsPerBand = MinhashK / LshBands
+    val bandUnion = (0 until LshBands).map { b =>
+      val rendered = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${TextFunctions.md5LongSql(s"'$b:' || ',' || $rendered")} AS band_sig FROM sigs"
+    }.mkString("\n UNION ALL ")
+    val matches = (0 until MinhashK)
+      .map(i => s"(CASE WHEN s1.mh_$i = s2.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       | SELECT doc_id, $base AS base
+       | FROM (SELECT doc_id, UNNEST($sh3) AS shingle FROM documents)
+       |), sigs AS (
+       | SELECT doc_id,
+       |  $minCols
+       | FROM sh GROUP BY doc_id
+       |), banded AS (
+       | $bandUnion
+       |), cand AS (
+       | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, est_jaccard FROM (
+       | SELECT c.d1, c.d2,
+       |  ROUND(CAST($matches AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+       | FROM cand c
+       | JOIN sigs s1 ON c.d1 = s1.doc_id
+       | JOIN sigs s2 ON c.d2 = s2.doc_id)
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   // T4 (rows-only): SimHash — 60-bit signature (bits 0-59 of xxhash64 per
   // token, majority-vote per bit), hamming ≤ 3 via 4-band equality
   // blocking (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands equal).
@@ -163,9 +226,13 @@ object Dedup {
 
   def q43Simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // md5Long (round 7; previously xxhash64): the 60-bit cross-engine
+    // hash makes the WHOLE simhash pipeline — bit votes, signature,
+    // band buckets, hamming verification — oracle-checked instead of
+    // rows-only. 60 hash bits line up exactly with SimBits.
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", TextFunctions.md5Long(col("token")))
     // per bit: sum(+1/-1); sign → bit
     val bitSums = (0 until SimBits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"b_$j"))
@@ -186,10 +253,45 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast(LongType))
       .filter(col("hamming") <= 3)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
+  }
+
+  val q43Sql: String = {
+    val h = TextFunctions.md5LongSql("token")
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS b_$j").mkString(",\n  ")
+    val simhash = (0 until SimBits)
+      .map(j => s"(CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bandMask = (1L << 15) - 1
+    val bandUnion = (0 until SimBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & $bandMask AS band_val FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH tok AS (
+       | SELECT doc_id, $h AS h
+       | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       | WHERE LENGTH(token) > 0
+       |), bits AS (
+       | SELECT doc_id,
+       |  $bitSums
+       | FROM tok GROUP BY doc_id
+       |), sigs AS (
+       | SELECT doc_id, $simhash AS simhash FROM bits
+       |), banded AS (
+       | $bandUnion
+       |), cand AS (
+       | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  a.simhash AS sh1, b.simhash AS sh2
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sh1, sh2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
   }
 
   // T2-followup: resolve near-dup PAIRS into transitive CLUSTERS with a
