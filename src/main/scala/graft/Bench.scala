@@ -48,7 +48,13 @@ object Bench {
       val ok = passes.filter(_ >= 0)
       (name, if (ok.isEmpty) -1.0 else ok.min, passes)
     }
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // The always-run control must not inflate targeted-run totals: when
+    // SPARK_GRAFT_ONLY is set and did NOT ask for the control, its time
+    // stays visible in queries/passes but is excluded from "value" (r7
+    // advice). Full-suite totals are unchanged (the control is selected).
+    val total = results.collect {
+      case (name, v, _) if v >= 0 && only.forall(_.contains(name)) => v
+    }.sum
     // Locale.ROOT: f"$v%.3f" uses the JVM default locale and would emit
     // comma decimals (invalid JSON) on e.g. de_DE JVMs
     def fmt(v: Double): String =

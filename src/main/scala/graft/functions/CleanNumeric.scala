@@ -37,6 +37,11 @@ object CleanNumeric {
     * kept as a single expression string pasteable into oracle queries.
     */
   def messySqlExpr(value: String, key: String): String = {
+    // NULL guard: the native MessyNumericExpr is nullSafeEval (either
+    // input NULL -> NULL), whereas a bare CASE (key)%6 ... ELSE would
+    // fall through to the variant-5 branch on a NULL key. The corpus
+    // never feeds NULL keys, but the twins must agree off-corpus too
+    // (r7 advice) — so the SQL twin short-circuits NULLs the same way.
     val c = s"CAST(ROUND(($value) * 100, 0) AS BIGINT)"
     val ip = s"(($c) // 100)"
     val fr = s"LPAD(CAST(($c) % 100 AS VARCHAR), 2, '0')"
@@ -45,14 +50,15 @@ object CleanNumeric {
          |     WHEN $ip >= 1000 THEN CAST($ip // 1000 AS VARCHAR) || ',' || LPAD(CAST($ip % 1000 AS VARCHAR), 3, '0')
          |     ELSE CAST($ip AS VARCHAR) END""".stripMargin
     val base = s"(($g) || '.' || $fr)"
-    s"""CASE ($key) % 6
+    s"""CASE WHEN ($value) IS NULL OR ($key) IS NULL THEN NULL
+       |ELSE CASE ($key) % 6
        | WHEN 0 THEN '$$' || $base
        | WHEN 1 THEN '(' || $base || ')'
        | WHEN 2 THEN TRANSLATE($base, '1', 'I')
        | WHEN 3 THEN '  ' || $base || ' '
        | WHEN 4 THEN '-'
        | ELSE '-' || REGEXP_REPLACE($base, ',', '', 'g')
-       |END""".stripMargin
+       |END END""".stripMargin
   }
 
   /** The cleaner: raw messy string → (value, was_negative applied).

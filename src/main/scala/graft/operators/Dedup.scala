@@ -218,9 +218,12 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  // T4 (rows-only): SimHash — 60-bit signature (bits 0-59 of xxhash64 per
-  // token, majority-vote per bit), hamming ≤ 3 via 4-band equality
-  // blocking (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands equal).
+  // T4: SimHash — 60-bit signature (the 60 bits of md5Long per token,
+  // majority-vote per bit), hamming ≤ 3 via 4-band equality blocking
+  // (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands equal). Fully
+  // oracle-checked since round 7: md5Long is bit-identical in DuckDB,
+  // so the whole pipeline — bit votes, signature, band buckets, hamming
+  // verification — hash-matches the SQL twin (q43Sql).
   val SimBits = 60
   val SimBands = 4 // 15 bits each
 

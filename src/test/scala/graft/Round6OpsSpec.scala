@@ -129,9 +129,13 @@ class Round6OpsSpec extends GraftSpec {
     assert(heavy.nonEmpty, "clean chain projection not found in plan")
     heavy.foreach { case (_, i) =>
       // children print BELOW parents: between the heavy projection and
-      // its leaf scan there must be the pinned repartition exchange
+      // its leaf scan there must be the pinned repartition exchange.
+      // An EMPTY `below` means the heavy line sits DIRECTLY on top of a
+      // FileScan — the exact pushed-into-the-scan-stage shape this test
+      // exists to catch — so it must fail, not pass vacuously (r7
+      // advice: the old `below.isEmpty ||` escape defeated the guard).
       val below = plan.drop(i + 1).takeWhile(!_.contains("FileScan"))
-      assert(below.isEmpty || below.exists(_.contains("REPARTITION_BY_NUM")),
+      assert(below.exists(_.contains("REPARTITION_BY_NUM")),
         s"heavy projection at line $i is not above a pinned repartition:\n" +
           plan.slice(i, i + 6).mkString("\n"))
     }
