@@ -685,4 +685,90 @@ object Dedup {
       | ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
       |FROM p JOIN g USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // T30: cross-document duplicated-SPAN detection — the relational
+  // re-expression of exact-substring dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", ACL 2022, which uses a
+  // suffix array; reference corpus-prep analogue: the passage dedup the
+  // pipeline applies before training). Instead of a suffix array
+  // (pointer-chasing, single-machine), the same spans fall out of pure
+  // keyed shuffles: every K-token shingle is hashed (md5Long, so the
+  // whole pipeline is oracle-checked), posting lists per hash are
+  // df-capped (drops boilerplate AND bounds candidate pairs at occ² ≤
+  // SpanCap² per hash — the q41/T3 bound), matching (pos1, pos2) pairs
+  // land on a DIAGONAL g = pos1 - pos2, and maximal runs of consecutive
+  // shingle matches on one diagonal are found with the gaps-and-islands
+  // trick (pos1 - row_number, q71's machinery) — a run of R shingles is
+  // a duplicated span of R + K - 1 tokens. Everything is a groupBy or a
+  // keyed window: hash-partitioned, no global structure, 100 TB-shaped.
+  val SpanK = 8 // tokens per shingle
+  val SpanCap = 64 // max posting-list length per shingle hash
+  val SpanMin = 16 // min duplicated-span length (tokens) to report
+
+  def q111DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val sh = toks
+      .withColumn("pos",
+        explode(when(col("n") >= SpanK, sequence(lit(0), col("n") - SpanK)).otherwise(array())))
+      .select(col("doc_id"), col("pos"),
+        TextFunctions.md5Long(
+          array_join(slice(col("toks"), col("pos") + 1, lit(SpanK)), " ")).as("h"))
+    // posting list per hash (single corpus evaluation — the self-join
+    // form would tokenize+hash the corpus twice); cap bounds the pair
+    // blow-up exactly like T3's banded buckets
+    val posts = sh.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+      .filter(size(col("ps")) > 1 && size(col("ps")) <= SpanCap)
+    val m = posts
+      .withColumn("x", explode(col("ps")))
+      .withColumn("y", explode(col("ps")))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.pos").as("p1"), col("y.pos").as("p2"))
+      .withColumn("g", col("p1") - col("p2"))
+    val runs = m
+      .withColumn("isl",
+        col("p1") - row_number().over(Window.partitionBy("d1", "d2", "g").orderBy("p1")))
+      .groupBy("d1", "d2", "g", "isl")
+      .agg(count(lit(1)).as("len_sh"))
+      .withColumn("span_tokens", col("len_sh") + lit(SpanK - 1))
+      .filter(col("span_tokens") >= SpanMin)
+    runs.groupBy("d1", "d2")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max("span_tokens").as("max_span_tokens"),
+        sum("span_tokens").as("sum_span_tokens"))
+      .orderBy("d1", "d2")
+  }
+
+  val q111Sql: String = {
+    val h = TextFunctions.md5LongSql(s"array_to_string(t[(i+1):(i+$SpanK)], ' ')")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |   len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i AS pos, $h AS h
+       |  FROM (SELECT doc_id, t, unnest(range(0, n - ${SpanK - 1})) AS i FROM toks)),
+       |ok AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1 AND COUNT(*) <= $SpanCap),
+       |m AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+       |   a.pos - b.pos AS g
+       |  FROM sh a JOIN sh b USING (h) JOIN ok USING (h)
+       |  WHERE a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT d1, d2, g, p1,
+       |   p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, g ORDER BY p1) AS isl
+       |  FROM m),
+       |spans AS (
+       |  SELECT d1, d2, COUNT(*) + ${SpanK - 1} AS span_tokens
+       |  FROM runs GROUP BY d1, d2, g, isl
+       |  HAVING COUNT(*) + ${SpanK - 1} >= $SpanMin)
+       |SELECT d1, d2, COUNT(*) AS n_spans,
+       | CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       | CAST(SUM(span_tokens) AS BIGINT) AS sum_span_tokens
+       |FROM spans GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+  }
 }

@@ -362,4 +362,115 @@ object TextOps {
       | ROUND(list_sum(list(p ORDER BY i)), 6) AS lm_sum,
       | ROUND(list_sum(list(p ORDER BY i)) / COUNT(*), 6) AS lm_mean
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // T28: CCNet-style per-language perplexity bucketing (Wenzek et al.,
+  // "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  // Data", LREC 2020): score every document under the corpus bigram LM
+  // (q76's single-lineage window form) and split each LANGUAGE into
+  // head/middle/tail thirds by mean negative log-likelihood — the
+  // standard quality gate before LLM pretraining.
+  //
+  // Determinism: per-bigram NLL is quantized to integer MICRO-NATS
+  // (round(-ln(p)·1e6) as BIGINT — ln differs from DuckDB by ≤1 ulp,
+  // absorbed exactly like q53's round(6)), so the per-doc sum is exact
+  // long arithmetic no matter the aggregation order; the bucket NTILE
+  // orders by (exact-int ratio as IEEE double, doc_id) — identical in
+  // both engines. Scale: one corpus explode, two window counts keyed by
+  // bigram, and a PER-LANGUAGE ntile (keyed shuffle, no global sort).
+  def q110DocPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val bi = toks
+      .withColumn("i", explode(when(col("n") > 1, sequence(lit(0), col("n") - 2)).otherwise(array())))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"))
+    // same single-lineage shape as q76: both LM counts attach as windows
+    // over the bigram occurrences — the corpus explode runs exactly once
+    val scored = bi
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("w1")))
+      .withColumn("nll_u",
+        round(-log(col("c2").cast(DoubleType) / col("c1")) * 1e6, 0).cast(LongType))
+    val agg = scored.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_u").as("nll_micro"))
+    val meanNll = col("nll_micro").cast(DoubleType) / col("n_bigrams") / 1e6
+    agg.select(col("doc_id"), col("lang"), col("n_bigrams"), col("nll_micro"),
+        round(exp(meanNll), 6).as("ppl_r6"),
+        ntile(3).over(Window.partitionBy("lang").orderBy(meanNll, col("doc_id")))
+          .cast(LongType).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t,
+      |   len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang, t[i+1] AS w1, t[i+2] AS w2
+      |  FROM (SELECT doc_id, lang, t, unnest(range(0, n-1)) AS i FROM toks)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |   CAST(ROUND(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000, 0) AS BIGINT) AS nll_u
+      |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+      |agg AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+      |   CAST(SUM(nll_u) AS BIGINT) AS nll_micro
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_bigrams, nll_micro,
+      | ROUND(EXP(CAST(nll_micro AS DOUBLE) / n_bigrams / 1000000.0), 6) AS ppl_r6,
+      | NTILE(3) OVER (PARTITION BY lang
+      |   ORDER BY CAST(nll_micro AS DOUBLE) / n_bigrams / 1000000.0, doc_id) AS ppl_bucket
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // T29: unigram-entropy / type-token diagnostics — per-document Shannon
+  // entropy of the token distribution plus type-token ratio, the
+  // info-theoretic complement of T8's surface quality score (low-entropy
+  // docs are template/boilerplate; TTR near 0 flags repetition like T17
+  // but in one map-side pass). Entropy = Σ (c/n)·ln(n/c), computed as
+  // exact long micro-nats per TYPE (round(c·ln(n/c)·1e6)) so the sum is
+  // aggregation-order-proof; one groupBy(doc, token) + one keyed window
+  // — scales as a pure keyed shuffle.
+  def q112EntropyStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("ent_u",
+        round(col("c") * log(col("n").cast(DoubleType) / col("c")) * 1e6, 0).cast(LongType))
+    counts.groupBy("doc_id")
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("ent_u")).as("ent_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        col("ent_micro"),
+        round(col("ent_micro").cast(DoubleType) / col("n_tokens") / 1e6, 6).as("entropy_r6"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, token, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE len(token) > 0 GROUP BY 1, 2),
+      |w AS (
+      |  SELECT doc_id, c,
+      |   CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |  FROM counts),
+      |q AS (
+      |  SELECT doc_id, n,
+      |   CAST(ROUND(c * LN(CAST(n AS DOUBLE) / c) * 1000000, 0) AS BIGINT) AS ent_u
+      |  FROM w)
+      |SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_types,
+      | ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n), 6) AS ttr,
+      | CAST(SUM(ent_u) AS BIGINT) AS ent_micro,
+      | ROUND(CAST(CAST(SUM(ent_u) AS BIGINT) AS DOUBLE) / MAX(n) / 1000000.0, 6) AS entropy_r6
+      |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

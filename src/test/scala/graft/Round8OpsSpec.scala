@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Round-8 guards: perplexity bucketing (q110), duplicated-span
+  * detection (q111), and entropy/TTR diagnostics (q112). Each operator
+  * is oracle-checked by the driver gate; these specs verify the
+  * SEMANTIC claims the oracle can't express — bucket balance, that a
+  * reported span really is a common substring of the two documents,
+  * and the information-theoretic bounds on entropy.
+  */
+class Round8OpsSpec extends GraftSpec {
+
+  test("q110 buckets each language into near-equal thirds, ppl >= 1") {
+    val rows = TextOps.q110DocPerplexity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"n_bigrams must be positive: $r")
+      assert(r.getLong(3) >= 0, s"nll_micro must be >= 0 (p <= 1): $r")
+      assert(r.getDouble(4) >= 1.0, s"perplexity must be >= 1: $r")
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= 3, s"bucket out of range: $r")
+    }
+    // NTILE(3) balance: per language, bucket sizes differ by at most 1
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getLong(5)).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, s"unbalanced buckets for $lang")
+    }
+    // bucket order tracks mean NLL: within a language every bucket-1 doc
+    // scores <= every bucket-3 doc
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      def mean(r: org.apache.spark.sql.Row) = r.getLong(3).toDouble / r.getLong(2)
+      val b1 = rs.filter(_.getLong(5) == 1).map(mean)
+      val b3 = rs.filter(_.getLong(5) == 3).map(mean)
+      if (b1.nonEmpty && b3.nonEmpty)
+        assert(b1.max <= b3.min + 1e-12, s"bucket order violated for $lang")
+    }
+    // every doc with >= 2 tokens is scored (the LM drops nothing)
+    val expected = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == expected)
+  }
+
+  test("q111 reported spans are real: the two texts share a contiguous run") {
+    val rows = Dedup.q111DupSpans(spark, sfDir).collect()
+    assert(rows.nonEmpty, "span detector found nothing at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair not ordered: $r")
+      assert(r.getLong(3) >= Dedup.SpanMin, s"span below threshold: $r")
+      assert(r.getLong(4) >= r.getLong(3), s"sum < max: $r")
+    }
+    // independent verification, no hashing involved: for the pair with
+    // the longest reported span, brute-force the longest common
+    // contiguous token run between the two raw texts — it must be at
+    // least the reported span (equality can be broken only by the
+    // posting-list cap dropping a shingle)
+    val top = rows.maxBy(_.getLong(3))
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(top.getLong(0), top.getLong(1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val (a, b) = (texts(top.getLong(0)), texts(top.getLong(1)))
+    var best = 0
+    for (i <- a.indices; j <- b.indices if a(i) == b(j)) {
+      var k = 0
+      while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k)) k += 1
+      best = best max k
+    }
+    assert(best >= top.getLong(3),
+      s"reported span ${top.getLong(3)} but longest real common run is $best")
+  }
+
+  test("q111 plan stays keyed: no cartesian or nested-loop join") {
+    val plan = Dedup.q111DupSpans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in span plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in span plan")
+  }
+
+  test("q112 entropy respects its information-theoretic bounds") {
+    val rows = TextOps.q112EntropyStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp) = (r.getLong(1), r.getLong(2))
+      assert(nTyp >= 1 && nTyp <= nTok, s"types out of range: $r")
+      assert(r.getDouble(3) == BigDecimal(nTyp.toDouble / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"ttr wrong: $r")
+      val ent = r.getDouble(5)
+      // 0 <= H <= ln(n_types), with slack for the micro-nat quantization
+      assert(ent >= -1e-6, s"negative entropy: $r")
+      assert(ent <= math.log(nTyp.toDouble) + 1e-6, s"entropy above ln(types): $r")
+      // single-type docs have exactly zero entropy
+      if (nTyp == 1) assert(r.getLong(4) == 0L, s"one type but H != 0: $r")
+    }
+    // direct recomputation for the widest doc (most types): the quantized
+    // figure must agree with a plain double-precision evaluation
+    val top = rows.maxBy(_.getLong(2))
+    val toks = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === top.getLong(0))
+      .collect().head.getString(1).split(" ").filter(_.nonEmpty)
+    val n = toks.length.toDouble
+    val direct = toks.groupBy(identity).values
+      .map(g => g.length / n * math.log(n / g.length)).sum
+    assert(math.abs(direct - top.getDouble(5)) < 1e-4,
+      s"entropy mismatch: direct $direct vs ${top.getDouble(5)}")
+  }
+}
