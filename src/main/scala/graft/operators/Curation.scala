@@ -199,4 +199,75 @@ object Curation {
       | ROUND((CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE))
       |  / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS boost
       |FROM sq ORDER BY source, lang""".stripMargin
+
+  // T31: token-budget mixture sampler — T23's sqrt-token mixture
+  // weights turned into an EXECUTABLE sampling plan: each (source,
+  // lang) stratum gets a token budget proportional to its weight share
+  // (a fixed fraction of the corpus here; the fraction is the only
+  // free parameter at 100 TB), and docs fill the budget in a
+  // deterministic pseudo-random order — md5Long(doc_id), so the
+  // "random" sample is reproducible run-to-run and engine-to-engine —
+  // via a keyed prefix sum (T24's machinery). Greedy fill: a doc is
+  // kept while any budget remains before it, so each stratum overshoots
+  // by at most one document. Scale shape: the budget table is one row
+  // per stratum (global window over #strata rows only), everything else
+  // is one keyed window + one broadcast-sized join — no global sort.
+  val BudgetFrac = 0.25
+
+  def q113BudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val docs = d.select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      graft.functions.TextFunctions.md5Long(col("doc_id")).as("hkey"))
+    // stratum budgets from q77's exact-decimal sqrt weighting
+    val strata = docs.groupBy("source", "lang").agg(sum("n_tokens").as("tok"))
+      .withColumn("sq", sqrt(col("tok").cast(DoubleType)).cast(DecimalType(28, 10)))
+    val wAll = Window.partitionBy()
+    val budgets = strata
+      .withColumn("sq_total", sum(col("sq")).over(wAll))
+      .withColumn("tok_total", sum(col("tok")).over(wAll))
+      .select(col("source"), col("lang"),
+        floor(lit(BudgetFrac) * col("tok_total").cast(DoubleType) *
+          (col("sq").cast(DoubleType) / col("sq_total").cast(DoubleType)))
+          .cast(LongType).as("budget_tokens"))
+    val w = Window.partitionBy("source", "lang").orderBy("hkey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(budgets, Seq("source", "lang"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q113Sql: String = {
+    val hkey = graft.functions.TextFunctions.md5LongSql("doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, lang,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   $hkey AS hkey
+       |  FROM documents),
+       |strata AS (
+       |  SELECT source, lang, CAST(SUM(n_tokens) AS BIGINT) AS tok
+       |  FROM docs GROUP BY 1, 2),
+       |sq AS (
+       |  SELECT *, CAST(SQRT(CAST(tok AS DOUBLE)) AS DECIMAL(28,10)) AS sq
+       |  FROM strata),
+       |budgets AS (
+       |  SELECT source, lang,
+       |   CAST(FLOOR(CAST($BudgetFrac AS DOUBLE)
+       |     * CAST(SUM(tok) OVER () AS DOUBLE)
+       |     * (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE))) AS BIGINT)
+       |    AS budget_tokens
+       |  FROM sq),
+       |cum AS (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_tokens, b.budget_tokens,
+       |   CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source, d.lang
+       |     ORDER BY d.hkey, d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum_tokens
+       |  FROM docs d JOIN budgets b USING (source, lang))
+       |SELECT doc_id, source, lang, n_tokens, cum_tokens, budget_tokens
+       |FROM cum WHERE cum_tokens - n_tokens < budget_tokens
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Curation, Dedup, TextOps}
 
 /** Round-8 guards: perplexity bucketing (q110), duplicated-span
   * detection (q111), and entropy/TTR diagnostics (q112). Each operator
@@ -103,5 +103,36 @@ class Round8OpsSpec extends GraftSpec {
       .map(g => g.length / n * math.log(n / g.length)).sum
     assert(math.abs(direct - top.getDouble(5)) < 1e-4,
       s"entropy mismatch: direct $direct vs ${top.getDouble(5)}")
+  }
+
+  test("q113 fills each stratum budget greedily, overshoot <= one doc") {
+    val rows = Curation.q113BudgetSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // kept docs never start past the budget; overshoot is bounded by the
+    // last doc (cum < budget + n_tokens by construction)
+    rows.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) < r.getLong(5), s"doc starts past budget: $r")
+    }
+    // per stratum: either the budget is filled (max cum >= budget) or
+    // the whole stratum was kept (budget exceeds the stratum's tokens)
+    val stratumSizes = Tables.documents(spark, sfDir)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (key, rs) =>
+      val filled = rs.map(_.getLong(4)).max >= rs.head.getLong(5)
+      assert(filled || rs.length.toLong == stratumSizes(key),
+        s"stratum $key neither filled its budget nor kept every doc")
+    }
+    // deterministic: the sample is a pure function of the data
+    val again = Curation.q113BudgetSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the total budget is the configured fraction of corpus tokens,
+    // up to one floor() per stratum
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect().head.getLong(0)
+    val budgets = rows.groupBy(r => (r.getString(1), r.getString(2)))
+      .map(_._2.head.getLong(5)).sum
+    assert(budgets <= (Curation.BudgetFrac * totalTokens).toLong + 1,
+      s"budgets $budgets exceed the ${Curation.BudgetFrac} fraction of $totalTokens")
   }
 }
