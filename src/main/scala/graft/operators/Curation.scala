@@ -270,4 +270,74 @@ object Curation {
        |FROM cum WHERE cum_tokens - n_tokens < budget_tokens
        |ORDER BY doc_id""".stripMargin
   }
+
+  // T32: DSIR-style importance selection (Xie et al., "Data Selection
+  // for Language Models via Importance Resampling", NeurIPS 2023):
+  // rank raw docs by how much they look like a TARGET slice under
+  // hashed n-gram bag-of-words models. Features are md5Long(token) mod
+  // B buckets; the per-bucket importance log-ratio
+  // ln(p_target(b)/p_raw(b)) with add-1 smoothing is quantized ONCE to
+  // integer micro-nats, so every doc score is an exact long sum of
+  // per-bucket constants — aggregation-order-proof and engine-exact.
+  // The target here is the English slice (`lang = 'en'`), the raw pool
+  // is the whole corpus. Scale shape: the bucket/log-ratio table is B
+  // rows (broadcast); the token stream is a map-side explode consumed
+  // twice — recomputing a narrow map is the right call at 100 TB,
+  // materializing the exploded token stream is not; doc scores are one
+  // keyed groupBy; top-k is TakeOrdered (no global sort).
+  val DsirBuckets = 4096
+  val DsirTopK = 100
+
+  def q114DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b",
+        graft.functions.TextFunctions.md5Long(col("token")) % DsirBuckets)
+    val buckets = tok.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+    val wAll = Window.partitionBy()
+    val lam = buckets
+      .withColumn("rTot", sum("r").over(wAll))
+      .withColumn("tTot", sum("t").over(wAll))
+      .select(col("b"),
+        round(log(
+          ((col("t") + 1).cast(DoubleType) / (col("r") + 1)) *
+            ((col("rTot") + DsirBuckets).cast(DoubleType) / (col("tTot") + DsirBuckets))
+        ) * 1e6, 0).cast(LongType).as("lam"))
+    tok.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("lam").as("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val q114Sql: String = {
+    val h = graft.functions.TextFunctions.md5LongSql("token")
+    val B = DsirBuckets
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source, token, $h % $B AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |        unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE len(token) > 0),
+       |buckets AS (
+       |  SELECT b, COUNT(*) AS r,
+       |   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+       |  FROM tok GROUP BY b),
+       |lam AS (
+       |  SELECT b,
+       |   CAST(ROUND(LN((CAST(t + 1 AS DOUBLE) / (r + 1))
+       |     * (CAST(CAST(SUM(r) OVER () AS BIGINT) + $B AS DOUBLE)
+       |        / (CAST(SUM(t) OVER () AS BIGINT) + $B))) * 1000000, 0) AS BIGINT)
+       |    AS lam
+       |  FROM buckets)
+       |SELECT doc_id, lang, source, COUNT(*) AS n_tokens,
+       | CAST(SUM(lam) AS BIGINT) AS score_micro
+       |FROM tok JOIN lam USING (b)
+       |GROUP BY 1, 2, 3
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+  }
 }

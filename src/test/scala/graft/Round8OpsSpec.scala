@@ -135,4 +135,33 @@ class Round8OpsSpec extends GraftSpec {
     assert(budgets <= (Curation.BudgetFrac * totalTokens).toLong + 1,
       s"budgets $budgets exceed the ${Curation.BudgetFrac} fraction of $totalTokens")
   }
+
+  test("q114 DSIR selection enriches the target language and is deterministic") {
+    val rows = Curation.q114DsirSelect(spark, sfDir).collect()
+    assert(rows.length == Curation.DsirTopK)
+    // scores arrive ranked, ties broken by doc_id
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getLong(4), b.getLong(4))
+        assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)),
+          s"ranking out of order: $a then $b")
+      case _ =>
+    }
+    // the whole point of importance resampling: the target slice
+    // (lang = 'en') is ENRICHED relative to its corpus base rate, and
+    // is the plurality class of the selection (the synthetic corpus
+    // shares most vocabulary across languages, so the margin is small
+    // but the direction must hold)
+    val langCounts = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    val enTop = langCounts.getOrElse("en", 0)
+    assert(langCounts.forall { case (l, c) => l == "en" || c < enTop },
+      s"target language is not the plurality of the selection: $langCounts")
+    val d = Tables.documents(spark, sfDir)
+    val baseRate = d.filter(col("lang") === "en").count().toDouble / d.count()
+    assert(enTop.toDouble / rows.length >= baseRate,
+      s"no enrichment: ${enTop.toDouble / rows.length} vs base $baseRate")
+    // pure function of the data
+    val again = Curation.q114DsirSelect(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
