@@ -1413,4 +1413,108 @@ object Relational {
         round(abs(col("p90_sketch") - col("p90_exact")) / col("p90_exact"), 4))
       .orderBy("o_orderpriority")
   }
+
+  // R54: PORTABLE HyperLogLog — the cross-engine answer to q13's
+  // rows-only status. q13 demonstrates Spark's built-in HLL++ (its
+  // sketch bytes are engine-internal, so no DuckDB twin can exist);
+  // this operator builds the Flajolet et al. 2007 sketch from scratch
+  // on md5Long, making every intermediate — bucket, rank, register,
+  // harmonic sum — exact integer arithmetic both engines share, so the
+  // ESTIMATE ITSELF is oracle-checked to the last bit. m=64 registers:
+  // bucket = top 6 hash bits, rank = leading zeros + 1 of the low 54
+  // bits via length(bin(w)) (exact in both engines, no float log2);
+  // the harmonic denominator Σ 2^-Mj is scaled by 2^55 into an exact
+  // BIGINT sum; the one double division happens once per column.
+  // Scale shape: registers are a groupBy(col, bucket).max — mergeable,
+  // shuffle payload = 64 rows per column regardless of corpus size;
+  // that mergeability is WHY HLL is the 100 TB distinct-counter. The
+  // small-range correction branch (E <= 2.5m with empty registers) is
+  // implemented for totality though these cardinalities never hit it.
+  def q115PortableHll(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val m = 64
+    val vals = l.select(explode(array(
+        struct(lit("l_orderkey").as("c"), col("l_orderkey").cast(StringType).as("v")),
+        struct(lit("l_partkey").as("c"), col("l_partkey").cast(StringType).as("v")),
+        struct(lit("l_suppkey").as("c"), col("l_suppkey").cast(StringType).as("v"))
+      )).as("x"))
+      .select(col("x.c").as("c"), col("x.v").as("v"))
+    val est = hllEstimate(vals)
+    val exact = vals.groupBy("c").agg(countDistinct(col("v")).as("n_exact"))
+    est.join(exact, Seq("c"))
+      .select(col("c"), col("occupied"), col("n_exact"), col("estimate"),
+        round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+      .orderBy("c")
+  }
+
+  /** The portable sketch core: (c, v) rows → one (c, occupied,
+    * estimate) row per c. Split out so specs can drive it with
+    * arbitrary value sets (duplication-insensitivity, merge law).
+    */
+  def hllEstimate(vals: DataFrame): DataFrame = {
+    val m = 64
+    val h = graft.functions.TextFunctions.md5Long(col("v"))
+    val regs = vals
+      .select(col("c"), shiftright(h, 54).as("bucket"),
+        h.bitwiseAND(lit((1L << 54) - 1)).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
+      .groupBy("c", "bucket").agg(max("rho").as("M"))
+    // alpha_m as the HLL paper's expression, constant-folded with the
+    // same IEEE ops in both engines
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    regs.groupBy("c")
+      .agg(
+        count(lit(1)).as("occupied"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - M as int))")).as("s_occ"))
+      .withColumn("s_total",
+        col("s_occ") + (lit(m.toLong) - col("occupied")) * lit(1L << 55))
+      .withColumn("zeros", lit(m.toLong) - col("occupied"))
+      .withColumn("e_raw",
+        alpha * lit(4096.0) * lit(math.pow(2, 55)) / col("s_total").cast(DoubleType))
+      .withColumn("estimate",
+        round(when(col("e_raw") <= lit(160.0) && col("zeros") > 0,
+          lit(64.0) * log(lit(64.0) / col("zeros").cast(DoubleType)))
+          .otherwise(col("e_raw")), 4))
+      .select("c", "occupied", "estimate")
+  }
+
+  val q115Sql: String = {
+    val h = graft.functions.TextFunctions.md5LongSql("v")
+    """WITH vals AS (
+      |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+      |hashed AS (
+      |  SELECT c, HH >> 54 AS bucket, HH & ((CAST(1 AS BIGINT) << 54) - 1) AS w
+      |  FROM (SELECT c, HHEXPR AS HH FROM vals)),
+      |regs AS (
+      |  SELECT c, bucket,
+      |   MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - LENGTH(bin(w)) END) AS M
+      |  FROM hashed GROUP BY c, bucket),
+      |agg AS (
+      |  SELECT c, COUNT(*) AS occupied,
+      |   CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - M AS INT)) AS BIGINT) AS s_occ
+      |  FROM regs GROUP BY c),
+      |est AS (
+      |  SELECT c, occupied,
+      |   CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))
+      |     * CAST(4096.0 AS DOUBLE) * POW(2, 55)
+      |     / CAST(s_occ + (64 - occupied) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+      |    AS e_raw,
+      |   64 - occupied AS zeros
+      |  FROM agg),
+      |fin AS (
+      |  SELECT c, occupied,
+      |   ROUND(CASE WHEN e_raw <= CAST(160.0 AS DOUBLE) AND zeros > 0
+      |     THEN CAST(64.0 AS DOUBLE) * LN(CAST(64.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |     ELSE e_raw END, 4)
+      |    AS estimate
+      |  FROM est),
+      |exact AS (SELECT c, COUNT(DISTINCT v) AS n_exact FROM vals GROUP BY c)
+      |SELECT c, occupied, n_exact, estimate,
+      | ROUND(ABS(estimate - n_exact) / n_exact, 6) AS rel_err
+      |FROM fin JOIN exact USING (c)
+      |ORDER BY c""".stripMargin.replace("HHEXPR", h)
+  }
 }

@@ -164,4 +164,33 @@ class Round8OpsSpec extends GraftSpec {
     val again = Curation.q114DsirSelect(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q115 portable HLL: bounded error, duplication-insensitive, mergeable") {
+    import graft.operators.Relational
+    val rows = Relational.q115PortableHll(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 64, s"occupied out of range: $r")
+      assert(r.getDouble(3) > 0, s"non-positive estimate: $r")
+      // m=64 gives sigma ~ 1.04/8 = 13%; 3-sigma bound on fixed data
+      assert(r.getDouble(4) < 0.4, s"estimate error too large: $r")
+    }
+    // the sketch is a function of the SET of values: feeding every value
+    // twice must not move the estimate at all
+    val l = Tables.lineitem(spark, sfDir)
+    val vals = l.select(lit("k").as("c"),
+      col("l_orderkey").cast("string").as("v"))
+    val once = Relational.hllEstimate(vals).collect().head
+    val twice = Relational.hllEstimate(vals.union(vals)).collect().head
+    assert(once.getDouble(2) == twice.getDouble(2),
+      s"duplication moved the estimate: $once vs $twice")
+    // merge law: registers of a union = max of registers — the sketch of
+    // two disjoint halves concatenated equals the sketch of the whole
+    // (which is exactly how 1000 executors would combine their registers)
+    val whole = Relational.hllEstimate(vals).collect().head.getDouble(2)
+    val halves = vals.filter(col("v").cast("long") % 2 === 0)
+      .union(vals.filter(col("v").cast("long") % 2 === 1))
+    val merged = Relational.hllEstimate(halves).collect().head.getDouble(2)
+    assert(whole == merged, s"merge law violated: $whole vs $merged")
+  }
 }
