@@ -1447,6 +1447,79 @@ object Relational {
       .orderBy("c")
   }
 
+  // R55: PORTABLE count-min sketch — frequency estimation for heavy
+  // hitters (Cormode & Muthukrishnan 2005), the fourth member of the
+  // sketch family (HLL distinct / GK quantile / Bloom membership /
+  // CMS frequency). d=4 salted md5Long hash rows × w=256 columns of
+  // INTEGER counters: cell counts are plain groupBy sums (mergeable by
+  // addition — the 100 TB combine is a 1024-row reduce no matter the
+  // corpus), and each query key's estimate is the MIN over its d
+  // cells, which can only OVERcount (one-sided error ≤ e/w · N with
+  // prob 1-e^-d). Every number is exact integer arithmetic, so the
+  // whole sketch — cells, estimates, overcounts — is oracle-checked.
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  def q116CountMin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    def cellOf(i: Int, t: Column): Column =
+      graft.functions.TextFunctions.md5Long(concat_ws(":", lit(i.toString), t)) % CmsWidth
+    // one corpus pass → d rows per occurrence → 1024 integer counters
+    val cells = tok
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("i"), cellOf(i, col("token")).as("cell"))): _*)).as("x"))
+      .select(col("x.i").as("i"), col("x.cell").as("cell"))
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    // query keys: the exact top-10 tokens (desc count, asc token)
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("token")).limit(10)
+    val probes = top
+      .select(col("token"), col("n_exact"),
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("i"), cellOf(i, col("token")).as("cell"))): _*)).as("x"))
+      .select(col("token"), col("n_exact"), col("x.i").as("i"), col("x.cell").as("cell"))
+    probes.join(cells, Seq("i", "cell"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(desc("n_exact"), asc("token"))
+  }
+
+  val q116Sql: String = {
+    def cellOf(salt: String) = graft.functions.TextFunctions
+      .md5LongSql(s"$salt || ':' || token") + s" % $CmsWidth"
+    s"""WITH tok AS (
+       |  SELECT token FROM (
+       |   SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE len(token) > 0),
+       |occ AS (
+       |  SELECT i, CASE i
+       |    WHEN 0 THEN ${cellOf("'0'")}
+       |    WHEN 1 THEN ${cellOf("'1'")}
+       |    WHEN 2 THEN ${cellOf("'2'")}
+       |    ELSE ${cellOf("'3'")} END AS cell
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i)),
+       |cells AS (SELECT i, cell, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token
+       |  ORDER BY n_exact DESC, token LIMIT 10),
+       |probes AS (
+       |  SELECT token, n_exact, i, CASE i
+       |    WHEN 0 THEN ${cellOf("'0'")}
+       |    WHEN 1 THEN ${cellOf("'1'")}
+       |    WHEN 2 THEN ${cellOf("'2'")}
+       |    ELSE ${cellOf("'3'")} END AS cell
+       |  FROM top CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i))
+       |SELECT token, n_exact, CAST(MIN(cnt) AS BIGINT) AS n_est,
+       | CAST(MIN(cnt) - n_exact AS BIGINT) AS overcount
+       |FROM probes JOIN cells USING (i, cell)
+       |GROUP BY token, n_exact
+       |ORDER BY n_exact DESC, token""".stripMargin
+  }
+
   /** The portable sketch core: (c, v) rows → one (c, occupied,
     * estimate) row per c. Split out so specs can drive it with
     * arbitrary value sets (duplication-insensitivity, merge law).

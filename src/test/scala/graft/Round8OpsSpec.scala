@@ -193,4 +193,22 @@ class Round8OpsSpec extends GraftSpec {
     val merged = Relational.hllEstimate(halves).collect().head.getDouble(2)
     assert(whole == merged, s"merge law violated: $whole vs $merged")
   }
+
+  test("q116 count-min never undercounts and ranks the true heavy hitters") {
+    import graft.operators.Relational
+    val rows = Relational.q116CountMin(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS undercounted: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), s"overcount wrong: $r")
+    }
+    // the probe set really is the exact top-10 (desc count, asc token)
+    val exactTop = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token"))
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == exactTop)
+  }
 }
