@@ -1466,14 +1466,19 @@ object Relational {
       .filter(length(col("token")) > 0)
     def cellOf(i: Int, t: Column): Column =
       graft.functions.TextFunctions.md5Long(concat_ws(":", lit(i.toString), t)) % CmsWidth
-    // one corpus pass → d rows per occurrence → 1024 integer counters
-    val cells = tok
-      .select(explode(array((0 until CmsDepth).map(i =>
+    // ONE corpus pass: reduce to per-token counts first (the reduction
+    // the top-10 probe needs anyway), then hash only DISTINCT tokens —
+    // d hashes per vocabulary entry instead of d per occurrence. Cell
+    // counts are weighted sums of the same integers, so the result is
+    // bit-identical to the per-occurrence form the oracle SQL computes.
+    val tokCounts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    val cells = tokCounts
+      .select(col("n"), explode(array((0 until CmsDepth).map(i =>
         struct(lit(i).as("i"), cellOf(i, col("token")).as("cell"))): _*)).as("x"))
-      .select(col("x.i").as("i"), col("x.cell").as("cell"))
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+      .select(col("x.i").as("i"), col("x.cell").as("cell"), col("n"))
+      .groupBy("i", "cell").agg(sum("n").as("cnt"))
     // query keys: the exact top-10 tokens (desc count, asc token)
-    val top = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val top = tokCounts.withColumnRenamed("n", "n_exact")
       .orderBy(desc("n_exact"), asc("token")).limit(10)
     val probes = top
       .select(col("token"), col("n_exact"),
