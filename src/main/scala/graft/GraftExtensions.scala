@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CleanNumericExpr, MessyNumericExpr, RollingHashExpr, RollingHashRevExpr}
+import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, RollingHashExpr, RollingHashRevExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"clean_numeric expects exactly 1 argument, got ${children.length}")
         CleanNumericExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"vec_dot expects exactly 2 arguments, got ${children.length}")
+        DotProductExpr(children(0), children(1))
       }
     ))
     ext.injectFunction((

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd twin of [[VectorFunctions]]'s sequential dot fold
+  * (the CleanNumericExprs playbook, SURVEY §3 ladder step (b)).
+  *
+  * Why: `aggregate(zip_with(a, b, ...), 0.0, _ + _)` is semantically
+  * right but runs as an interpreted higher-order function — a lambda
+  * dispatch per element plus a materialized intermediate array per
+  * row — and every REFERENCE to it in a cosine (numerator + two norms
+  * + the null guard) duplicates that work. This expression emits ONE
+  * static call that folds the two arrays in index order with double
+  * arithmetic — the exact same sequence of IEEE operations, verified
+  * bit-for-bit against the HOF form by VectorExprsSpec and by the
+  * oracle gate (the DuckDB twins are unchanged).
+  *
+  * Null semantics mirror the HOF chain exactly: null array → null
+  * (nullSafeEval); mismatched lengths → null (zip_with pads with null,
+  * null product poisons the sum); any null ELEMENT → null.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two float/double array arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Double r = graft.functions.VectorExprs.dotBoxed(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+}
+
+object VectorExprs {
+
+  /** Strict left fold Σ a(i)·b(i) in index order, double arithmetic —
+    * the same IEEE sequence as aggregate(zip_with(...)). Boxed so the
+    * HOF chain's null outcomes (length mismatch, null element) are
+    * representable.
+    */
+  def dotBoxed(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

@@ -15,8 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential double dot product of two float-array columns. */
+  /** Sequential double dot product of two float-array columns.
+    * Since round 8 this resolves to the native [[DotProductExpr]]
+    * (registered via GraftExtensions): one codegen'd static call per
+    * row instead of an interpreted HOF with a materialized zip array —
+    * the exact same IEEE fold, parity-spec'd against [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** The declarative HOF form `dot` replaced — kept as the readable
+    * statement of the fold's semantics and the parity oracle for
+    * VectorExprsSpec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

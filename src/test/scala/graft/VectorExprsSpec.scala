@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Round-8 native dot product: the codegen'd vec_dot must be
+  * bit-identical to the declarative HOF fold it replaced, on every
+  * real embedding pair shape and on the HOF chain's null edges.
+  */
+class VectorExprsSpec extends GraftSpec {
+
+  test("vec_dot equals the HOF fold bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j")).limit(5000)
+    val cmp = pairs.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof"))
+    // bit-for-bit: compare raw bits, not ==, so -0.0/NaN can't hide
+    val bad = cmp.filter(
+      expr("(native IS NULL) != (hof IS NULL)") ||
+        expr("cast(native as string) != cast(hof as string)") ||
+        abs(col("native") - col("hof")) =!= 0.0).count()
+    assert(bad == 0, s"$bad pairs diverge between native and HOF dot")
+    assert(cmp.count() > 0)
+  }
+
+  test("vec_dot mirrors the HOF null semantics: mismatch and null element") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // plain: 11.0
+      (Seq(1.0f), Seq(1.0f, 1.0f)), // length mismatch -> null
+      (Seq.empty[Float], Seq.empty[Float]) // empty -> 0.0
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null semantics diverge: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"$r")
+    }
+    assert(got(0).getDouble(0) == 11.0)
+    assert(got(1).isNullAt(0))
+    assert(got(2).getDouble(0) == 0.0)
+    // null ELEMENT poisons to null in both forms
+    val withNullElem = sp.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS a, " +
+        "array(cast(1.0 as float), cast(1.0 as float)) AS b")
+    val ne = withNullElem.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(ne.isNullAt(0) && ne.isNullAt(1), s"null element not poisoning: $ne")
+  }
+}
