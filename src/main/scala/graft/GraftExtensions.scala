@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, RollingHashExpr, RollingHashRevExpr}
+import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, RollingHashExpr, RollingHashRevExpr, SparseDotExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"vec_dot expects exactly 2 arguments, got ${children.length}")
         DotProductExpr(children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("sparse_dot"),
+      new ExpressionInfo(classOf[SparseDotExpr].getName, "sparse_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"sparse_dot expects exactly 2 arguments, got ${children.length}")
+        SparseDotExpr(children(0), children(1))
       }
     ))
     ext.injectFunction((

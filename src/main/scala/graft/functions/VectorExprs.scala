@@ -64,6 +64,57 @@ case class DotProductExpr(left: Expression, right: Expression)
     })
 }
 
+/** Native twin of the SPARSE dot fold
+  * `aggregate(entries, 0.0, (a, e) => a + e.w * element_at(dense, e.dim))`
+  * (q105/q108's k-means assignment inner loop): entries is an array of
+  * (dim, w) structs with 1-BASED dims, dense is the broadcast centroid
+  * array. Same left fold, same IEEE order. Null semantics mirror the
+  * HOF chain (null struct/field/element poisons to null); an
+  * out-of-range dim returns null where ANSI element_at would raise —
+  * unreachable on-corpus (dims come from the vocabulary that built the
+  * centroids) and documented here for the parity record.
+  */
+case class SparseDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StructType}
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sparse_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(s: StructType, _), ArrayType(FloatType | DoubleType, _))
+        if s.length == 2 && s.head.dataType == IntegerType &&
+          s(1).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot requires (array<struct<int,double>>, array<float|double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  private def denseFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseDotExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(e: Any, d: Any): Any =
+    VectorExprs.sparseDotBoxed(e.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData], denseFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, d) => {
+      s"""java.lang.Double r = graft.functions.VectorExprs.sparseDotBoxed(
+         |  $e, $d, $denseFloat);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+}
+
 object VectorExprs {
 
   /** Strict left fold Σ a(i)·b(i) in index order, double arithmetic —
@@ -82,6 +133,30 @@ object VectorExprs {
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Strict left fold Σ w_i · dense(dim_i − 1) over 1-based sparse
+    * entries, index order, double arithmetic — the same IEEE sequence
+    * as the HOF chain it replaces.
+    */
+  def sparseDotBoxed(entries: ArrayData, dense: ArrayData,
+      denseFloat: Boolean): java.lang.Double = {
+    val n = entries.numElements()
+    val m = dense.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (entries.isNullAt(i)) return null
+      val row = entries.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) return null
+      val dim = row.getInt(0)
+      if (dim < 1 || dim > m || dense.isNullAt(dim - 1)) return null
+      val x = if (denseFloat) dense.getFloat(dim - 1).toDouble
+        else dense.getDouble(dim - 1)
+      acc += row.getDouble(1) * x
       i += 1
     }
     java.lang.Double.valueOf(acc)

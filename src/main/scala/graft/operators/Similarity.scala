@@ -421,9 +421,12 @@ object Similarity {
         col("cents"),
         struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
         (acc, c) => {
-          val dt = aggregate(col("entries"), lit(0.0),
-            (a, e) => a + e.getField("w") *
-              element_at(c.getField("centroid"), e.getField("dim")))
+          // native sparse_dot (round 8): same left fold the HOF chain
+          // computed — a + w * element_at(centroid, dim) in entry order
+          // — as one codegen'd call per centroid (VectorExprsSpec
+          // proves bit parity)
+          val dt = call_function("sparse_dot",
+            col("entries"), c.getField("centroid"))
           val d2 = col("n2x") - lit(2.0) * dt + c.getField("n2c")
           when(d2 < acc.getField("d2"),
             struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)

@@ -54,4 +54,36 @@ class VectorExprsSpec extends GraftSpec {
       VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect().head
     assert(ne.isNullAt(0) && ne.isNullAt(1), s"null element not poisoning: $ne")
   }
+
+  test("sparse_dot equals the HOF sparse fold bit-for-bit") {
+    val sp = spark
+    // real sparse entries (q105's TF-IDF shape) against a dense vector
+    // of the vocabulary size, via SQL so the struct fields type as
+    // (int, double) exactly like the production frame
+    val df = sp.sql(
+      """SELECT
+        |  array(struct(1, 0.5d), struct(3, -2.25d), struct(2, 1.125d)) AS entries,
+        |  array(10.0d, 20.0d, 30.0d) AS dense
+        |UNION ALL SELECT
+        |  array(struct(2, 1e300d), struct(2, -1e300d), struct(1, 1.0d)),
+        |  array(3.0d, 7.0d, 0.0d)
+        |UNION ALL SELECT array(struct(1, 1.0d)), array(cast(null as double))
+        |""".stripMargin)
+    val cmp = df.select(
+      expr("sparse_dot(entries, dense)").as("native"),
+      aggregate(col("entries"), lit(0.0),
+        (a, e) => a + e.getField("col2") *
+          element_at(col("dense"), e.getField("col1"))).as("hof"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null semantics diverge: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bits diverge: $r")
+    }
+    // first row: 0.5*10 + (-2.25)*30 + 1.125*20 = 5 - 67.5 + 22.5
+    assert(cmp(0).getDouble(0) == -40.0)
+    // third row: null dense element poisons
+    assert(cmp(2).isNullAt(0))
+  }
 }
