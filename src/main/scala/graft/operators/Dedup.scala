@@ -743,6 +743,98 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  // T33: INCREMENTAL near-dup — probe a NEW batch against the corpus
+  // LSH index instead of re-pairing the whole corpus (the production
+  // pattern at 100 TB: the banded signature table is the persisted,
+  // bucketed index artifact; a day's ingest only shuffles ITS OWN
+  // signatures into the index's buckets). Same oracle-checked q42
+  // machinery (affine-permutation minhash over md5Long, banded 8×4);
+  // the batch split is deterministic (doc_id mod 5 = 0 → "new", 20%).
+  // The signature stage runs ONCE (localCheckpoint barrier — at scale
+  // the index side is already materialized, the checkpoint mirrors
+  // that), and the candidate join is ASYMMETRIC: new × index only,
+  // never index × index.
+  def q117LshProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sh = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
+      .withColumn("base", TextFunctions.md5Long(col("shingle")) % MhMod)
+    val minCols = (0 until MinhashK).map(i =>
+      min((lit(mhA(i)) * col("base") + lit(mhB(i))) % MhMod).as(s"mh_$i"))
+    val rowsPerBand = MinhashK / LshBands
+    val mhAgg = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .localCheckpoint()
+    val sigs = mhAgg
+      .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh_$i")): _*))
+      .select("doc_id", "sig")
+    val bandSigs = (0 until LshBands).map { b =>
+      TextFunctions.md5Long(concat_ws(",",
+        lit(s"$b:") +: (0 until rowsPerBand)
+          .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*))
+    }
+    val banded = mhAgg.select(col("doc_id"), posexplode(array(bandSigs: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val probe = banded.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_sig"))
+    val index = banded.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("idx_id"), col("band"), col("band_sig"))
+    val cand = probe.join(index, Seq("band", "band_sig"))
+      .select("new_id", "idx_id").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig1")), Seq("new_id"))
+      .join(sigs.select(col("doc_id").as("idx_id"), col("sig").as("sig2")), Seq("idx_id"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / MinhashK, 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("new_id", "idx_id", "est_jaccard")
+      .orderBy("new_id", "idx_id")
+  }
+
+  val q117Sql: String = {
+    val sh3 = TextFunctions.shinglesSql3("text")
+    val base = s"(${TextFunctions.md5LongSql("shingle")} % $MhMod)"
+    val minCols = (0 until MinhashK)
+      .map(i => s"MIN((${mhA(i)} * base + ${mhB(i)}) % $MhMod) AS mh_$i")
+      .mkString(",\n  ")
+    val rowsPerBand = MinhashK / LshBands
+    val bandUnion = (0 until LshBands).map { b =>
+      val rendered = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${TextFunctions.md5LongSql(s"'$b:' || ',' || $rendered")} AS band_sig FROM sigs"
+    }.mkString("\n UNION ALL ")
+    val matches = (0 until MinhashK)
+      .map(i => s"(CASE WHEN s1.mh_$i = s2.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       | SELECT doc_id, $base AS base
+       | FROM (SELECT doc_id, UNNEST($sh3) AS shingle FROM documents)
+       |), sigs AS (
+       | SELECT doc_id,
+       |  $minCols
+       | FROM sh GROUP BY doc_id
+       |), banded AS (
+       | $bandUnion
+       |), cand AS (
+       | SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+       | FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig
+       | WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |)
+       |SELECT new_id, idx_id, est_jaccard FROM (
+       | SELECT c.new_id, c.idx_id,
+       |  ROUND(CAST($matches AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+       | FROM cand c
+       | JOIN sigs s1 ON c.new_id = s1.doc_id
+       | JOIN sigs s2 ON c.idx_id = s2.doc_id)
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY new_id, idx_id""".stripMargin
+  }
+
   val q111Sql: String = {
     val h = TextFunctions.md5LongSql(s"array_to_string(t[(i+1):(i+$SpanK)], ' ')")
     s"""WITH toks AS (

@@ -194,6 +194,55 @@ class Round8OpsSpec extends GraftSpec {
     assert(whole == merged, s"merge law violated: $whole vs $merged")
   }
 
+  test("q117 incremental probe agrees with the full q42 pairing") {
+    val probe = Dedup.q117LshProbe(spark, sfDir).collect()
+    assert(probe.nonEmpty, "no cross-split near-dups at sf0.001")
+    probe.foreach { r =>
+      assert(r.getLong(0) % 5 == 0, s"probe side not from the new batch: $r")
+      assert(r.getLong(1) % 5 != 0, s"index side from the new batch: $r")
+      assert(r.getDouble(2) >= 0.5, s"below the jaccard gate: $r")
+    }
+    // cross-validation: every incremental match must be exactly the
+    // corresponding pair of the full corpus-wide q42 run, same estimate
+    val full = Dedup.q42MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    probe.foreach { r =>
+      val key = (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))
+      assert(full.get(key).contains(r.getDouble(2)),
+        s"incremental match $r not in (or differs from) the full pairing")
+    }
+    // and completeness within its scope: every full-run pair that
+    // straddles the split must be found by the probe
+    val straddling = full.keys.filter { case (a, b) =>
+      (a % 5 == 0) != (b % 5 == 0) }.toSet
+    val got = probe.map(r =>
+      (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    assert(straddling == got,
+      s"probe missed ${straddling.diff(got)} / extra ${got.diff(straddling)}")
+  }
+
+  test("round-8 plan shapes: broadcasts stay broadcast, no global sorts sneak in") {
+    // q114: the 4096-row log-ratio table must enter as a broadcast —
+    // a shuffled join here would re-partition the full token stream
+    val p114 = Curation.q114DsirSelect(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p114.contains("BroadcastHashJoin"), p114.linesIterator.take(12).mkString("\n"))
+    assert(!p114.contains("SortMergeJoin"), "q114 lam join fell back to SMJ")
+    // q110: the bucket NTILE must be keyed by language, never a single
+    // global window (the CCNet bucketing is per-language by design)
+    val p110 = graft.operators.TextOps.q110DocPerplexity(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val ntileLine = p110.linesIterator.find(_.contains("ntile"))
+    assert(ntileLine.exists(_.contains("lang")),
+      s"q110 ntile window is not partitioned by lang: $ntileLine")
+    // q115: the register reduction must aggregate partially map-side
+    // (partial/final pair), keeping the shuffle at 64 rows per column
+    val p115 = graft.operators.Relational.q115PortableHll(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p115.contains("partial_max") || p115.contains("max#") ||
+      p115.contains("partial"), "q115 lost its map-side register combine")
+  }
+
   test("q116 count-min never undercounts and ranks the true heavy hitters") {
     import graft.operators.Relational
     val rows = Relational.q116CountMin(spark, sfDir).collect()
