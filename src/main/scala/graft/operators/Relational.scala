@@ -1464,16 +1464,25 @@ object Relational {
     val d = Tables.documents(s, dir)
     val tok = d.select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    def cellOf(i: Int, t: Column): Column =
-      graft.functions.TextFunctions.md5Long(concat_ws(":", lit(i.toString), t)) % CmsWidth
     // ONE corpus pass: reduce to per-token counts first (the reduction
     // the top-10 probe needs anyway), then hash only DISTINCT tokens —
     // d hashes per vocabulary entry instead of d per occurrence. Cell
     // counts are weighted sums of the same integers, so the result is
     // bit-identical to the per-occurrence form the oracle SQL computes.
     val tokCounts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    cmsEstimate(tokCounts, CmsWidth, CmsDepth)
+  }
+
+  /** The CMS core over a (token, n) count table, parameterized so specs
+    * can exercise collision regimes the production width never hits:
+    * build d×w cells as weighted sums, estimate the exact top-10 keys
+    * by the min over their d cells.
+    */
+  def cmsEstimate(tokCounts: DataFrame, width: Int, depth: Int): DataFrame = {
+    def cellOf(i: Int, t: Column): Column =
+      graft.functions.TextFunctions.md5Long(concat_ws(":", lit(i.toString), t)) % width
     val cells = tokCounts
-      .select(col("n"), explode(array((0 until CmsDepth).map(i =>
+      .select(col("n"), explode(array((0 until depth).map(i =>
         struct(lit(i).as("i"), cellOf(i, col("token")).as("cell"))): _*)).as("x"))
       .select(col("x.i").as("i"), col("x.cell").as("cell"), col("n"))
       .groupBy("i", "cell").agg(sum("n").as("cnt"))
@@ -1482,7 +1491,7 @@ object Relational {
       .orderBy(desc("n_exact"), asc("token")).limit(10)
     val probes = top
       .select(col("token"), col("n_exact"),
-        explode(array((0 until CmsDepth).map(i =>
+        explode(array((0 until depth).map(i =>
           struct(lit(i).as("i"), cellOf(i, col("token")).as("cell"))): _*)).as("x"))
       .select(col("token"), col("n_exact"), col("x.i").as("i"), col("x.cell").as("cell"))
     probes.join(cells, Seq("i", "cell"))

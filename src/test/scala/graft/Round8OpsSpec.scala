@@ -260,4 +260,23 @@ class Round8OpsSpec extends GraftSpec {
       .limit(10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == exactTop)
   }
+
+  test("q116 core under collision pressure: one-sided error, width monotone") {
+    import graft.operators.Relational
+    val tokCounts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // w=4 forces collisions the production w=256 never sees on this
+    // vocabulary: the sketch must OVERcount somewhere yet never under
+    val narrow = Relational.cmsEstimate(tokCounts, 4, 4).collect()
+    assert(narrow.forall(r => r.getLong(2) >= r.getLong(1)),
+      "narrow sketch undercounted")
+    assert(narrow.exists(_.getLong(3) > 0),
+      "w=4 produced no collisions — the test exercises nothing")
+    // widening the table can only reduce total overcount
+    val wide = Relational.cmsEstimate(tokCounts, 256, 4).collect()
+    assert(wide.map(_.getLong(3)).sum <= narrow.map(_.getLong(3)).sum,
+      "wider sketch overcounted more than the narrow one")
+  }
 }

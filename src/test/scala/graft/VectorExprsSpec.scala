@@ -55,6 +55,38 @@ class VectorExprsSpec extends GraftSpec {
     assert(ne.isNullAt(0) && ne.isNullAt(1), s"null element not poisoning: $ne")
   }
 
+  test("vec_dot property: parity holds on generated vectors incl. extremes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sp = spark
+    import sp.implicits._
+    val genF: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-1e6f, 1e6f),
+      Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+        Float.MinPositiveValue, -0.0f, 0.0f, Float.MaxValue))
+    val genPair: Gen[(Seq[Float], Seq[Float])] = for {
+      n <- Gen.chooseNum(0, 96)
+      a <- Gen.listOfN(n, genF)
+      b <- Gen.listOfN(n, genF)
+    } yield (a, b)
+    // fixed seed: deterministic corpus of 300 adversarial pairs
+    val pairs = (0 until 300).flatMap(i =>
+      genPair.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = pairs.toDF("a", "b")
+    val bad = df.select(
+        VectorFunctions.dot(col("a"), col("b")).as("native"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("hof"))
+      .collect().filterNot { r =>
+        // doubleToLongBits (not Raw): canonicalizes NaN — NaN payload
+        // bits are hardware-path artifacts, not semantics — while still
+        // distinguishing -0.0 from 0.0
+        r.isNullAt(0) == r.isNullAt(1) && (r.isNullAt(0) ||
+          java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    assert(bad.isEmpty, s"${bad.length} generated pairs diverge: ${bad.take(3).mkString}")
+  }
+
   test("sparse_dot equals the HOF sparse fold bit-for-bit") {
     val sp = spark
     // real sparse entries (q105's TF-IDF shape) against a dense vector
@@ -78,8 +110,8 @@ class VectorExprsSpec extends GraftSpec {
     cmp.foreach { r =>
       assert(r.isNullAt(0) == r.isNullAt(1), s"null semantics diverge: $r")
       if (!r.isNullAt(0))
-        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
-          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bits diverge: $r")
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bits diverge: $r")
     }
     // first row: 0.5*10 + (-2.25)*30 + 1.125*20 = 5 - 67.5 + 22.5
     assert(cmp(0).getDouble(0) == -40.0)
