@@ -340,4 +340,60 @@ object Curation {
        |ORDER BY score_micro DESC, doc_id
        |LIMIT $DsirTopK""".stripMargin
   }
+
+  // T34: canonical-document selection — the RETENTION half of near-dup
+  // dedup. q55 resolves pairs into clusters and keeps the min-id member;
+  // production curation keeps the BEST member (SemDeDup, RefinedWeb both
+  // retain by quality, not by arrival order). This joins q55's clusters
+  // with q48's composite quality and picks, per cluster, the max-quality
+  // member (doc_id as the deterministic tiebreak), reporting it against
+  // the naive min-id keeper so the upgrade is inspectable.
+  // Scale shape: the cluster table sizes with the DUP RATE, not the
+  // corpus; the quality join is keyed by doc_id; both row_numbers share
+  // one (cluster_id) partitioning, so the window stage is a single
+  // shuffle of (cluster_id, doc_id, quality) triples — near-dup clusters
+  // are small cliques, so no partition skew.
+  def q118CanonicalSelect(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dupClusters(s, dir).select("cluster_id", "doc_id")
+    val quality = TextOps.qualityScores(s, dir).select("doc_id", "quality")
+    val members = clusters.join(quality, Seq("doc_id"))
+    val byQuality = Window.partitionBy("cluster_id")
+      .orderBy(desc("quality"), asc("doc_id"))
+    val byId = Window.partitionBy("cluster_id").orderBy(asc("doc_id"))
+    members
+      .withColumn("rk", row_number().over(byQuality))
+      .withColumn("rk2", row_number().over(byId))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rk") === 1, col("quality"))).as("kept_quality"),
+        max(when(col("rk2") === 1, col("doc_id"))).as("minid_doc"),
+        max(when(col("rk2") === 1, col("quality"))).as("minid_quality"))
+      .withColumn("upgraded", col("kept_doc") =!= col("minid_doc"))
+      .withColumn("quality_gain",
+        round(col("kept_quality") - col("minid_quality"), 6))
+      .orderBy("cluster_id")
+  }
+
+  val q118Sql: String =
+    s"""WITH clusters AS (${Dedup.q55Sql}),
+       |quality AS (SELECT doc_id, quality FROM (${TextOps.q48Sql})),
+       |m AS (
+       | SELECT c.cluster_id, c.doc_id, q.quality,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.quality DESC, c.doc_id) AS rk,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY c.doc_id) AS rk2
+       | FROM clusters c JOIN quality q USING (doc_id))
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       | MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       | MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+       | MAX(CASE WHEN rk2 = 1 THEN doc_id END) AS minid_doc,
+       | MAX(CASE WHEN rk2 = 1 THEN quality END) AS minid_quality,
+       | MAX(CASE WHEN rk = 1 THEN doc_id END)
+       |   <> MAX(CASE WHEN rk2 = 1 THEN doc_id END) AS upgraded,
+       | ROUND(MAX(CASE WHEN rk = 1 THEN quality END)
+       |   - MAX(CASE WHEN rk2 = 1 THEN quality END), 6) AS quality_gain
+       |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 }

@@ -279,4 +279,31 @@ class Round8OpsSpec extends GraftSpec {
     assert(wide.map(_.getLong(3)).sum <= narrow.map(_.getLong(3)).sum,
       "wider sketch overcounted more than the narrow one")
   }
+
+  test("q118 keeps the argmax-quality member of every dup cluster") {
+    val out = Curation.q118CanonicalSelect(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent recomputation of the per-cluster argmax from the
+    // operator's own inputs (clusters and quality are each separately
+    // oracle-checked as q55/q48)
+    val byCluster = Dedup.dupClusters(spark, sfDir)
+      .join(TextOps.qualityScores(spark, sfDir).select("doc_id", "quality"), Seq("doc_id"))
+      .collect().groupBy(_.getAs[Long]("cluster_id"))
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val ms = byCluster(cid).map(m =>
+        (m.getAs[Double]("quality"), m.getAs[Long]("doc_id")))
+      val best = ms.minBy { case (q, id) => (-q, id) }
+      assert(r.getAs[Long]("kept_doc") == best._2,
+        s"cluster $cid kept ${r.getAs[Long]("kept_doc")}, argmax is ${best._2}")
+      assert(r.getAs[Long]("minid_doc") == ms.map(_._2).min)
+      assert(r.getAs[Double]("quality_gain") >= 0.0,
+        s"negative quality gain in cluster $cid")
+      assert(r.getAs[Long]("n_members") == ms.length)
+    }
+    // the operator must actually change decisions on this corpus —
+    // some clusters upgrade away from the min-id keeper, some don't
+    assert(out.exists(_.getAs[Boolean]("upgraded")), "no cluster upgraded")
+    assert(out.exists(!_.getAs[Boolean]("upgraded")), "every cluster upgraded")
+  }
 }
