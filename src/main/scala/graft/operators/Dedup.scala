@@ -863,4 +863,66 @@ object Dedup {
        | CAST(SUM(span_tokens) AS BIGINT) AS sum_span_tokens
        |FROM spans GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
   }
+
+  // T35: NORMALIZED exact dedup (CCNet-style) — surface variants that
+  // raw hashing can't see (case, punctuation, runs of whitespace, digit
+  // strings) are erased by a deterministic normalization chain BEFORE
+  // the content hash: lowercase → digits→0 → non-alnum→space → collapse
+  // spaces → trim (Wenzek et al. LREC 2020 normalize before dedup the
+  // same way). The corpus carries no such variants, so — exactly like
+  // q54 synthesizes PII — two deterministic perturbation classes are
+  // injected (upper+punctuation suffix at doc_id%7=0, doubled spaces at
+  // %7=3) that the normalization MUST fold back onto their originals
+  // while raw md5 keeps them distinct (n_raw_variants > 1).
+  // Scale shape: identical to T1 — map-side normalization (codegen'd
+  // string ops, no UDF), one uniform md5 shuffle; the variant union
+  // reads the same scan twice at test scale and is absent in production
+  // (real corpora arrive with their variants).
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(t), "123456789", "000000000"),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  def q119NormDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val variants = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!!")).as("text"))
+      .union(d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+    val corpus = d.select(col("doc_id"), col("text")).union(variants)
+    corpus
+      .select(col("doc_id"), md5(col("text")).as("raw_hash"),
+        md5(normalizeText(col("text"))).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"),
+        countDistinct("raw_hash").as("n_raw_variants"))
+      .select(col("norm_hash"), col("keeper_id"), col("n_copies"),
+        col("n_raw_variants"),
+        (col("n_copies") > 1).as("is_dup_group"),
+        (col("n_raw_variants") > 1).as("norm_only_catch"))
+      .orderBy("keeper_id")
+  }
+
+  val q119Sql: String = {
+    def norm(t: String): String =
+      s"trim(regexp_replace(regexp_replace(translate(lower($t), '123456789', '000000000'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, upper(text) || ' !!!' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, regexp_replace(text, ' ', '  ', 'g') FROM documents WHERE doc_id % 7 = 3),
+       |h AS (
+       |  SELECT doc_id, md5(text) AS raw_hash, md5(${norm("text")}) AS norm_hash
+       |  FROM corpus)
+       |SELECT norm_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+       | COUNT(DISTINCT raw_hash) AS n_raw_variants,
+       | COUNT(*) > 1 AS is_dup_group,
+       | COUNT(DISTINCT raw_hash) > 1 AS norm_only_catch
+       |FROM h GROUP BY norm_hash ORDER BY keeper_id""".stripMargin
+  }
 }

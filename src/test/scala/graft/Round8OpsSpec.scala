@@ -306,4 +306,27 @@ class Round8OpsSpec extends GraftSpec {
     assert(out.exists(_.getAs[Boolean]("upgraded")), "no cluster upgraded")
     assert(out.exists(!_.getAs[Boolean]("upgraded")), "every cluster upgraded")
   }
+
+  test("q119 folds every surface variant onto its original; raw hash can't") {
+    val out = Dedup.q119NormDedup(spark, sfDir).collect()
+    val docIds = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nVariants = docIds.count(_ % 7 == 0) + docIds.count(_ % 7 == 3)
+    // group count = one per ORIGINAL doc: no variant may form its own
+    // group, and no two originals may collide
+    assert(out.length == docIds.size, s"${out.length} groups for ${docIds.size} docs")
+    // every variant-carrying group keeps the original id, counts the
+    // variant, and is visible to normalization only (raw hashes differ)
+    val catches = out.filter(_.getAs[Boolean]("norm_only_catch"))
+    assert(catches.length == nVariants,
+      s"${catches.length} norm-only groups for $nVariants injected variants")
+    catches.foreach { r =>
+      assert(docIds.contains(r.getAs[Long]("keeper_id")), "variant became keeper")
+      assert(r.getAs[Long]("n_copies") == 2 && r.getAs[Long]("n_raw_variants") == 2)
+    }
+    // untouched docs stay singleton groups
+    out.filterNot(_.getAs[Boolean]("is_dup_group")).foreach { r =>
+      assert(r.getAs[Long]("keeper_id") % 7 != 0 && r.getAs[Long]("keeper_id") % 7 != 3)
+    }
+  }
 }
