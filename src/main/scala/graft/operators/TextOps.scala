@@ -473,4 +473,76 @@ object TextOps {
       | CAST(SUM(ent_u) AS BIGINT) AS ent_micro,
       | ROUND(CAST(CAST(SUM(ent_u) AS BIGINT) AS DOUBLE) / MAX(n) / 1000000.0, 6) AS entropy_r6
       |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // T36: the Gopher repetition-rule TABLE (Rae et al. 2021, Table A1) —
+  // T17 generalized from one rule to the published family: per (doc, n)
+  // the fraction of n-grams occupied by the single most frequent n-gram
+  // (n=2,3,4 with thresholds 0.20/0.18/0.16) and the fraction of n-gram
+  // occurrences that are repeats (n=5,10 with 0.15/0.10; Gopher states
+  // the dup rules over characters — re-expressed over token occurrences,
+  // same signal, exact integer arithmetic). Long format: one row per
+  // (doc, n) with its metric pair and pass verdict.
+  // Scale shape: one stacked explode (5 gram lengths in one pass over
+  // the token array), one (doc_id, n, gram) count, one (doc_id, n)
+  // rollup — all keyed by doc, fully parallel, no corpus re-scan per n.
+  val GopherNs: Seq[Int] = Seq(2, 3, 4, 5, 10)
+  val GopherThr: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15, 10 -> 0.10)
+
+  def q120GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(s, dir)).orderBy("doc_id", "n")
+
+  /** The rule table over any (doc_id, text) frame — the spec drives it
+    * with constructed repetitive docs, since the test corpus genuinely
+    * passes every published threshold.
+    */
+  def gopherRules(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stacked = toks
+      .select(col("doc_id"), explode(array(GopherNs.map(n =>
+        struct(lit(n).as("n"),
+          TextFunctions.shinglesFromTokens(col("toks"), n).as("grams"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), explode(col("x.grams")).as("gram"))
+    val thr = GopherNs.tail.foldLeft(when(col("n") === GopherNs.head, GopherThr(GopherNs.head))) {
+      (acc, n) => acc.when(col("n") === n, GopherThr(n))
+    }
+    stacked.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(sum("c").as("n_grams"), max("c").as("top_n"),
+        sum(col("c") - 1).as("dup_n"))
+      .withColumn("top_frac",
+        round(col("top_n").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+      .withColumn("dup_frac",
+        round(col("dup_n").cast(DoubleType) / col("n_grams").cast(DoubleType), 6))
+      .withColumn("passes",
+        when(col("n") <= 4, col("top_frac") <= thr).otherwise(col("dup_frac") <= thr))
+      .select("doc_id", "n", "n_grams", "top_n", "dup_n",
+        "top_frac", "dup_frac", "passes")
+  }
+
+  val q120Sql: String = {
+    val thrSql = GopherNs.map(n => s"WHEN $n THEN CAST(${GopherThr(n)} AS DOUBLE)")
+      .mkString("CASE n ", " ", " END")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |   len(string_split(text, ' ')) AS L
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram
+       |  FROM (SELECT doc_id, t, n, unnest(range(1, L - n + 2)) AS i
+       |        FROM toks CROSS JOIN (SELECT unnest([${GopherNs.mkString(", ")}]) AS n) ns)),
+       |counts AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |stats AS (
+       |  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |   CAST(MAX(c) AS BIGINT) AS top_n, CAST(SUM(c - 1) AS BIGINT) AS dup_n
+       |  FROM counts GROUP BY 1, 2)
+       |SELECT doc_id, n, n_grams, top_n, dup_n,
+       | ROUND(CAST(top_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_frac,
+       | ROUND(CAST(dup_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
+       | CASE WHEN n <= 4
+       |  THEN ROUND(CAST(top_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) <= $thrSql
+       |  ELSE ROUND(CAST(dup_n AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) <= $thrSql
+       | END AS passes
+       |FROM stats ORDER BY doc_id, n""".stripMargin
+  }
 }

@@ -329,4 +329,62 @@ class Round8OpsSpec extends GraftSpec {
       assert(r.getAs[Long]("keeper_id") % 7 != 0 && r.getAs[Long]("keeper_id") % 7 != 3)
     }
   }
+
+  test("q120 agrees with q57 at n=2 and with brute-force gram counting") {
+    val out = TextOps.q120GopherRules(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // n=2 rows must equal q57's single-rule computation exactly
+    val q57 = TextOps.q57Repetition(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val n2 = out.filter(_.getAs[Int]("n") == 2)
+    assert(n2.length == q57.size)
+    n2.foreach { r =>
+      val t = q57(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == t.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("top_n") == t.getAs[Long]("top_gram_n"))
+      assert(r.getAs[Double]("top_frac") == t.getAs[Double]("top_gram_frac"))
+    }
+    // brute-force recount for a deterministic doc sample, every n
+    val sample = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0).select("doc_id", "text").collect()
+    assert(sample.nonEmpty)
+    val byKey = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n")) -> r).toMap
+    sample.foreach { s =>
+      val toks = s.getAs[String]("text").split(" ", -1)
+      TextOps.GopherNs.foreach { n =>
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        byKey.get((s.getAs[Long]("doc_id"), n)) match {
+          case None => assert(grams.isEmpty, s"missing row for n=$n")
+          case Some(r) =>
+            val counts = grams.groupBy(identity).map(_._2.length)
+            assert(r.getAs[Long]("n_grams") == grams.length)
+            assert(r.getAs[Long]("top_n") == counts.max)
+            assert(r.getAs[Long]("dup_n") == grams.length - counts.size)
+        }
+      }
+    }
+    // the real corpus passes every rule (verified above via the oracle);
+    // the rules must still FIRE on actual boilerplate — drive the core
+    // with constructed docs: one templated (top-gram dominated), one
+    // doubled (every gram duplicated), one clean
+    assert(out.forall(_.getAs[Boolean]("passes")))
+    val sp = spark
+    import sp.implicits._
+    val clean = "the quick brown fox jumps over one lazy dog near a red barn today"
+    val docs = Seq(
+      (1L, Seq.fill(30)("click here now").mkString(" ")),
+      (2L, clean + " " + clean),
+      (3L, clean)).toDF("doc_id", "text")
+    val core = TextOps.gopherRules(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n")) -> r).toMap
+    // templated doc: its top 2-gram dominates -> top rule fails
+    assert(!core((1L, 2)).getAs[Boolean]("passes"), "templated doc passed n=2")
+    // doubled doc: >= half of all 5-gram occurrences are repeats
+    assert(!core((2L, 5)).getAs[Boolean]("passes"), "doubled doc passed n=5")
+    assert(core((2L, 5)).getAs[Double]("dup_frac") >= 0.4)
+    // clean doc passes everything
+    TextOps.GopherNs.filter(_ <= clean.split(" ").length).foreach { n =>
+      assert(core((3L, n)).getAs[Boolean]("passes"), s"clean doc failed n=$n")
+    }
+  }
 }
