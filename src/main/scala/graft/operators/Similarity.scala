@@ -646,4 +646,72 @@ object Similarity {
        |FROM embeddings e LEFT JOIN d ON e.vec_id = d.b_id
        |ORDER BY e.vec_id""".stripMargin
   }
+
+  // T37: contrastive-pair mining — for each probe, the nearest SAME-label
+  // vector (the retrieval positive) and the nearest DIFFERENT-label
+  // vector (the HARD negative, the most confusable impostor), plus the
+  // margin between them — the pair-selection step of contrastive /
+  // metric-learning data prep (hard negatives train the boundary;
+  // near-zero or negative margins flag label noise).
+  // Scale shape: probes broadcast (q45's exact-baseline form — the
+  // scale path at full corpus is routing through q46's IVF cells);
+  // scoring is map-side native vec_dot; the (probe, is_pos) keyed
+  // window picks both winners in ONE shuffle of (ids, cos) rows — the
+  // embedding payload never enters the exchange. Determinism: cos is
+  // round(dot/(n1·n2), 6) on strictly-sequential folds (bit-identical
+  // in DuckDB), ties break on vec_id.
+  val MarginProbes = 50
+
+  def q121HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
+    val probes = e.filter(col("vec_id") < MarginProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("probe_vec"), col("nrm").as("probe_nrm"))
+    val w = Window.partitionBy("probe_id", "is_pos")
+      .orderBy(desc("cos"), asc("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("probe_vec"), col("embedding")) /
+          (col("probe_nrm") * col("nrm")), 6))
+      .withColumn("is_pos", col("label") === col("probe_label"))
+      .select("probe_id", "probe_label", "vec_id", "cos", "is_pos")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("probe_id", "probe_label")
+      .agg(
+        max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos"))).as("pos_cos"),
+        max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos"))).as("neg_cos"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+      .orderBy("probe_id")
+  }
+
+  val q121Sql: String = {
+    val dot = VectorFunctions.dotSql("p.embedding", "x.embedding")
+    val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
+    s"""WITH e AS (
+       |  SELECT * FROM (SELECT *, $nrm AS nrm FROM embeddings) WHERE nrm > 0),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+       |   x.vec_id AS vec_id, x.label = p.label AS is_pos,
+       |   ROUND($dot / (p.nrm * x.nrm), 6) AS cos
+       |  FROM e p JOIN e x ON x.vec_id <> p.vec_id
+       |  WHERE p.vec_id < $MarginProbes),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id, is_pos
+       |    ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT probe_id, probe_label,
+       | MAX(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+       | MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+       | MAX(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+       | MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos,
+       | ROUND(MAX(CASE WHEN is_pos THEN cos END)
+       |   - MAX(CASE WHEN NOT is_pos THEN cos END), 6) AS margin
+       |FROM best WHERE rk = 1
+       |GROUP BY probe_id, probe_label ORDER BY probe_id""".stripMargin
+  }
 }

@@ -387,4 +387,47 @@ class Round8OpsSpec extends GraftSpec {
       assert(core((3L, n)).getAs[Boolean]("passes"), s"clean doc failed n=$n")
     }
   }
+
+  test("q121 matches a driver-side brute force over every probe") {
+    import graft.operators.Similarity
+    val out = Similarity.q121HardNegatives(spark, sfDir).collect()
+    assert(out.length > 0)
+    // independent recompute: plain Scala, no Spark SQL — the SAME
+    // sequential IEEE fold and HALF_UP rounding the engines use
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+      .filter { case (_, _, v) =>
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)) > 0 }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.foreach { r =>
+      val (pid, plabel, pvec) = byId(r.getAs[Long]("probe_id"))
+      assert(plabel == r.getAs[Int]("probe_label"))
+      val scored = vecs.filter(_._1 != pid).map { case (id, l, v) =>
+        (id, l, r6(dot(pvec, v) /
+          (math.sqrt(dot(pvec, pvec)) * math.sqrt(dot(v, v)))))
+      }
+      def best(pos: Boolean) =
+        scored.filter(t => (t._2 == plabel) == pos)
+          .minBy { case (id, _, c) => (-c, id) }
+      val (posId, _, posCos) = best(true)
+      val (negId, _, negCos) = best(false)
+      assert(r.getAs[Long]("pos_id") == posId, s"probe $pid pos mismatch")
+      assert(r.getAs[Double]("pos_cos") == posCos, s"probe $pid pos_cos")
+      assert(r.getAs[Long]("neg_id") == negId, s"probe $pid neg mismatch")
+      assert(r.getAs[Double]("neg_cos") == negCos, s"probe $pid neg_cos")
+    }
+    // the mined margins must carry signal in both directions on this
+    // corpus: confident probes and label-noise suspects
+    assert(out.exists(_.getAs[Double]("margin") > 0))
+    assert(out.exists(_.getAs[Double]("margin") < 0))
+  }
 }
