@@ -241,6 +241,32 @@ class Round8OpsSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(p115.contains("partial_max") || p115.contains("max#") ||
       p115.contains("partial"), "q115 lost its map-side register combine")
+    // q121: the probe side must broadcast and the corpus side must be
+    // scored without a cartesian fallback; the window input must carry
+    // no embedding payload (the arrays stay below the exchange)
+    val p121 = graft.operators.Similarity.q121HardNegatives(spark, sfDir)
+      .queryExecution.executedPlan
+    val p121s = p121.toString
+    assert(p121s.contains("BroadcastNestedLoopJoin") || p121s.contains("BroadcastHashJoin"),
+      "q121 probe side is not broadcast")
+    assert(!p121s.contains("CartesianProduct"), "q121 fell back to a cartesian")
+    val winNode = graft.operators.Similarity.q121HardNegatives(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.head
+    val winCols = winNode.child.output.map(_.name)
+    assert(!winCols.contains("embedding") && !winCols.contains("probe_vec"),
+      s"q121 window input still carries vectors: $winCols")
+    // q119: exactly one exchange (the md5 groupBy) — normalization is
+    // map-side, and the variant union must not add its own shuffle
+    val p119 = Dedup.q119NormDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nEx119 = p119.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nEx119 <= 2, s"q119 has $nEx119 exchanges (hash agg + order expected):\n" +
+      p119.linesIterator.filter(_.trim.startsWith("Exchange")).mkString("\n"))
+    // q120: the gram exchange must carry hashed LONG ids, not gram strings
+    val p120 = TextOps.q120GopherRules(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p120.contains("xxhash64"), "q120 lost its hashed-gram projection")
   }
 
   test("q116 count-min never undercounts and ranks the true heavy hitters") {
