@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -421,4 +421,90 @@ object Extended {
       | ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(o.o_totalprice, p.p05), p.p95), 4) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS win_mean
       |FROM orders o JOIN pct p ON o.o_orderpriority = p.o_orderpriority
       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
+  // R56: Z-ORDER (Morton) layout — the multi-dimensional file-layout
+  // primitive behind data skipping on secondary columns (Delta/Iceberg
+  // OPTIMIZE ZORDER BY): interleave the bits of two min/max-normalized
+  // 16-bit dims so one range partitioning clusters BOTH dims at once.
+  // The z computation is the classic magic-mask bit spread — pure
+  // integer shifts/ands, codegen'd, bit-identical in DuckDB — so the
+  // per-z-bucket bounding boxes are fully oracle-checked. The query
+  // reports, per 1/256th of z-space, the bucket's key-plane bounding
+  // box and its area fraction: ~uniformly small boxes are exactly the
+  // property that lets a scan skip files on EITHER key's min/max.
+  // (The layout EFFECT — writing z-partitioned files and pruning on
+  // the non-leading dim — is exercised in ZOrderSpec over real parquet;
+  // at 100 TB this plus repartitionByRange(z) IS the table-maintenance
+  // job.) Scale shape: one tiny global min/max agg broadcast back, the
+  // rest map-side integer math + one 256-group aggregate.
+  private def spread16(c: Column): Column = {
+    val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton z-value of two already-normalized 16-bit non-negative ints. */
+  def zValue16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** lineitem keyed/normalized/z-valued — shared by q122 and ZOrderSpec. */
+  def zKeyed(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast(LongType).as("pk"),
+      col("l_suppkey").cast(LongType).as("sk"))
+    val stats = l.agg(
+      min("pk").as("pk_min"), max("pk").as("pk_max"),
+      min("sk").as("sk_min"), max("sk").as("sk_max"))
+    l.crossJoin(broadcast(stats))
+      .withColumn("xn", expr("((pk - pk_min) * 65535) div greatest(pk_max - pk_min, 1)"))
+      .withColumn("yn", expr("((sk - sk_min) * 65535) div greatest(sk_max - sk_min, 1)"))
+      .withColumn("z", zValue16(col("xn"), col("yn")))
+  }
+
+  def q122ZorderLayout(s: SparkSession, dir: String): DataFrame =
+    zKeyed(s, dir)
+      .withColumn("bucket", shiftright(col("z"), 24))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pk").as("pk_lo"), max("pk").as("pk_hi"),
+        min("sk").as("sk_lo"), max("sk").as("sk_hi"),
+        max("pk_max").as("pk_max"), max("pk_min").as("pk_min"),
+        max("sk_max").as("sk_max"), max("sk_min").as("sk_min"))
+      .withColumn("bbox_frac", round(
+        ((col("pk_hi") - col("pk_lo") + 1) * (col("sk_hi") - col("sk_lo") + 1))
+          .cast(DoubleType) /
+          ((col("pk_max") - col("pk_min") + 1) * (col("sk_max") - col("sk_min") + 1))
+            .cast(DoubleType), 6))
+      .select("bucket", "n_rows", "pk_lo", "pk_hi", "sk_lo", "sk_hi", "bbox_frac")
+      .orderBy("bucket")
+
+  val q122Sql: String =
+    """WITH k AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+      |   MIN(l_partkey) OVER () AS pk_min, MAX(l_partkey) OVER () AS pk_max,
+      |   MIN(l_suppkey) OVER () AS sk_min, MAX(l_suppkey) OVER () AS sk_max
+      |  FROM lineitem),
+      |nrm AS (
+      |  SELECT *, ((pk - pk_min) * 65535) // GREATEST(pk_max - pk_min, 1) AS xn,
+      |   ((sk - sk_min) * 65535) // GREATEST(sk_max - sk_min, 1) AS yn
+      |  FROM k),
+      |s1 AS (
+      |  SELECT *, ((xn | (xn << 8)) & 16711935) AS xa,
+      |   ((yn | (yn << 8)) & 16711935) AS ya FROM nrm),
+      |s2 AS (
+      |  SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+      |   ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+      |s3 AS (
+      |  SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+      |   ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+      |s4 AS (
+      |  SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+      |   ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+      |z AS (SELECT *, (xd | (yd << 1)) >> 24 AS bucket FROM s4)
+      |SELECT bucket, COUNT(*) AS n_rows,
+      | MIN(pk) AS pk_lo, MAX(pk) AS pk_hi, MIN(sk) AS sk_lo, MAX(sk) AS sk_hi,
+      | ROUND(CAST((MAX(pk) - MIN(pk) + 1) * (MAX(sk) - MIN(sk) + 1) AS DOUBLE)
+      |  / CAST((MAX(pk_max) - MAX(pk_min) + 1) * (MAX(sk_max) - MAX(sk_min) + 1) AS DOUBLE), 6) AS bbox_frac
+      |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 }
