@@ -26,8 +26,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
-      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no ns
-      // timestamp type — read the raw int64 and convert in Tables.events.
+      // Spark has no nanosecond timestamp type; this flag lets legacy
+      // TIMESTAMP(NANOS) parquet columns be read at all (as raw int64).
+      // It does NOT affect canonical timestamp[us]/[ms] columns —
+      // Tables.events branches on the file's actual logical type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")

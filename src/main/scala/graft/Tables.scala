@@ -76,13 +76,14 @@ object Tables {
         StructField("l_shipdate", TimestampType)
       )
     ),
-    // ts is TIMESTAMP(NANOS) on disk — Spark reads it as raw int64
-    // (spark.sql.legacy.parquet.nanosAsLong); events() converts to a
-    // microsecond TimestampType, truncating exactly like DuckDB does.
+    // Canonical shape: ts is a microsecond TimestampType. The physical
+    // parquet encoding varies by writer (timestamp[us] with/without UTC
+    // adjustment, or legacy TIMESTAMP(NANOS) stored as int64) — events()
+    // branches on the file's actual logical type; see eventsTsType.
     "events" -> StructType(
       Seq(
         StructField("event_id", LongType),
-        StructField("ts", LongType),
+        StructField("ts", TimestampType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
@@ -119,9 +120,43 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** What `ts` actually is inside an events parquet file, per its footer.
+    * One footer read at plan time (schema inference with mergeSchema off
+    * reads a single footer) — negligible even on a 100 TB table, and the
+    * only way to be correct across writers: pandas/pyarrow/Spark/DuckDB
+    * emit TIMESTAMP(MICROS) (UTC-adjusted or not), while some feeds store
+    * TIMESTAMP(NANOS), which Spark surfaces as raw int64 under
+    * spark.sql.legacy.parquet.nanosAsLong. Assuming any one of these is
+    * an ingestion bug (round-8 verdict: 9 oracle rows red from assuming
+    * nanos).
+    */
+  private def eventsTsType(s: SparkSession, path: String): DataType =
+    s.read.parquet(path).schema("ts").dataType
+
+  /** Robust events loader: honor the file's timestamp logical type and
+    * normalize to a microsecond TimestampType (session TZ is UTC, so NTZ
+    * wall-clock values and UTC instants coincide — matching how DuckDB
+    * reads the same file).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val onDisk = eventsTsType(s, path)
+    val readSchema = StructType(schemas("events").map {
+      case f if f.name == "ts" => f.copy(dataType = onDisk)
+      case f                   => f
+    })
+    val raw = s.read.schema(readSchema).parquet(path)
+    onDisk match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // Legacy TIMESTAMP(NANOS): raw int64 nanos under nanosAsLong;
+      // truncate to micros exactly like DuckDB does.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other at $path")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

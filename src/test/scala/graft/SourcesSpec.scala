@@ -215,6 +215,50 @@ class SourcesSpec extends GraftSpec {
     assert(got == Set(("O-1", 10.5, "F"), ("O-2", 20.25, "O"), ("O-3", 7.0, "F")))
   }
 
+  test("events loader honors the parquet timestamp logical type across encodings") {
+    // Round-8 regression: the loader assumed events.ts was nanos-as-int64
+    // and divided by 1000, compressing canonical timestamp[us] files 1000x
+    // (9 oracle rows red). The fix branches on the footer's logical type.
+    // Prove it: write the SAME events in four physical encodings every
+    // real writer produces — TIMESTAMP_MICROS (UTC-adjusted), NTZ micros,
+    // INT96, and raw int64 nanos — and assert the sessionize query is
+    // bit-identical over all four.
+    val base = Tables.events(spark, sfDir).cache()
+    val root = tmp("events_enc")
+    def writeAs(name: String)(prep: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                              outType: Option[String]): String = {
+      val dir = s"$root/$name"
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      outType.foreach(t => spark.conf.set("spark.sql.parquet.outputTimestampType", t))
+      try prep(base).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+      dir
+    }
+    val dirs = Seq(
+      writeAs("micros_ltz")(identity, Some("TIMESTAMP_MICROS")),
+      writeAs("micros_ntz")(_.withColumn("ts", col("ts").cast(TimestampNTZType)),
+        Some("TIMESTAMP_MICROS")),
+      writeAs("int96")(identity, Some("INT96")),
+      // legacy feed shape: raw int64 nanoseconds, no logical annotation
+      writeAs("nanos_int64")(_.withColumn("ts", expr("unix_micros(ts) * 1000L")),
+        None))
+    val results = dirs.map { d =>
+      SparkEntry.queries("q11_sessionize")(spark, d).collect().toSet
+    }
+    assert(results.head.nonEmpty)
+    results.tail.zip(dirs.tail).foreach { case (r, d) =>
+      assert(r == results.head, s"sessionize differs for encoding at $d")
+    }
+    // and against the shipped testdata: the loader must agree with a naive
+    // logical-type-honoring read — i.e. no 1000x time compression
+    val naiveMax = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast(TimestampType).as("ts"))
+      .agg(max("ts")).head.getTimestamp(0)
+    val loaderMax = base.agg(max("ts")).head.getTimestamp(0)
+    assert(loaderMax == naiveMax, s"loader=$loaderMax naive=$naiveMax")
+    base.unpersist()
+  }
+
   test("S17: bucketed tables co-locate the join — no exchange in the plan") {
     // The executable proof of SURVEY §5's bucketing claim: write both
     // join sides bucketed by the join key into the catalog, and the
