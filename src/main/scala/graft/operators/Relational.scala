@@ -287,23 +287,37 @@ object Relational {
     val w = Window.partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevSum = sum(dmoney(col("l_extendedprice"))).over(w)
-    val ed = dmoney(col("l_extendedprice")).cast(DoubleType)
-    // reference the MATERIALIZED column, not the window expression — so
-    // the physical plan computes the window exactly once
-    val pd = col("prev_sum_dec").cast(DoubleType)
-    val edDec = dmoney(col("l_extendedprice"))
+    // Exact money as UNSCALED LONGS (1/10000 units == DECIMAL(12,4)'s
+    // unscaled value, derived from the same HALF_UP decimal cast, so the
+    // semantics are bit-identical to the decimal form the oracle runs).
+    // The running sum then updates a long in the window aggregate buffer
+    // instead of allocating a Decimal per row — the r8 driver bench
+    // showed q09's window stage as pure CPU (Diag: zero spill, low GC),
+    // i.e. interpreted Decimal updates were the whole cost, and that
+    // cold path is what external box load amplified 26x.
+    val edLong = (dmoney(col("l_extendedprice")) * lit(10000)).cast(LongType)
+    val prevSum = sum(col("ed_long")).over(w)
+    // doubles for the EPS test: long/10000.0 is the correctly-rounded
+    // nearest double of the exact rational — identical to Decimal.toDouble
+    val ed = col("ed_long").cast(DoubleType) / lit(10000.0)
+    val pd = col("prev_sum_long").cast(DoubleType) / lit(10000.0)
     val mult10 = Seq(10, 100, 1000).map { k =>
-      (edDec * lit(k) === col("prev_sum_dec")) || (col("prev_sum_dec") * lit(k) === edDec)
+      (col("ed_long") * lit(k) === col("prev_sum_long")) ||
+        (col("prev_sum_long") * lit(k) === col("ed_long"))
     }.reduce(_ || _)
-    l.withColumn("prev_sum_dec", prevSum)
+    // presentation: HALF_UP at 2 decimals from the 4-decimal long — safe
+    // integer form because prices are positive; cents fit a double exactly
+    val prevOut = (expr("(prev_sum_long + 50L) div 100L")
+      .cast(DoubleType) / lit(100.0)).as("prev_sum")
+    l.withColumn("ed_long", edLong)
+      .withColumn("prev_sum_long", prevSum)
       .withColumn("kind",
-        when(col("prev_sum_dec").isNotNull && dmoney(col("l_extendedprice")) === col("prev_sum_dec"), "EXACT")
-          .when(col("prev_sum_dec").isNotNull && mult10, "MULT10")
-          .when(col("prev_sum_dec").isNotNull && pd > 0 && abs(ed - pd) / pd <= 0.01, "EPS"))
+        when(col("prev_sum_long").isNotNull && col("ed_long") === col("prev_sum_long"), "EXACT")
+          .when(col("prev_sum_long").isNotNull && mult10, "MULT10")
+          .when(col("prev_sum_long").isNotNull && pd > 0 && abs(ed - pd) / pd <= 0.01, "EPS"))
       .filter(col("kind").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        out2(col("prev_sum_dec")).as("prev_sum"), col("kind"))
+        prevOut, col("kind"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
