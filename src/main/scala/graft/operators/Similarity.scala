@@ -374,10 +374,18 @@ object Similarity {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // top-V vocabulary: orderBy+limit = TakeOrderedAndProject (k-bounded
-    // per partition, no global sort); the row_number then runs on V rows
+    // per partition, no global sort). dim = rank within the V rows,
+    // computed as a broadcast inequality self-join on the tiny set —
+    // (df, token) is unique so rank == row_number — which keeps the
+    // q53/q105/q108 chain free of single-partition WindowExec stages.
     val topTok = dfT.orderBy(desc("df"), asc("token")).limit(TkVocab)
-    topTok.withColumn("dim",
-      row_number().over(Window.orderBy(desc("df"), asc("token"))))
+    val a = topTok.alias("a")
+    val b = topTok.alias("b")
+    a.join(broadcast(b),
+        col("b.df") > col("a.df") ||
+          (col("b.df") === col("a.df") && col("b.token") <= col("a.token")))
+      .groupBy(col("a.token").as("token"), col("a.df").as("df"))
+      .agg(count(lit(1)).cast(IntegerType).as("dim"))
   }
 
   private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
