@@ -1548,6 +1548,67 @@ object Relational {
        |ORDER BY n_exact DESC, token""".stripMargin
   }
 
+  // R57: PORTABLE quantile estimation — the oracle-checked scale twin
+  // of q106's engine-native GK sketch, completing the sketch family's
+  // portable row (distinct → q115, frequency → q116, membership → q62,
+  // quantile → here). GK/KLL merge state is sequential and
+  // engine-internal, so the ESTIMATE can never be cross-checked; a
+  // DETERMINISTIC HASH SAMPLE can: keep rows whose md5(key) prefix
+  // sorts below the q18 rate threshold (partitioning-, retry-, and
+  // engine-invariant — no RNG), take the exact interpolated percentile
+  // OF THE SAMPLE, and report it against the exact full-data
+  // percentile. Scale shape: the sample is a pure map-side filter that
+  // composes with pushdown, so the per-group exact-percentile sort
+  // runs on ~5% of the column; rank error is O(1/sqrt(sample)) with
+  // high probability — and unlike any native sketch, every output
+  // value here is oracle-checked to the bit.
+  def q123SampledPercentile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val sample = o.filter(
+      substring(md5(col("o_orderkey").cast(StringType)), 1, 2) < "0d")
+    val est = sample.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_sample"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_est"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_est"))
+    val exact = o.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"))
+    exact.join(est, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), col("n_sample"),
+        col("p50_exact"), col("p50_est"),
+        round(abs(col("p50_est") - col("p50_exact")) / col("p50_exact"), 6)
+          .as("p50_rel_err"),
+        col("p90_exact"), col("p90_est"),
+        round(abs(col("p90_est") - col("p90_exact")) / col("p90_exact"), 6)
+          .as("p90_rel_err"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q123Sql: String =
+    """WITH s AS (
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'),
+      |est AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_sample,
+      |   ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50_est,
+      |   ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_est
+      |  FROM s GROUP BY 1),
+      |ex AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |   ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50_exact,
+      |   ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_exact
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, n, n_sample,
+      | p50_exact, p50_est,
+      | ROUND(ABS(p50_est - p50_exact) / p50_exact, 6) AS p50_rel_err,
+      | p90_exact, p90_est,
+      | ROUND(ABS(p90_est - p90_exact) / p90_exact, 6) AS p90_rel_err
+      |FROM ex JOIN est USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** The portable sketch core: (c, v) rows → one (c, occupied,
     * estimate) row per c. Split out so specs can drive it with
     * arbitrary value sets (duplication-insensitivity, merge law).

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class Round9OpsSpec extends GraftSpec {
+
+  test("q123 sampled percentiles track the exact ones at the sample's rank error") {
+    val rows = Relational.q123SampledPercentile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val nS = r.getLong(2)
+      // deterministic 13/256 rate: binomial concentration, wide margin
+      assert(math.abs(nS.toDouble / n - 13.0 / 256) < 0.03, s"rate off: $r")
+      // rank error is O(1/sqrt(n_sample)); at sf0.001 a group samples
+      // ~16 rows, so allow 2/sqrt(n_sample) relative slack. The oracle
+      // checks exactness of the VALUES; this checks the estimator is
+      // genuinely close at its expected rate.
+      val bound = 2.0 / math.sqrt(nS.toDouble)
+      assert(r.getDouble(5) <= bound, s"p50 rel err > $bound: $r")
+      assert(r.getDouble(8) <= bound, s"p90 rel err > $bound: $r")
+    }
+  }
+
+  test("q123 is invariant under partitioning (hash sample, no RNG)") {
+    val a = Relational.q123SampledPercentile(spark, sfDir).collect().toSeq
+    val b = Relational.q123SampledPercentile(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+}
