@@ -396,4 +396,44 @@ object Curation {
        | ROUND(MAX(CASE WHEN rk = 1 THEN quality END)
        |   - MAX(CASE WHEN rk2 = 1 THEN quality END), 6) AS quality_gain
        |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // T38: deterministic WEIGHTED sampling without replacement
+  // (Efraimidis-Spirakis priority sampling) — the curation step that
+  // samples documents PROPORTIONAL TO QUALITY instead of uniformly
+  // (q18/q38 are the uniform forms). Each doc gets priority
+  // u^(1/w) for u ~ Uniform(0,1]; the top-k priorities are exactly a
+  // weighted sample without replacement. Spark-first determinism: u is
+  // the md5 hash-uniform (q18's rule — no RNG, stable under
+  // partitioning, retries, and engines), compared in log space
+  // (ln(u)/w, monotone in u^(1/w)) with the q53-precedent round(6) so
+  // Spark and DuckDB agree bitwise; doc_id breaks ties.
+  // Scale shape: priority is a pure map-side projection; top-k =
+  // orderBy+limit = TakeOrderedAndProject (k-bounded per partition, no
+  // global sort) — the whole operator is one scan and one k-row reduce.
+  val WsK = 100
+
+  def q124WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScores(s, dir).select("doc_id", "quality")
+    // strictly positive weight; quality lives in [0,1]
+    val w = col("quality") + lit(0.1)
+    // 60-bit md5 prefix → u in (0, 1]: (bits+1) / 2^60
+    val u = (graft.functions.TextFunctions.md5Long(col("doc_id")) + lit(1L))
+      .cast(DoubleType) / lit(1152921504606846976.0)
+    q.withColumn("priority", round(log(u) / w, 6))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(WsK)
+      .select(col("doc_id"), col("quality"), col("priority"))
+  }
+
+  val q124Sql: String = {
+    // +1 in LONG space, cast after — matching the Spark side exactly
+    // (above 2^53 "cast then +1" and "+1 then cast" can differ one ulp)
+    val u = s"CAST(${graft.functions.TextFunctions.md5LongSql("doc_id")} + 1 AS DOUBLE) / 1152921504606846976.0"
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextOps.q48Sql}))
+       |SELECT doc_id, quality,
+       | ROUND(LN($u) / (quality + 0.1), 6) AS priority
+       |FROM q
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $WsK""".stripMargin
+  }
 }

