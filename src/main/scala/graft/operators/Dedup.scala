@@ -434,6 +434,65 @@ object Dedup {
        |ORDER BY doc_id, eval_id""".stripMargin
   }
 
+  // T39: cross-source overlap matrix — the corpus-level diagnostic run
+  // BEFORE mixing sources into a training set: how much 5-gram content
+  // do two sources share, and what is their shingle-space Jaccard? The
+  // q41/q56 posting-list shape lifted to SOURCE granularity: distinct
+  // (source, shingle-hash) entries (the exchange carries int64 ids, not
+  // gram strings — q119/q120's rule), self-joined per shingle where the
+  // fan-out is bounded by the number of SOURCES containing that shingle
+  // (≤ #sources, which is tens-to-hundreds, not corpus-sized), then one
+  // aggregate to the #sources² matrix. At 100 TB the only corpus-sized
+  // shuffle is the distinct; everything after is bounded by |sources|².
+  def q125SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val post = d.select(col("source"),
+        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+      .select(col("source"),
+        TextFunctions.md5Long(col("shingle")).as("h"))
+      .distinct()
+    val srcSize = post.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val a = post.select(col("source").as("src_a"), col("h"))
+    val b = post.select(col("source").as("src_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(srcSize.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_shingles", "n_a")), Seq("src_a"))
+      .join(broadcast(srcSize.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_shingles", "n_b")), Seq("src_b"))
+      .withColumn("jaccard", round(col("n_shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q125Sql: String = {
+    val sh5 = "list_transform(range(1, len(string_split(text, ' ')) - 3), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' || string_split(text, ' ')[i+4])"
+    s"""WITH post AS (
+       | SELECT DISTINCT source,
+       |  ${graft.functions.TextFunctions.md5LongSql("shingle")} AS h
+       | FROM (SELECT source, UNNEST($sh5) AS shingle FROM documents)
+       |), sz AS (
+       | SELECT source, COUNT(*) AS n_shingles FROM post GROUP BY source
+       |), m AS (
+       | SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       | FROM post a JOIN post b USING (h)
+       | WHERE a.source < b.source
+       | GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_shared,
+       | sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       | ROUND(CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared), 6) AS jaccard
+       |FROM m
+       |JOIN sz sa ON m.src_a = sa.source
+       |JOIN sz sb ON m.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // T5: near-dup by embedding cosine, blocked by the `label` column (an
   // IVF-style cell id) so the pair join is bounded per cell. τ=0.35 is
   // corpus-tuned (synthetic vectors are near-orthogonal; real corpora use

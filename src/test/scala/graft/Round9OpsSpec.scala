@@ -53,4 +53,29 @@ class Round9OpsSpec extends GraftSpec {
     assert(full.count() == Curation.WsK)
     assert(minKept <= 0.0, "ln-space priorities must be <= 0")
   }
+
+  test("q125 overlap matrix agrees with an independent set intersection") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    val rows = Dedup.q125SourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (shared, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sa < sb, s"pair not canonical: $r")
+      assert(shared >= 1 && shared <= math.min(na, nb), s"bounds: $r")
+      val j = r.getDouble(5)
+      assert(j > 0 && j <= 1.0, s"jaccard range: $r")
+    }
+    // independent recomputation for the first pair: distinct shingle-id
+    // sets intersected driver-side (sf0.001 — small enough to collect)
+    val (sa, sb, shared) =
+      (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2))
+    def ids(src: String): Set[Long] =
+      Tables.documents(spark, sfDir).filter(col("source") === src)
+        .select(explode(TextFunctions.shingles(col("text"), 5)).as("sh"))
+        .select(TextFunctions.md5Long(col("sh")).as("h"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    assert((ids(sa) & ids(sb)).size.toLong == shared)
+  }
 }
