@@ -384,6 +384,17 @@ object Dedup {
   // tiny → broadcast; cost is one scan of the training side.
   val MinContamShingles = 3
 
+  /** The STATIC eval-side shingle table (eval_id, shingle) — shared by
+    * the batch sweep below and the streaming twin (ContamStream): in
+    * production this is the benchmark suite, built once and broadcast.
+    */
+  def evalShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("source") === "src0")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id").as("eval_id"),
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 5)).as("shingle"))
+      .distinct()
+
   /** Unordered q56 hits — the composition form (q58 uses it). */
   def contaminationHits(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -404,8 +415,7 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 5)).as("shingle"))
       .distinct()
-    val evalSh = shingled(d.filter(col("source") === "src0"))
-      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val evalSh = evalShingles(s, dir)
     val trainSh = shingled(d.filter(col("source") =!= "src0"))
     trainSh.join(evalSh, Seq("shingle"))
       .groupBy(col("doc_id"), col("eval_id"))
