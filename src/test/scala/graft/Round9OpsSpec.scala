@@ -78,4 +78,26 @@ class Round9OpsSpec extends GraftSpec {
         .distinct().collect().map(_.getLong(0)).toSet
     assert((ids(sa) & ids(sb)).size.toLong == shared)
   }
+
+  test("round-9 plans keep their scale shapes") {
+    import graft.operators.{Curation, Dedup}
+    // q124: weighted sampling must be TakeOrdered over a map-side
+    // projection — no global sort, no window, no exchange of the corpus
+    val p124 = Curation.q124WeightedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p124.contains("TakeOrderedAndProject"),
+      s"q124 lost its TakeOrdered top-k:\n${p124.linesIterator.take(10).mkString("\n")}")
+    assert(!p124.contains("Window"), "q124 grew a window")
+    // q125: the pair stage must be a keyed shingle join — never a
+    // cartesian/BNLJ between sources
+    val p125 = Dedup.q125SourceOverlap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p125.contains("CartesianProduct"), "q125 cartesian")
+    assert(!p125.contains("BroadcastNestedLoopJoin"), "q125 BNLJ")
+    // q123: both percentile aggregations are partial+final pairs (the
+    // sample filter reaches the scan side, not a post-shuffle filter)
+    val p123 = graft.operators.Relational.q123SampledPercentile(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p123.contains("partial_"), "q123 lost map-side partial aggregation")
+  }
 }
