@@ -130,8 +130,16 @@ object Tables {
     * an ingestion bug (round-8 verdict: 9 oracle rows red from assuming
     * nanos).
     */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   private def eventsTsType(s: SparkSession, path: String): DataType =
-    s.read.parquet(path).schema("ts").dataType
+    // cache per path: the footer's logical type is a property of the
+    // files, not the query — without this every events() call pays a
+    // file listing + footer read (~100 ms of per-query overhead in the
+    // r9 bench)
+    tsTypeCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema("ts").dataType)
 
   /** Robust events loader: honor the file's timestamp logical type and
     * normalize to a microsecond TimestampType (session TZ is UTC, so NTZ
@@ -141,17 +149,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val onDisk = eventsTsType(s, path)
-    val readSchema = StructType(schemas("events").map {
-      case f if f.name == "ts" => f.copy(dataType = onDisk)
-      case f                   => f
-    })
-    val raw = s.read.schema(readSchema).parquet(path)
+    def read(t: DataType): DataFrame = {
+      val readSchema = StructType(schemas("events").map {
+        case f if f.name == "ts" => f.copy(dataType = t)
+        case f                   => f
+      })
+      s.read.schema(readSchema).parquet(path)
+    }
     onDisk match {
-      case TimestampType    => raw
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // For NTZ files, declare TimestampType directly: the vectorized
+      // reader accepts it, values coincide under the UTC session (the
+      // engine pins UTC — GraftSession), and unlike a cast ABOVE the
+      // scan this keeps ts predicates in PushedFilters (plan-verified
+      // in SourcesSpec).
+      case TimestampType | TimestampNTZType => read(TimestampType)
       // Legacy TIMESTAMP(NANOS): raw int64 nanos under nanosAsLong;
       // truncate to micros exactly like DuckDB does.
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        read(LongType).withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case other =>
         throw new IllegalArgumentException(
           s"events.ts: unsupported parquet type $other at $path")

@@ -257,6 +257,13 @@ class SourcesSpec extends GraftSpec {
     val loaderMax = base.agg(max("ts")).head.getTimestamp(0)
     assert(loaderMax == naiveMax, s"loader=$loaderMax naive=$naiveMax")
     base.unpersist()
+    // and event-time predicates REACH THE SCAN: the loader must not put
+    // a cast above the scan that would strip ts from PushedFilters
+    val pushed = Tables.events(spark, sfDir)
+      .filter(col("ts") > java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      pushed.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
 
   test("S17: bucketed tables co-locate the join — no exchange in the plan") {
