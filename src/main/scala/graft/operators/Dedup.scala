@@ -456,10 +456,13 @@ object Dedup {
   // shuffle is the distinct; everything after is bounded by |sources|².
   def q125SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val post = d.select(col("source"),
-        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+    // xxhash64 shingle ids straight off the token array (q41/q56's rule:
+    // no 5-gram string materialization; distinct/shared COUNTS are
+    // invariant under the injective id mapping up to a ~2^-65 collision,
+    // so the oracle counts the same overlaps over shingle STRINGS)
+    val post = d.withColumn("toks", split(col("text"), " "))
       .select(col("source"),
-        TextFunctions.md5Long(col("shingle")).as("h"))
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 5)).as("h"))
       .distinct()
     val srcSize = post.groupBy("source").agg(count(lit(1)).as("n_shingles"))
     val a = post.select(col("source").as("src_a"), col("h"))
@@ -483,8 +486,7 @@ object Dedup {
     val sh5 = "list_transform(range(1, len(string_split(text, ' ')) - 3), " +
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' || string_split(text, ' ')[i+4])"
     s"""WITH post AS (
-       | SELECT DISTINCT source,
-       |  ${graft.functions.TextFunctions.md5LongSql("shingle")} AS h
+       | SELECT DISTINCT source, shingle AS h
        | FROM (SELECT source, UNNEST($sh5) AS shingle FROM documents)
        |), sz AS (
        | SELECT source, COUNT(*) AS n_shingles FROM post GROUP BY source

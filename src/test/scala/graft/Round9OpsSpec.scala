@@ -73,8 +73,9 @@ class Round9OpsSpec extends GraftSpec {
       (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2))
     def ids(src: String): Set[Long] =
       Tables.documents(spark, sfDir).filter(col("source") === src)
-        .select(explode(TextFunctions.shingles(col("text"), 5)).as("sh"))
-        .select(TextFunctions.md5Long(col("sh")).as("h"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(explode(
+          TextFunctions.hashedShinglesFromTokens(col("toks"), 5)).as("h"))
         .distinct().collect().map(_.getLong(0)).toSet
     assert((ids(sa) & ids(sb)).size.toLong == shared)
   }
