@@ -27,14 +27,9 @@ object Bench {
     val control = "q22_clean_numeric"
     val selected = SparkEntry.queries
       .filter { case (name, _) => name == control || only.forall(_.contains(name)) }
-    // ordered Seq (not a Map) so the emitted JSON keys are stable run-to-run
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // release the previous query's broadcast/shuffle references — the
-      // ContextCleaner only frees them after a driver GC, and 40 queries
-      // of accumulated state otherwise taxes the tail of the run
-      spark.catalog.clearCache()
-      System.gc()
-      val passes = (1 to reps).map { _ =>
+    def timePasses(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[Double] =
+      (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -45,9 +40,25 @@ object Bench {
             -1.0 // sentinel: failed passes must not look like timings
         }
       }
+    // window-quality BRACKET (round-8 advice): run the control FIRST and
+    // LAST so the committed artifact shows whether external box load
+    // moved during the run — a calm window has both brackets near the
+    // control's floor and near each other. One UNTIMED pass first so the
+    // opening bracket measures box load, not cold codegen/JIT.
+    timePasses(control, SparkEntry.queries(control), 1)
+    val controlFirst = timePasses(control, SparkEntry.queries(control), reps)
+    // ordered Seq (not a Map) so the emitted JSON keys are stable run-to-run
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // release the previous query's broadcast/shuffle references — the
+      // ContextCleaner only frees them after a driver GC, and 40 queries
+      // of accumulated state otherwise taxes the tail of the run
+      spark.catalog.clearCache()
+      System.gc()
+      val passes = timePasses(name, fn, reps)
       val ok = passes.filter(_ >= 0)
       (name, if (ok.isEmpty) -1.0 else ok.min, passes)
     }
+    val controlLast = timePasses(control, SparkEntry.queries(control), reps)
     // The always-run control must not inflate targeted-run totals: when
     // SPARK_GRAFT_ONLY is set and did NOT ask for the control, its time
     // stays visible in queries/passes but is excluded from "value" (r7
@@ -65,8 +76,9 @@ object Bench {
     val allPasses = results.map { case (k, _, ps) =>
       s"\"" + k + "\":" + ps.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$detail,"passes":$allPasses,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"control_first":${arr(controlFirst)},"control_last":${arr(controlLast)},"queries":$detail,"passes":$allPasses,"sf":"$sfDir"}"""
     // Full per-query detail goes to a file + stderr; the harness that runs us
     // keeps only the last ~2000 chars of stdout and must be able to parse the
     // final line as one JSON object, so stdout gets a compact line keyed by
