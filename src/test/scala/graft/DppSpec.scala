@@ -59,6 +59,41 @@ class DppSpec extends GraftSpec {
     spark.sql("DROP TABLE IF EXISTS dpp_fact")
   }
 
+  test("a selective join side injects a runtime bloom filter on the big scan") {
+    // the row-level sibling of DPP: joining on a NON-partition column,
+    // the optimizer builds a bloom filter from the selective side and
+    // applies it to the big side's scan as a might-contain pre-filter —
+    // at 100 TB this discards non-matching rows before the shuffle.
+    // Thresholds sized for production are lowered to let the rule
+    // consider sf0.001 tables; the PLAN SHAPE is what's locked in.
+    val dir = java.nio.file.Files.createTempDirectory("rbf").toString
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/sel")
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // force the shuffled-join path: broadcast joins skip runtime filters
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val sel = spark.read.parquet(s"$dir/sel")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain")
+        || plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter in:\n${plan.take(3000)}")
+      // correctness unchanged by the injected filter
+      val want = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == want)
+    }
+  }
+
   test("catalog statistics flow into the optimizer after ANALYZE") {
     val dir = java.nio.file.Files.createTempDirectory("stats").toString
     spark.sql("DROP TABLE IF EXISTS stats_nation")
