@@ -436,4 +436,40 @@ object Curation {
        |ORDER BY priority DESC, doc_id
        |LIMIT $WsK""".stripMargin
   }
+
+  // T40: per-source quality CALIBRATION — raw quality scores are not
+  // comparable across sources (a median web page and a median academic
+  // page score differently), so mixing pipelines normalize each doc's
+  // quality to its within-source quantile before applying one global
+  // threshold. One keyed window per source (percent_rank with doc_id
+  // tiebreak → total order → engine-identical ranks); the calibrated
+  // keep flag then applies a single cross-source cutoff. Scale shape:
+  // one hash exchange on source + per-partition sort — the same cost
+  // class as q11; no global window, no second scan.
+  val CalibrateKeep = 0.25 // drop the worst quartile of each source
+
+  def q126QualityCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScores(s, dir).select("doc_id", "quality")
+    val d = Tables.documents(s, dir).select("doc_id", "source")
+    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    q.join(d, Seq("doc_id"))
+      .withColumn("q_pct", round(percent_rank().over(w), 6))
+      .withColumn("keep_calibrated", col("q_pct") >= CalibrateKeep)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("q_pct"), col("keep_calibrated"))
+      .orderBy("doc_id")
+  }
+
+  // the keep flag compares the ROUNDED pct on both engines (comparing
+  // raw on one side could flip docs sitting exactly at the boundary)
+  val q126Sql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextOps.q48Sql})),
+       |m AS (
+       | SELECT d.doc_id, d.source, q.quality,
+       |  ROUND(PERCENT_RANK() OVER (PARTITION BY d.source
+       |    ORDER BY q.quality, d.doc_id), 6) AS q_pct
+       | FROM q JOIN documents d USING (doc_id))
+       |SELECT doc_id, source, quality, q_pct,
+       | q_pct >= $CalibrateKeep AS keep_calibrated
+       |FROM m ORDER BY doc_id""".stripMargin
 }

@@ -80,6 +80,28 @@ class Round9OpsSpec extends GraftSpec {
     assert((ids(sa) & ids(sb)).size.toLong == shared)
   }
 
+  test("q126 calibration is a valid per-source quantile map") {
+    import graft.operators.Curation
+    val rows = Curation.q126QualityCalibrate(spark, sfDir).collect()
+    assert(rows.length == 500)
+    // within each source: pct is monotone in (quality, doc_id), spans
+    // [0, 1], and the keep cutoff drops ~the worst quartile
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      val pcts = sorted.map(_.getDouble(3))
+      assert(pcts.head == 0.0 && pcts.last == 1.0, s"$src pct span")
+      assert(pcts.zip(pcts.tail).forall { case (a, b) => a <= b }, s"$src monotone")
+      val kept = rs.count(_.getBoolean(4)).toDouble / rs.length
+      assert(kept > 0.6 && kept < 0.9, s"$src kept fraction $kept")
+    }
+    // calibration makes keep rates uniform across sources even when raw
+    // quality distributions differ: every source keeps 3/4 +- ties
+    val keptBySource = rows.groupBy(_.getString(1))
+      .map { case (_, rs) => rs.count(_.getBoolean(4)).toDouble / rs.length }
+    assert(keptBySource.max - keptBySource.min < 0.1,
+      s"calibrated keep rates diverge: $keptBySource")
+  }
+
   test("round-9 plans keep their scale shapes") {
     import graft.operators.{Curation, Dedup}
     // q124: weighted sampling must be TakeOrdered over a map-side
