@@ -137,9 +137,13 @@ object Tables {
     // cache per path: the footer's logical type is a property of the
     // files, not the query — without this every events() call pays a
     // file listing + footer read (~100 ms of per-query overhead in the
-    // r9 bench)
+    // r9 bench). mergeSchema=true reads EVERY footer (a small
+    // distributed job, once per path per JVM), so a mixed-encoding
+    // directory — e.g. a writer migration that left half the files
+    // nanos-as-int64 and half timestamp[us] — fails LOUDLY at the merge
+    // instead of silently reading one half at 1000x the wrong scale.
     tsTypeCache.computeIfAbsent(path,
-      p => s.read.parquet(p).schema("ts").dataType)
+      p => s.read.option("mergeSchema", "true").parquet(p).schema("ts").dataType)
 
   /** Robust events loader: honor the file's timestamp logical type and
     * normalize to a microsecond TimestampType (session TZ is UTC, so NTZ

@@ -264,6 +264,18 @@ class SourcesSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(pushed.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
       pushed.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+
+    // a MIXED-encoding directory (writer migration mid-table) must fail
+    // loudly at detection — never silently read half the files at the
+    // wrong time scale
+    val mixed = s"$root/mixed/events.parquet"
+    base.limit(10).write.parquet(mixed)
+    base.limit(10).withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("append").parquet(mixed)
+    val err = intercept[Exception] {
+      SparkEntry.queries("q11_sessionize")(spark, s"$root/mixed").collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("S17: bucketed tables co-locate the join — no exchange in the plan") {
