@@ -460,6 +460,58 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // T41: the CORPUS DATASHEET — the per-source one-page summary every
+  // training-data release ships (datasheets-for-datasets shape): volume
+  // (docs, whitespace tokens, median doc length), exact-dup rate
+  // (1 - distinct md5 / docs), language mix (share of the dominant
+  // corpus language), and mean quality. Determinism: quality has ≤6
+  // decimals by construction (q48), so the mean sums exact micro-units
+  // as BIGINT and divides once — aggregation order cannot perturb it;
+  // dup/lang shares are integer-ratio divisions. Scale shape: one scan,
+  // one groupBy(source) with partial aggregation; the quality join is
+  // keyed by doc_id. The heavy member is count(DISTINCT md5) — at
+  // 100 TB swap in q115's portable HLL for the same column if a 2%
+  // estimate is acceptable; the exact form is kept here because the
+  // datasheet is a release artifact.
+  def q127CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val q = TextOps.qualityScores(s, dir).select("doc_id", "quality")
+    val per = d.join(q, Seq("doc_id"))
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("text")).as("h"),
+        round(col("quality") * lit(1000000)).cast(LongType).as("q_micro"))
+    per.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        round((count(lit(1)) - countDistinct(col("h"))).cast(DoubleType) /
+          count(lit(1)), 6).as("dup_rate"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("pct_en"),
+        round(sum(col("q_micro")).cast(DoubleType) / lit(1e6) /
+          count(lit(1)), 6).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  val q127Sql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextOps.q48Sql})),
+       |per AS (
+       | SELECT d.source, d.lang,
+       |  len(string_split(d.text, ' ')) AS n_tokens,
+       |  md5(d.text) AS h,
+       |  CAST(ROUND(q.quality * 1000000) AS BIGINT) AS q_micro
+       | FROM documents d JOIN q USING (doc_id))
+       |SELECT source,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       | ROUND(QUANTILE_CONT(n_tokens, 0.5), 4) AS p50_tokens,
+       | ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+       | ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pct_en,
+       | ROUND(CAST(SUM(q_micro) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_quality
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   // the keep flag compares the ROUNDED pct on both engines (comparing
   // raw on one side could flip docs sitting exactly at the boundary)
   val q126Sql: String =

@@ -102,6 +102,22 @@ class Round9OpsSpec extends GraftSpec {
       s"calibrated keep rates diverge: $keptBySource")
   }
 
+  test("q127 datasheet totals reconcile with the whole corpus") {
+    import graft.operators.Curation
+    val rows = Curation.q127CorpusDatasheet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == d.count())
+    val totalTokens = d.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0, s"dup_rate: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, s"pct_en: $r")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, s"mean_quality: $r")
+    }
+  }
+
   test("round-9 plans keep their scale shapes") {
     import graft.operators.{Curation, Dedup}
     // q124: weighted sampling must be TakeOrdered over a map-side
