@@ -249,6 +249,16 @@ class SourcesSpec extends GraftSpec {
     results.tail.zip(dirs.tail).foreach { case (r, d) =>
       assert(r == results.head, s"sessionize differs for encoding at $d")
     }
+    // TIMESTAMP_MILLIS narrows the data, so it gets its own reference:
+    // ms-truncated events written as micros must sessionize identically
+    // to the same instants stored in the millis physical encoding
+    val msTrunc = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_millis(expr("unix_millis(ts)")))
+    val msRef = writeAs("millis_ref")(msTrunc, Some("TIMESTAMP_MICROS"))
+    val msEnc = writeAs("millis_ltz")(msTrunc, Some("TIMESTAMP_MILLIS"))
+    assert(SparkEntry.queries("q11_sessionize")(spark, msEnc).collect().toSet ==
+      SparkEntry.queries("q11_sessionize")(spark, msRef).collect().toSet,
+      "millis encoding sessionizes differently from micros at the same instants")
     // and against the shipped testdata: the loader must agree with a naive
     // logical-type-honoring read — i.e. no 1000x time compression
     val naiveMax = spark.read.parquet(s"$sfDir/events.parquet")
