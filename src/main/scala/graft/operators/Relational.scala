@@ -1609,6 +1609,67 @@ object Relational {
       |FROM ex JOIN est USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
 
+  // R58: cohort retention — the product-analytics matrix over the
+  // events stream: users cohorted by their FIRST signup week, and for
+  // each week-offset k, the fraction of the cohort active (any event)
+  // in that week. Spark-first: one aggregate finds each user's signup
+  // instant (min over the filtered scan — no window needed), activity
+  // reduces to DISTINCT (user, k) before the cohort rollup, and the
+  // cohort-size join is a broadcast of #cohorts rows. Determinism:
+  // k = floor(seconds-between / 604800) on exact integer epochs —
+  // no calendar/week-start semantics to disagree across engines; the
+  // rate is one integer-ratio division rounded at 6.
+  // Scale shape: two keyed shuffles over (user) + one over (cohort, k)
+  // distinct pairs; nothing carries event payloads past the first
+  // projection.
+  def q128RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      .withColumn("cohort_week",
+        expr("unix_seconds(signup_ts) div 604800"))
+    val active = e.select(col("user_id"), col("ts"))
+      .join(signups, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .withColumn("k",
+        expr("(unix_seconds(ts) - unix_seconds(signup_ts)) div 604800"))
+      .select("user_id", "cohort_week", "k")
+      .distinct()
+    val cohortSize = signups.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    active.groupBy("cohort_week", "k")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("n_active").cast(DoubleType) / col("n_users"), 6))
+      .select(col("cohort_week"), col("k"), col("n_users"),
+        col("n_active"), col("retention"))
+      .orderBy("cohort_week", "k")
+  }
+
+  val q128Sql: String =
+    """WITH signups AS (
+      | SELECT user_id, MIN(ts) AS signup_ts
+      | FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |cohorted AS (
+      | SELECT user_id, signup_ts,
+      |  CAST(epoch(signup_ts) AS BIGINT) // 604800 AS cohort_week
+      | FROM signups),
+      |active AS (
+      | SELECT DISTINCT e.user_id, c.cohort_week,
+      |  (CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.signup_ts) AS BIGINT)) // 604800 AS k
+      | FROM events e JOIN cohorted c USING (user_id)
+      | WHERE e.ts >= c.signup_ts),
+      |sz AS (
+      | SELECT cohort_week, COUNT(DISTINCT user_id) AS n_users
+      | FROM cohorted GROUP BY cohort_week)
+      |SELECT a.cohort_week, a.k, sz.n_users,
+      | COUNT(DISTINCT a.user_id) AS n_active,
+      | ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / sz.n_users, 6) AS retention
+      |FROM active a JOIN sz USING (cohort_week)
+      |GROUP BY a.cohort_week, a.k, sz.n_users
+      |ORDER BY cohort_week, k""".stripMargin
+
   /** The portable sketch core: (c, v) rows → one (c, occupied,
     * estimate) row per c. Split out so specs can drive it with
     * arbitrary value sets (duplication-insensitivity, merge law).

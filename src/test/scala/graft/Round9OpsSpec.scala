@@ -118,6 +118,25 @@ class Round9OpsSpec extends GraftSpec {
     }
   }
 
+  test("q128 cohort retention is a valid probability matrix") {
+    val rows = Relational.q128RetentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, ret) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(a >= 1 && a <= n, s"active outside cohort: $r")
+      assert(ret > 0.0 && ret <= 1.0, s"retention range: $r")
+    }
+    // week 0 retention is exactly 1.0: the signup event itself is
+    // activity at k = 0 for every cohort member
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"week-0 retention != 1: $r")
+    }
+    // cohort sizes are consistent across a cohort's rows
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length == 1)
+    }
+  }
+
   test("round-9 plans keep their scale shapes") {
     import graft.operators.{Curation, Dedup}
     // q124: weighted sampling must be TakeOrdered over a map-side
