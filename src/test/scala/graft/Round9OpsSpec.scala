@@ -137,6 +137,35 @@ class Round9OpsSpec extends GraftSpec {
     }
   }
 
+  test("round-9 results are invariant under an adversarial partitioning") {
+    // §4's partition-order-proof claim for the round's additions: a
+    // prime partition count with AQE off must not change one output row
+    import graft.operators.{Curation, Dedup}
+    val sp = spark
+    val oldParts = sp.conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = sp.conf.get("spark.sql.adaptive.enabled")
+    def run() = Seq(
+      Relational.q123SampledPercentile(sp, sfDir),
+      Curation.q124WeightedSample(sp, sfDir),
+      Dedup.q125SourceOverlap(sp, sfDir),
+      Curation.q126QualityCalibrate(sp, sfDir),
+      Curation.q127CorpusDatasheet(sp, sfDir),
+      Relational.q128RetentionCohorts(sp, sfDir)
+    ).map(_.collect().toSeq)
+    val base = run()
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", "7")
+      sp.conf.set("spark.sql.adaptive.enabled", "false")
+      val alt = run()
+      base.zip(alt).zipWithIndex.foreach { case ((b, a), i) =>
+        assert(b == a, s"query #$i diverged under 7-way/no-AQE partitioning")
+      }
+    } finally {
+      sp.conf.set("spark.sql.shuffle.partitions", oldParts)
+      sp.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("round-9 plans keep their scale shapes") {
     import graft.operators.{Curation, Dedup}
     // q124: weighted sampling must be TakeOrdered over a map-side
