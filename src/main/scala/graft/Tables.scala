@@ -133,17 +133,35 @@ object Tables {
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
+  /** Cheap freshness token for the cache key: the sorted (name, mtime,
+    * length) listing of the path. One FS listing — orders of magnitude
+    * cheaper than the footer read it guards — so a rewrite of the same
+    * path with a different encoding (e.g. nanos-int64 → timestamp[us])
+    * invalidates the cached type instead of silently reading the new
+    * files at 1000x the wrong scale (round-9 advice).
+    */
+  private def freshnessToken(s: SparkSession, path: String): String = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p)
+        .map(k => s"${k.getPath.getName}:${k.getModificationTime}:${k.getLen}")
+        .sorted.mkString("|").hashCode.toString
+    else s"${st.getModificationTime}:${st.getLen}"
+  }
+
   private def eventsTsType(s: SparkSession, path: String): DataType =
-    // cache per path: the footer's logical type is a property of the
-    // files, not the query — without this every events() call pays a
-    // file listing + footer read (~100 ms of per-query overhead in the
-    // r9 bench). mergeSchema=true reads EVERY footer (a small
-    // distributed job, once per path per JVM), so a mixed-encoding
+    // cache per (path, listing): the footer's logical type is a property
+    // of the files, not the query — without this every events() call
+    // pays a footer read (~100 ms of per-query overhead in the r9
+    // bench). mergeSchema=true reads EVERY footer (a small distributed
+    // job, once per path contents per JVM), so a mixed-encoding
     // directory — e.g. a writer migration that left half the files
     // nanos-as-int64 and half timestamp[us] — fails LOUDLY at the merge
     // instead of silently reading one half at 1000x the wrong scale.
-    tsTypeCache.computeIfAbsent(path,
-      p => s.read.option("mergeSchema", "true").parquet(p).schema("ts").dataType)
+    tsTypeCache.computeIfAbsent(s"$path#${freshnessToken(s, path)}",
+      _ => s.read.option("mergeSchema", "true").parquet(path).schema("ts").dataType)
 
   /** Robust events loader: honor the file's timestamp logical type and
     * normalize to a microsecond TimestampType (session TZ is UTC, so NTZ

@@ -553,11 +553,17 @@ object Dedup {
     val withH = d.withColumn("h",
       md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
     val evalH = withH.filter(col("source") === "src0").select("h")
-    // size the sketch from the ACTUAL eval cardinality — a fixed
-    // expectedNumItems saturates (fpp → 1) once the eval slice outgrows
-    // it and the pre-filter silently stops filtering. The count is one
-    // cheap scan of the small side.
-    val bf = evalH.stat.bloomFilter("h", math.max(evalH.count(), 1000L), 0.01)
+    // sketch capacity comes from CONFIG, not an evalH.count() action (a
+    // second pass over the eval slice per execution — round-9 advice).
+    // Oversizing a bloom costs only memory (1M keys @ 1% fpp ≈ 1.2 MB —
+    // trivially broadcastable); UNDERsizing degrades the pre-filter's
+    // selectivity but never correctness, because the exact semi join
+    // below removes every false positive either way. Operators deploying
+    // at 100 TB set spark.graft.bloom.capacity to the known eval-set
+    // scale once, instead of paying a counting scan on every run.
+    val capacity = s.conf.getOption("spark.graft.bloom.capacity")
+      .map(_.toLong).getOrElse(1000000L)
+    val bf = evalH.stat.bloomFilter("h", capacity, 0.01)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContain(h))
     withH.filter(col("source") =!= "src0")

@@ -1616,9 +1616,11 @@ object Relational {
   // instant (min over the filtered scan — no window needed), activity
   // reduces to DISTINCT (user, k) before the cohort rollup, and the
   // cohort-size join is a broadcast of #cohorts rows. Determinism:
-  // k = floor(seconds-between / 604800) on exact integer epochs —
-  // no calendar/week-start semantics to disagree across engines; the
-  // rate is one integer-ratio division rounded at 6.
+  // event timestamps carry sub-second fractions, so both engines must
+  // FLOOR to whole seconds before the week division — Spark's
+  // unix_seconds floors; the DuckDB twin uses integer-micro floor
+  // division (epoch_us // 1_000_000), bit-identical for any instant.
+  // The rate is one integer-ratio division rounded at 6.
   // Scale shape: two keyed shuffles over (user) + one over (cohort, k)
   // distinct pairs; nothing carries event payloads past the first
   // projection.
@@ -1653,11 +1655,11 @@ object Relational {
       | FROM events WHERE event_type = 'signup' GROUP BY user_id),
       |cohorted AS (
       | SELECT user_id, signup_ts,
-      |  CAST(epoch(signup_ts) AS BIGINT) // 604800 AS cohort_week
+      |  (epoch_us(signup_ts) // 1000000) // 604800 AS cohort_week
       | FROM signups),
       |active AS (
       | SELECT DISTINCT e.user_id, c.cohort_week,
-      |  (CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(c.signup_ts) AS BIGINT)) // 604800 AS k
+      |  ((epoch_us(e.ts) // 1000000) - (epoch_us(c.signup_ts) // 1000000)) // 604800 AS k
       | FROM events e JOIN cohorted c USING (user_id)
       | WHERE e.ts >= c.signup_ts),
       |sz AS (

@@ -145,7 +145,13 @@ object TextOps {
   // ties break on the rounded score + token for determinism.
   def q53Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val nDocs = d.count() // tiny action; at scale pass the known corpus size
+    // corpus size for the IDF stays IN-LINEAGE: a one-row aggregate
+    // broadcast-crossJoined into the scoring join instead of a driver
+    // side d.count() action (a second full corpus scan per execution —
+    // round-9 advice; same pattern as Similarity.tfidfWeights). The
+    // count branch reads zero columns (footer row counts), and the IEEE
+    // division n_docs/df is unchanged, so scores hash identically.
+    val nDocsDf = d.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -155,8 +161,9 @@ object TextOps {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocsDf))
       .withColumn("score",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))

@@ -186,4 +186,29 @@ class PlanSpec extends GraftSpec {
     assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderpriority"),
       readSchema)
   }
+
+  test("q53 corpus count is in-lineage — no driver-side count job at build") {
+    // job ids are assigned synchronously at submission, so a d.count()
+    // inside the query builder (the pre-round-10 shape) would register a
+    // job here; the in-lineage form must not
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = operators.TextOps.q53Tfidf(spark, sfDir)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"query construction ran $before->$after jobs")
+    val p = planOf(df)
+    // the one-row corpus count rides a broadcast nested-loop join inside
+    // the same plan (1-row build side: bounded, not a real cartesian)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("n_docs"), p)
+  }
+
+  test("q62 bloom capacity comes from config — no eval-count job at build") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Dedup.q62BloomMembership(spark, sfDir)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // the bloomFilter aggregation itself accounts for up to two jobs
+    // (treeAggregate); the pre-round-10 shape added a counting pass on
+    // top (3+) — that extra pass is what must be gone
+    assert(after - before <= 2, s"q62 build ran ${after - before} jobs")
+  }
 }

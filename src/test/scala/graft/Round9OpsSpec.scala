@@ -46,11 +46,24 @@ class Round9OpsSpec extends GraftSpec {
     val sampleMean = sample.map(_.getDouble(1)).sum / sample.length
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean vs corpus $corpusMean")
-    // priorities are the actual top-k: every kept priority >= every
-    // dropped one (spot-check against the full priority table)
+    // priorities are the actual top-k under (priority DESC, doc_id ASC):
+    // recompute the UNLIMITED priority table and check the kept set is
+    // exactly its head, i.e. no dropped row orders before any kept row
+    val q = TextOps.qualityScores(spark, sfDir).select("doc_id", "quality")
+    val wCol = col("quality") + lit(0.1)
+    val uCol = (graft.functions.TextFunctions.md5Long(col("doc_id")) + lit(1L))
+      .cast(org.apache.spark.sql.types.DoubleType) / lit(1152921504606846976.0)
+    val allPr = q.withColumn("priority", round(log(uCol) / wCol, 6))
+      .select("doc_id", "priority").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(allPr.length > Curation.WsK, "need dropped rows to test against")
+    // the query's sort key: priority DESC, doc_id ASC
+    val expectedIds = allPr
+      .sortBy { case (id, pr) => (-pr, id) }
+      .take(Curation.WsK).map(_._1).toSet
+    assert(sample.map(_.getLong(0)).toSet == expectedIds,
+      "kept set is not the head of the full priority ordering")
     val minKept = sample.map(_.getDouble(2)).min
-    val full = Curation.q124WeightedSample(spark, sfDir)
-    assert(full.count() == Curation.WsK)
     assert(minKept <= 0.0, "ln-space priorities must be <= 0")
   }
 
