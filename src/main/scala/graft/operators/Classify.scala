@@ -43,61 +43,40 @@ object Classify {
   val q27Sql: String =
     s"""SELECT doc_id, $ruleLabelSql AS label FROM documents ORDER BY doc_id""".stripMargin
 
-  // E12: hashed-TF logistic scoring. tokens → md5-hash mod D buckets;
-  // weight(class, bucket) = centered hash in [-500, 500) MILLIS —
-  // integer weights, so per-class scores are exact LONG sums
-  // (partial-aggregation order can't perturb a bit) divided by 1000
-  // once at the end. With the cross-engine md5Long hash (round 7;
-  // previously xxhash64, Spark-only) the classifier is fully
-  // ORACLE-CHECKED instead of rows-only. All map-side except one
-  // groupBy(doc_id) — scales linearly.
+  // E12: hashed-TF logistic scoring over the TRAINED matrix (round 10 —
+  // previously a seeded weight hash; the reference consumes its fitted
+  // joblib models at run_build_database.py:301-327, so inference must
+  // run over LrTrain's fitted weights to mirror it). Weights are integer
+  // MICROS, so per-class margins are exact LONG sums (partial-aggregation
+  // order can't perturb a bit) divided by 1e6 once at the end; the argmax
+  // ties deterministically on the lowest class. The weight matrix is
+  // classes × buckets (KBs) — broadcast; scoring itself stays one
+  // groupBy(doc_id), linear at any scale.
   val NumBuckets = 1024
   val NumClasses = 5
 
   import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
   def q28ClassifyLr(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val tok = d.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .withColumn("bucket", pmod(md5Long(col("token")), lit(NumBuckets)))
-    // weight in millis: centered integer hash of "c:bucket"
-    def wMillis(c: Int): Column =
-      pmod(md5Long(concat(lit(s"$c:"), col("bucket").cast("string"))), lit(1000L)) - 500L
-    val scoreCols = (0 until NumClasses).map(c => sum(wMillis(c)).as(s"s_$c"))
-    val scored = tok.groupBy("doc_id")
-      .agg(scoreCols.head, scoreCols.tail: _*)
-    val best = (0 until NumClasses).map(c => col(s"s_$c"))
-      .reduceLeft((a, b) => greatest(a, b))
-    val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
-      when(col(s"s_$c") === best, lit(c)).otherwise(acc)
-    }
-    scored
-      .withColumn("pred_class", pred)
-      .withColumn("best_score", round(best.cast(DoubleType) / 1000.0, 4))
-      .select(col("doc_id"), col("pred_class"), col("best_score"))
+    val w = LrTrain.trainedDocWeights(s, dir)
+    val scored = LrTrain.docTok(s, dir)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "cls").agg(sum("w_micros").as("m"))
+    scored.groupBy("doc_id")
+      .agg(max(struct(col("m"), (-col("cls")).as("negc"))).as("b"))
+      // NO round(…,4) here: micro-quantized margins make exact x.xxxx50
+      // ties common, and Spark rounds the shortest-decimal repr while
+      // DuckDB rounds the binary double — the tie direction diverges.
+      // The raw division of identical longs is bit-identical instead.
+      .select(col("doc_id"),
+        (-col("b.negc")).cast(IntegerType).as("pred_class"),
+        (col("b.m").cast(DoubleType) / 1000000.0).as("best_score"))
       .orderBy("doc_id")
   }
 
-  val q28Sql: String = {
-    val bucket = s"(${md5LongSql("token")} % $NumBuckets)"
-    def wMillis(c: Int) =
-      s"(${md5LongSql(s"'$c' || ':' || CAST(bucket AS VARCHAR)")} % 1000 - 500)"
-    val sums = (0 until NumClasses).map(c => s"SUM(${wMillis(c)}) AS s_$c").mkString(", ")
-    val best = s"GREATEST(${(0 until NumClasses).map(c => s"s_$c").mkString(", ")})"
-    val pred = (0 until NumClasses).map(c => s"WHEN s_$c = best THEN $c")
-      .mkString("CASE ", " ", " ELSE -1 END")
-    s"""SELECT doc_id, $pred AS pred_class,
-       | ROUND(CAST(best AS DOUBLE) / 1000.0, 4) AS best_score
-       |FROM (
-       | SELECT doc_id, $sums, $best AS best FROM (
-       |  SELECT doc_id, token, $bucket AS bucket
-       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
-       |  WHERE LENGTH(token) > 0)
-       | GROUP BY doc_id)
-       |ORDER BY doc_id""".stripMargin
-  }
+  val q28Sql: String =
+    s"""WITH ${LrTrain.docTrainCtes}
+       |${LrTrain.docScoreSql}""".stripMargin
 
   /** Synthesized balance-sheet line-item label (shared with q103/q104):
     * five deterministic accounting phrases keyed by a column.
@@ -113,51 +92,37 @@ object Classify {
   // classification. The reference trains SEPARATE asset and liability
   // LR models (`asset_log_reg_mdl_v2.joblib` /
   // `liable_log_reg_mdl_v2.joblib`) and scores each line item with the
-  // model of its balance-sheet side (the q26 bisection). Here the two
-  // weight matrices are side-seeded hashed-TF linear models —
-  // w_side(class, bucket) = centered md5Long("side:c:bucket") in
-  // integer MILLIS — so routing a line to the other matrix demonstrably
-  // changes its scores, the per-class sums are exact long arithmetic,
-  // and (round 7, with the cross-engine hash) the whole routed scoring
-  // is ORACLE-CHECKED instead of rows-only. All map-side except one
-  // per-line groupBy; the side column rides the same okey window the
-  // bisection uses. The force-sided spec still proves the routing.
+  // model of its balance-sheet side (the q26 bisection). Round 10: the
+  // two matrices are genuinely FITTED (LrTrain.trainedSideWeights — one
+  // quantized-GD model per side over that side's lines only), replacing
+  // the seeded hash weights, and the whole train+route pipeline stays
+  // ORACLE-CHECKED (integer-micro margins, deterministic argmax).
+  // Training always uses the TRUE bisection sides; forceSide only
+  // reroutes SCORING to one matrix — the spec's routing proof.
   def q104DualLr(s: SparkSession, dir: String): DataFrame = routedLr(s, dir, None)
 
   private[graft] def routedLr(s: SparkSession, dir: String,
       forceSide: Option[String]): DataFrame = {
-    val l = Tables.lineitem(s, dir)
-    val wSheet = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
-    val bisected = l
-      .withColumn("split_line",
-        max(when(col("l_returnflag") === "A", col("l_linenumber"))).over(wSheet))
-      .filter(col("split_line").isNotNull)
-    val sided = bisected.withColumn("side",
-      forceSide.map(lit(_)).getOrElse(
-        when(col("l_linenumber") <= col("split_line"), "assets")
-          .otherwise(lit("liabilities"))))
-    val tok = sided.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"), col("side"),
+    val sided = LrTrain.sidedLines(s, dir)
+    val w = LrTrain.trainedSideWeights(s, dir)
+      .withColumnRenamed("side", "w_side")
+    val tok = sided.select(col("lid"), col("side"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         explode(split(lineLabel(col("l_partkey")), " ")).as("token"))
       .withColumn("bucket", pmod(md5Long(col("token")), lit(NumBuckets)))
-    // the side column SELECTS the weight matrix: disjoint hash inputs
-    def wgtMillis(c: Int): Column =
-      pmod(md5Long(concat(col("side"), lit(s":$c:"), col("bucket").cast("string"))),
-        lit(1000L)) - 500L
-    val scoreCols = (0 until NumClasses).map(c => sum(wgtMillis(c)).as(s"s_$c"))
-    val scored = tok
-      .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "side")
-      .agg(scoreCols.head, scoreCols.tail: _*)
-    val best = (0 until NumClasses).map(c => col(s"s_$c"))
-      .reduceLeft((a, b) => greatest(a, b))
-    val pred = (0 until NumClasses).foldRight(lit(-1)) { (c, acc) =>
-      when(col(s"s_$c") === best, lit(c)).otherwise(acc)
-    }
+      .withColumn("w_side", forceSide.map(lit(_)).getOrElse(col("side")))
+    val scored = tok.join(broadcast(w), Seq("w_side", "bucket"))
+      .groupBy("lid", "side", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "cls")
+      .agg(sum("w_micros").as("m"))
     scored
-      .withColumn("pred_class", pred)
-      .withColumn("best_score", round(best.cast(DoubleType) / 1000.0, 4))
+      .groupBy("lid", "side", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .agg(max(struct(col("m"), (-col("cls")).as("negc"))).as("b"))
+      // unrounded for the same tie-direction reason as q28
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("side"), col("pred_class"), col("best_score"))
+        col("l_suppkey"), col("side"),
+        (-col("b.negc")).cast(IntegerType).as("pred_class"),
+        (col("b.m").cast(DoubleType) / 1000000.0).as("best_score"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
@@ -168,15 +133,9 @@ object Classify {
          | WHEN 2 THEN 'stream service obligations'
          | WHEN 3 THEN 'data center equipment'
          | ELSE 'sundry payables' END""".stripMargin
-    val bucket = s"(${md5LongSql("token")} % $NumBuckets)"
-    def wgtMillis(c: Int) =
-      s"(${md5LongSql(s"side || ':$c:' || CAST(bucket AS VARCHAR)")} % 1000 - 500)"
-    val sums = (0 until NumClasses).map(c => s"SUM(${wgtMillis(c)}) AS s_$c").mkString(", ")
-    val best = s"GREATEST(${(0 until NumClasses).map(c => s"s_$c").mkString(", ")})"
-    val pred = (0 until NumClasses).map(c => s"WHEN s_$c = best THEN $c")
-      .mkString("CASE ", " ", " ELSE -1 END")
     s"""WITH sided AS (
        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${LrTrain.lidSql} AS lid,
        |  CASE WHEN l_linenumber <= split_line THEN 'assets'
        |       ELSE 'liabilities' END AS side,
        |  $label AS label
@@ -185,20 +144,23 @@ object Classify {
        |    OVER (PARTITION BY l_orderkey) AS split_line
        |  FROM lineitem)
        | WHERE split_line IS NOT NULL
-       |), tok AS (
-       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
-       |  $bucket AS bucket
-       | FROM (SELECT *, UNNEST(string_split(label, ' ')) AS token FROM sided)
-       |)
-       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
-       | $pred AS pred_class,
-       | ROUND(CAST(best AS DOUBLE) / 1000.0, 4) AS best_score
+       |),
+       |${LrTrain.sideTrainCtes},
+       |sscore AS (
+       | SELECT t.lid, w.cls, SUM(w.w) AS m
+       | FROM stok t JOIN sw${LrTrain.Iters} w USING (side, bucket)
+       | GROUP BY 1, 2)
+       |SELECT s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey, s.side,
+       | CAST(b.cls AS INTEGER) AS pred_class,
+       | CAST(b.m AS DOUBLE)/1000000.0 AS best_score
        |FROM (
-       | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, side,
-       |  $sums, $best AS best
-       | FROM tok
-       | GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey, side)
-       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+       | SELECT lid, cls, m,
+       |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY m DESC, cls ASC) AS rk
+       | FROM sscore) b
+       |JOIN (SELECT DISTINCT lid, l_orderkey, l_linenumber, l_partkey,
+       |       l_suppkey, side FROM sided) s USING (lid)
+       |WHERE b.rk = 1
+       |ORDER BY s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey""".stripMargin
   }
 
   // E13 (DatabaseStructured.py:21-48): manual-label override — left join

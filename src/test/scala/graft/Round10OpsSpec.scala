@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classify, LrTrain}
+
+class Round10OpsSpec extends GraftSpec {
+
+  test("q129 training loss is strictly monotone decreasing over the GD path") {
+    val path = LrTrain.docWeightPath(spark, sfDir)
+    assert(path.length == LrTrain.Iters + 1)
+    val losses = path.map(w => LrTrain.docLoss(spark, sfDir, w))
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss did not decrease: $losses")
+    }
+    // w0 is the all-zero matrix: p = 0.5 everywhere, so the initial loss
+    // is exactly ln 2 — a closed-form anchor that catches a broken
+    // margin join (which would silently drop rows and shift the mean)
+    assert(math.abs(losses.head - math.log(2.0)) < 1e-12, losses.head.toString)
+  }
+
+  test("q129 weights are exactly replayable: rerun is bit-identical") {
+    val a = LrTrain.q129LrTrain(spark, sfDir).collect().toSeq
+    val b = LrTrain.q129LrTrain(spark, sfDir).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // integer-micro state and its float view agree
+    a.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6) < 1e-9, r.toString)
+    }
+  }
+
+  test("q28 every trained head discriminates its class (margin separation)") {
+    // the corpus prior is 79% one class, so 3 full-batch iterations leave
+    // the cross-head ARGMAX prior-dominated (documented in LrTrain) — the
+    // training proof is per-head: after GD, each one-vs-rest head scores
+    // its own class's docs strictly higher than the rest, on average.
+    // The all-zero init scores every doc identically (separation = 0),
+    // so any positive separation is learned signal.
+    val d = graft.Tables.documents(spark, sfDir)
+    val labeled = d.select(col("doc_id"), LrTrain.labelIdx(col("text")).as("y"))
+    val w = LrTrain.trainedDocWeights(spark, sfDir)
+    val m = LrTrain.docTok(spark, sfDir)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "cls").agg(sum("w_micros").as("m"))
+      .join(labeled, Seq("doc_id"))
+    val sep = m
+      .withColumn("is_pos", (col("cls") === col("y")).cast("int"))
+      .groupBy("cls", "is_pos")
+      .agg(avg(col("m").cast("double") / 1e6).as("mean_m"))
+      .groupBy("cls")
+      .agg((max(when(col("is_pos") === 1, col("mean_m"))) -
+        max(when(col("is_pos") === 0, col("mean_m")))).as("sep"))
+      .collect()
+    assert(sep.length == LrTrain.Classes)
+    sep.foreach(r => assert(r.getDouble(1) > 0.1,
+      s"head ${r.getInt(0)} separation ${r.getDouble(1)} not positive"))
+  }
+
+  test("q104 side models learn the label generator almost perfectly") {
+    // the line text IS a deterministic function of l_partkey % 5, so a
+    // working trainer must separate the five phrase classes
+    val out = Classify.q104DualLr(spark, sfDir)
+      .withColumn("y", (col("l_partkey") % 5).cast("int"))
+    val n = out.count().toDouble
+    val acc = out.filter(col("pred_class") === col("y")).count() / n
+    assert(acc > 0.95, s"side-model accuracy $acc")
+  }
+}

@@ -84,9 +84,11 @@ class Round6OpsSpec extends GraftSpec {
       val forced = if (side == "assets") forcedA(k) else forcedL(k)
       assert((pred, score) == (forced._2, forced._3), s"$k: $side routed ($pred,$score) vs $forced")
     }
-    // the two matrices are genuinely different models: some line gets a
-    // different class from the asset vs the liability matrix
-    assert(routed.keys.exists(k => forcedA(k)._2 != forcedL(k)._2))
+    // the two matrices are genuinely different models (round 10: both
+    // are TRAINED on their own side's lines, so they converge to similar
+    // argmaxes — distinctness shows in the margins, not the labels):
+    // some line scores differently under the asset vs liability matrix
+    assert(routed.keys.exists(k => forcedA(k)._3 != forcedL(k)._3))
   }
 
   test("q105 clusters TF-IDF features: partition of the vocab-bearing corpus") {
