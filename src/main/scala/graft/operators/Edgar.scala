@@ -580,4 +580,105 @@ object Edgar {
       | SELECT c_custkey * 2 + 1, UPPER(c_name) FROM customer)
       |GROUP BY LOWER(name)
       |ORDER BY canonical""".stripMargin
+
+  // E28 (notebook/rssd-network/network.ipynb cells 3-21): the NIC
+  // network capstone — the reference's remaining end-to-end lineage.
+  // The notebook builds an RSSD↔CIK crosswalk (with a manual identifier
+  // correction, cell 11's replace 769993→42352), resolves M&A
+  // predecessor→successor transformations, joins parent→offspring
+  // relationship edges, and names every surviving entity from the
+  // registry. ONE chained query composes the engine's existing forms:
+  //   • q21's last-wins CIK registry (the name/filing lookup),
+  //   • q96's iterative hierarchy walk (M&A chain resolution: every
+  //     RSSD to its ultimate surviving successor, with chain depth),
+  //   • q86's null-safe join discipline (the crosswalk CIK is a
+  //     NULLABLE business key; <=> routes unmapped entities to a
+  //     designated default row instead of dropping them).
+  // Synthesis: supplier keys are the RSSD domain; successor edges follow
+  // q96's k→k div 10 rule; the crosswalk maps rssd→cik by exact integer
+  // arithmetic into the customer-key domain, with rssd % 13 = 0 left
+  // unmapped (NULL) and the cell-11 manual correction as cik % 50 = 0→1.
+  // Scale shape: the walk is q96's (keyed joins, localCheckpoint per
+  // round, loud 30-round cap); everything after it is one keyed join per
+  // stage plus a broadcast of the tiny registry — no new shuffle class.
+  def q130NicNetwork(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("rssd"))
+    val nCust = Tables.customer(s, dir).agg(count(lit(1)).as("n_cust"))
+    val cw = sup.crossJoin(broadcast(nCust))
+      .withColumn("cik0", (col("rssd") * 7) % col("n_cust") + 1)
+      .withColumn("cik1", when(col("cik0") % 50 === 0, 1L).otherwise(col("cik0")))
+      .select(col("rssd"),
+        when(col("rssd") % 13 === 0, lit(null).cast(LongType))
+          .otherwise(col("cik1")).as("cik"))
+    val edges = sup.filter(col("rssd") >= 10)
+      .select(col("rssd").as("child"), expr("rssd div 10").as("parent"))
+    val resolved = Extended.hierarchyWalk(sup.select(col("rssd").as("k")), edges)
+      .select(col("k").as("rssd"), col("root").as("survivor_rssd"),
+        col("depth").as("chain_depth"))
+    val netSize = resolved.groupBy("survivor_rssd")
+      .agg(count(lit(1)).as("network_size"))
+    // registry + the designated row NULL crosswalk keys resolve to
+    val lookup = q21CikRegistry(s, dir)
+      .unionByName(s.range(1).select(
+        lit(null).cast(LongType).as("cik"),
+        lit("unmapped").as("name"),
+        lit(null).cast(DateType).as("last_filing")))
+    val cwS = cw.select(col("rssd").as("survivor_rssd"),
+      col("cik").as("survivor_cik"))
+    resolved
+      .join(cw, Seq("rssd"))
+      .join(cwS, Seq("survivor_rssd"))
+      .join(netSize, Seq("survivor_rssd"))
+      .join(broadcast(lookup), col("survivor_cik") <=> lookup("cik"), "left_outer")
+      .select(col("rssd"), cw("cik"), col("survivor_rssd"), col("chain_depth"),
+        col("survivor_cik"),
+        coalesce(col("name"), lit("unregistered")).as("survivor_name"),
+        col("last_filing").as("survivor_last_filing"),
+        col("network_size"))
+      .orderBy("rssd")
+  }
+
+  val q130Sql: String =
+    """WITH lookup AS (
+      | SELECT cik, name, last_filing FROM (
+      |  SELECT o_custkey AS cik, c_name AS name, o_orderdate AS last_filing
+      |  FROM (
+      |   SELECT o_custkey, c_name, o_orderdate,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |   FROM orders JOIN customer ON o_custkey = c_custkey)
+      |  WHERE rn = 1)
+      | UNION ALL SELECT NULL, 'unmapped', NULL),
+      |cw AS (
+      | SELECT s_suppkey AS rssd,
+      |  CASE WHEN s_suppkey % 13 = 0 THEN NULL
+      |   ELSE CASE WHEN ((s_suppkey * 7) % (SELECT COUNT(*) FROM customer) + 1) % 50 = 0
+      |    THEN 1
+      |    ELSE (s_suppkey * 7) % (SELECT COUNT(*) FROM customer) + 1 END
+      |  END AS cik
+      | FROM supplier),
+      |walk AS (
+      | WITH RECURSIVE w(k, cur, depth) AS (
+      |  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+      |  UNION ALL
+      |  SELECT w.k, e.parent, w.depth + 1
+      |  FROM w JOIN (
+      |    SELECT s_suppkey AS child, s_suppkey // 10 AS parent
+      |    FROM supplier WHERE s_suppkey >= 10) e
+      |   ON w.cur = e.child)
+      | SELECT k AS rssd, cur AS survivor_rssd, depth AS chain_depth
+      | FROM w WHERE cur < 10),
+      |net AS (
+      | SELECT survivor_rssd, COUNT(*) AS network_size FROM walk GROUP BY 1)
+      |SELECT r.rssd, c.cik, r.survivor_rssd, r.chain_depth,
+      | cs.cik AS survivor_cik,
+      | COALESCE(l.name, 'unregistered') AS survivor_name,
+      | l.last_filing AS survivor_last_filing,
+      | n.network_size
+      |FROM walk r
+      |JOIN cw c USING (rssd)
+      |JOIN cw cs ON cs.rssd = r.survivor_rssd
+      |JOIN net n USING (survivor_rssd)
+      |LEFT JOIN lookup l ON cs.cik IS NOT DISTINCT FROM l.cik
+      |ORDER BY rssd""".stripMargin
 }

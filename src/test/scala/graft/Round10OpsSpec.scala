@@ -57,6 +57,29 @@ class Round10OpsSpec extends GraftSpec {
       s"head ${r.getInt(0)} separation ${r.getDouble(1)} not positive"))
   }
 
+  test("q130 network capstone: total, chain-consistent, null-safe routed") {
+    import graft.operators.Edgar
+    val rows = Edgar.q130NicNetwork(spark, sfDir).collect()
+    val nSup = graft.Tables.supplier(spark, sfDir).count()
+    // totality: one row per RSSD — the null-safe lookup must not drop
+    // unmapped (NULL-cik) or unregistered entities
+    assert(rows.length == nSup, s"${rows.length} vs $nSup suppliers")
+    rows.foreach { r =>
+      val (rssd, survivor, depth) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(survivor < 10, s"survivor not a chain root: $r")
+      if (rssd < 10) assert(depth == 0 && survivor == rssd, r.toString)
+      // NULL crosswalk keys route to the designated default row
+      if (r.isNullAt(1) && rssd == survivor)
+        assert(r.getString(5) == "unmapped", r.toString)
+      assert(r.getLong(7) >= 1, r.toString)
+    }
+    // network sizes partition the RSSD universe exactly
+    val bySurvivor = rows.groupBy(_.getLong(2)).map { case (k, g) =>
+      k -> (g.length.toLong, g.head.getLong(7)) }
+    bySurvivor.foreach { case (k, (actual, claimed)) =>
+      assert(actual == claimed, s"survivor $k size $claimed vs $actual") }
+  }
+
   test("q104 side models learn the label generator almost perfectly") {
     // the line text IS a deterministic function of l_partkey % 5, so a
     // working trainer must separate the five phrase classes
