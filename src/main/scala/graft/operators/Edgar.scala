@@ -199,6 +199,73 @@ object Edgar {
       | FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey)
       |WHERE ratio >= 90.0 ORDER BY k1, k2""".stripMargin
 
+  // E7b (OCRClean.py:407, DatabaseUnstructured.py:236 — round 10): the
+  // reference's fuzzy gates use fuzz.partial_ratio, BEST-SUBSTRING-WINDOW
+  // alignment, not whole-string ratio: an OCR fragment that is a clean
+  // substring of a registry name must score 100 even though the
+  // whole-string ratio is far below the gate (q25's known under-match).
+  // Declarative form: slide every m-length window of the longer string
+  // (sequence → explode → substring → levenshtein), take the min
+  // distance, with a 40-start cap bounding the blow-up on pathological
+  // lengths. Fragments are synthesized as deterministic name suffixes —
+  // the EDGAR variant-merge case (distinctive tail digits, shared
+  // prefixes). Pair space stays nation-blocked like q25 (linear-ish, no
+  // unkeyed cross join); the window explode multiplies rows by ~n−m+1
+  // (≤ 40), all map-side until one keyed aggregate.
+  def q131PartialRatio(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("k1"), col("s_name").as("name1"), col("s_nationkey").as("nk"))
+    val b = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("k2"), col("s_name").as("name2"), col("s_nationkey").as("nk"))
+    val pairs = a.join(b, Seq("nk"))
+      .withColumn("frag", expr(
+        "substring(name2, length(name2) - (CAST(k2 % 5 AS INT) + 8) + 1," +
+          " CAST(k2 % 5 AS INT) + 8)"))
+      .withColumn("m", length(col("frag")))
+      .withColumn("n", length(col("name1")))
+      .filter(col("m") <= col("n"))
+    val win = pairs
+      .withColumn("i", explode(sequence(lit(1),
+        least(col("n") - col("m") + lit(1), lit(40)))))
+      .withColumn("lev", levenshtein(expr("substring(name1, i, m)"), col("frag")))
+    win.groupBy("k1", "k2", "name1", "frag", "m", "n")
+      .agg(min(col("lev")).as("best_lev"))
+      .withColumn("ratio_partial",
+        round((lit(1.0) - col("best_lev").cast(DoubleType) / col("m").cast(DoubleType)) * 100, 2))
+      .withColumn("ratio_whole",
+        round((lit(1.0) - levenshtein(col("name1"), col("frag")).cast(DoubleType) /
+          greatest(col("n"), col("m")).cast(DoubleType)) * 100, 2))
+      .filter(col("ratio_partial") >= 90.0)
+      .select(col("k1"), col("k2"), col("name1"), col("frag"),
+        col("ratio_partial"), col("ratio_whole"))
+      .orderBy("k1", "k2")
+  }
+
+  val q131Sql: String =
+    """WITH pairs AS (
+      | SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_name AS name1,
+      |  SUBSTR(b.s_name,
+      |   LENGTH(b.s_name) - (CAST(b.s_suppkey % 5 AS INTEGER) + 8) + 1,
+      |   CAST(b.s_suppkey % 5 AS INTEGER) + 8) AS frag
+      | FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey),
+      |sized AS (
+      | SELECT *, LENGTH(frag) AS m, LENGTH(name1) AS n
+      | FROM pairs WHERE LENGTH(frag) <= LENGTH(name1)),
+      |win AS (
+      | SELECT k1, k2, name1, frag, m, n,
+      |  LEVENSHTEIN(SUBSTR(name1, i, m), frag) AS lev
+      | FROM sized, UNNEST(range(1, LEAST(n - m + 1, 40) + 1)) AS t(i)),
+      |agg AS (
+      | SELECT k1, k2, name1, frag, m, n, MIN(lev) AS best_lev
+      | FROM win GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT k1, k2, name1, frag,
+      | ROUND((1.0 - CAST(best_lev AS DOUBLE)/CAST(m AS DOUBLE)) * 100, 2) AS ratio_partial,
+      | ROUND((1.0 - CAST(LEVENSHTEIN(name1, frag) AS DOUBLE)
+      |   / CAST(GREATEST(n, m) AS DOUBLE)) * 100, 2) AS ratio_whole
+      |FROM agg
+      |WHERE ROUND((1.0 - CAST(best_lev AS DOUBLE)/CAST(m AS DOUBLE)) * 100, 2) >= 90.0
+      |ORDER BY k1, k2""".stripMargin
+
   // E16 (DatabaseUnstructured.py:305-325 extra_cols): filename →
   // (cik, filing_date, fiscal_year). FY rolls to the next year for
   // filings dated July onward.

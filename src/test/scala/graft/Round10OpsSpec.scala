@@ -80,6 +80,24 @@ class Round10OpsSpec extends GraftSpec {
       assert(actual == claimed, s"survivor $k size $claimed vs $actual") }
   }
 
+  test("q131 partial_ratio closes q25's under-match on substring fragments") {
+    import graft.operators.Edgar
+    val rows = Edgar.q131PartialRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the reference case: an OCR fragment cut from a name must pass the
+    // partial gate at exactly 100 even though the whole-string ratio —
+    // all q25 had — stays far below the 90 gate
+    val selfPairs = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfPairs.nonEmpty, "no self fragment pairs matched")
+    selfPairs.foreach { r =>
+      assert(r.getDouble(4) == 100.0, s"fragment-of-self not 100: $r")
+      assert(r.getDouble(5) < 90.0, s"whole ratio would have caught it: $r")
+      assert(r.getString(2).contains(r.getString(3)), r.toString)
+    }
+    // windowed min can only beat whole-string alignment
+    rows.foreach(r => assert(r.getDouble(4) >= r.getDouble(5), r.toString))
+  }
+
   test("q104 side models learn the label generator almost perfectly") {
     // the line text IS a deterministic function of l_partkey % 5, so a
     // working trainer must separate the five phrase classes
