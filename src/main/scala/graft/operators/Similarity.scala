@@ -513,25 +513,105 @@ object Similarity {
   // Scale shape: one keyed aggregate over (cid, token) — bounded by the
   // TkVocab vocabulary join upstream — then a window over ≤ k×V rows.
   def q108ClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    // The checkpointed assignment already CARRIES every (dim, w) weight
-    // of every assigned document — exploding it is strictly cheaper
-    // than re-deriving the (doc_id, token, w) frame from the corpus (a
-    // second tokenize→tf→join lineage = one extra corpus scan at
-    // 100 TB). Tokens are recovered from the broadcast V-row vocab.
-    val scored = tfidfAssignments(s, dir)
-      .select(col("cid"), explode(col("entries")).as("e"))
-      .groupBy(col("cid"), col("e.dim").as("dim"))
-      .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("score_dec"),
-        count(lit(1)).as("n_docs"))
-      .join(broadcast(tfidfVocab(s, dir).select(col("dim"), col("token"))), Seq("dim"))
     val wC = Window.partitionBy("cid").orderBy(desc("score_dec"), asc("token"))
-    scored
+    clusterTermSums(s, dir)
       .withColumn("rk", row_number().over(wC))
       .filter(col("rk") === 1)
       .select(col("cid"), col("token").as("label_term"),
         round(col("score_dec"), 6).cast(DoubleType).as("score"), col("n_docs"))
       .orderBy("cid")
   }
+
+  /** Per-(cluster, token) decimal-exact TF-IDF weight sums — the shared
+    * sufficient statistic of q108 (argmax label) and q132 (the actual
+    * 1-topic LDA fit). The checkpointed assignment already CARRIES every
+    * (dim, w) weight of every assigned document — exploding it is
+    * strictly cheaper than re-deriving the (doc_id, token, w) frame from
+    * the corpus (a second tokenize→tf→join lineage = one extra corpus
+    * scan at 100 TB). Tokens are recovered from the broadcast V-row
+    * vocab.
+    */
+  private def clusterTermSums(s: SparkSession, dir: String): DataFrame =
+    tfidfAssignments(s, dir)
+      .select(col("cid"), explode(col("entries")).as("e"))
+      .groupBy(col("cid"), col("e.dim").as("dim"))
+      .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("score_dec"),
+        count(lit(1)).as("n_docs"))
+      .join(broadcast(tfidfVocab(s, dir).select(col("dim"), col("token"))), Seq("dim"))
+
+  // T26d (notebook/ml-model/mlClustering.ipynb cells 19-25): the ACTUAL
+  // per-cluster 1-topic LatentDirichletAllocation FIT — not just its
+  // argmax. The notebook's label_LDA (cell 20) vectorizes each cluster's
+  // strings with TfidfVectorizer and calls
+  // LatentDirichletAllocation(n_components=1).fit on those TF-IDF
+  // features (cells 22/24), then reads the top feature names off
+  // mdl.components_. For K=1 the variational EM is degenerate and
+  // converges EXACTLY after one M-step: every word's topic
+  // responsibility is forced to 1 (there is only one topic), so the
+  // fitted variational parameter is
+  //     components_[0][w] = lambda_w = eta + sum_d x_{d,w}
+  // with eta = topic_word_prior defaulting to 1/n_components = 1.0 and
+  // x the TF-IDF feature matrix — i.e. the fit's sufficient statistic
+  // IS q108's per-(cid, token) weight sum. Further iterations are
+  // fixpoints, so a "fixed iteration count" is exactly 1 and the full
+  // fit is oracle-replayable in closed form. The expected topic-word
+  // distribution E[beta_w] = lambda_w / sum_v lambda_v is emitted in
+  // exact integer MICRO-units (weights are 6-dp decimals, so
+  // lambda*1e6 is an exact BIGINT; floor division is bit-identical
+  // cross-engine), with absent vocabulary words contributing their
+  // prior eta to the normalizer.
+  //
+  // Scale shape: identical to q108 — one keyed aggregate over the
+  // vocab-bounded (cid, dim) grid, then a window + top-k over ≤ k×V
+  // rows. lam_u stays < ~1e12 at any plausible corpus (sum of 6-dp
+  // weights), so 1e6*lam_u is overflow-safe in BIGINT.
+  val LdaTopWords = 5 // the notebook prints the 5 most important words
+
+  def q132LdaFit(s: SparkSession, dir: String): DataFrame = {
+    val lam = clusterTermSums(s, dir)
+      .withColumn("lam_u",
+        (col("score_dec") * 1000000).cast(LongType) + 1000000L)
+    // normalizer over the FULL V-word vocabulary: absent (cid, token)
+    // cells hold lambda = eta exactly (1e6 in micro-units)
+    val dens = lam.groupBy("cid")
+      .agg((sum(col("lam_u")) + lit(1000000L) * (lit(TkVocab) - count(lit(1))))
+        .as("den_u"))
+    val wC = Window.partitionBy("cid").orderBy(desc("lam_u"), asc("token"))
+    lam
+      .withColumn("rk", row_number().over(wC))
+      .filter(col("rk") <= LdaTopWords)
+      .join(dens, Seq("cid"))
+      .withColumn("beta_micro", expr("(1000000 * lam_u) DIV den_u"))
+      .select(col("cid"), col("rk"), col("token"), col("lam_u"), col("beta_micro"))
+      .orderBy("cid", "rk")
+  }
+
+  /** SQL twin of [[q132LdaFit]] — same shared a2 chain, same integer
+    * micro-unit lambda/beta arithmetic (DuckDB `//` == Spark `DIV` on
+    * positive BIGINTs).
+    */
+  val q132Sql: String =
+    s"""WITH ${tkChainCtes}, scored AS (
+       | SELECT a.cid, wt.token,
+       |  SUM(CAST(wt.w AS DECIMAL(20,6))) AS score_dec
+       | FROM weights wt JOIN a2 a USING (doc_id)
+       | GROUP BY a.cid, wt.token
+       |), lam AS (
+       | SELECT cid, token,
+       |  CAST(score_dec * 1000000 AS BIGINT) + 1000000 AS lam_u
+       | FROM scored
+       |), dens AS (
+       | SELECT cid,
+       |  CAST(SUM(lam_u) + 1000000 * ($TkVocab - COUNT(*)) AS BIGINT) AS den_u
+       | FROM lam GROUP BY cid
+       |)
+       |SELECT l.cid, CAST(l.rk AS INTEGER) AS rk, l.token, l.lam_u,
+       | (1000000 * l.lam_u) // d.den_u AS beta_micro
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+       |        ORDER BY lam_u DESC, token) AS rk FROM lam) l
+       |JOIN dens d USING (cid)
+       |WHERE l.rk <= $LdaTopWords
+       |ORDER BY l.cid, l.rk""".stripMargin
 
   // (identical tail shape to q90 above, but HERE the final assignment is
   // checkpointed: q105's upstream is the whole TF-IDF lineage, so per-

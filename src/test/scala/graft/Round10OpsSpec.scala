@@ -98,6 +98,42 @@ class Round10OpsSpec extends GraftSpec {
     rows.foreach(r => assert(r.getDouble(4) >= r.getDouble(5), r.toString))
   }
 
+  test("q132 1-topic LDA fit: top word agrees with q108's argmax label") {
+    import graft.operators.Similarity
+    val lda = Similarity.q132LdaFit(spark, sfDir).collect()
+    assert(lda.nonEmpty)
+    // the degenerate K=1 fit ranks by lambda = eta + sum(tfidf), so its
+    // top word per cluster must be EXACTLY q108's TF-IDF-argmax label —
+    // the equivalence q108's Scaladoc claims, here proven executable
+    val top1 = lda.filter(_.getInt(1) == 1)
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    val labels = Similarity.q108ClusterLabels(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(top1 == labels, s"lda=$top1 q108=$labels")
+    // each cluster carries the notebook's 5 most-important words, in
+    // strictly non-increasing lambda order with alphabetical tiebreak
+    lda.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      assert(byRank.length == Similarity.LdaTopWords)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        val ok = a.getLong(3) > b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getString(2) < b.getString(2))
+        assert(ok, s"rank order broken: $a vs $b")
+      case _ => ()
+      }
+    }
+    // beta is a (sub-)distribution in exact micro-units: every entry
+    // positive, and the top-5 mass can never exceed the whole
+    lda.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(4) > 0))
+      assert(rows.map(_.getLong(4)).sum <= 1000000L)
+    }
+    // lambda floor: a vocab word present in the cluster has count >= 1
+    // occurrence => weight > 0 => lam_u > eta-micro
+    assert(lda.forall(_.getLong(3) > 1000000L))
+  }
+
   test("q104 side models learn the label generator almost perfectly") {
     // the line text IS a deterministic function of l_partkey % 5, so a
     // working trainer must separate the five phrase classes
