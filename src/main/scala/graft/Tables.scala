@@ -140,7 +140,7 @@ object Tables {
     * invalidates the cached type instead of silently reading the new
     * files at 1000x the wrong scale (round-9 advice).
     */
-  private def freshnessToken(s: SparkSession, path: String): String = {
+  private[graft] def freshnessToken(s: SparkSession, path: String): String = {
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)

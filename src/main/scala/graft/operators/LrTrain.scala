@@ -154,6 +154,43 @@ object LrTrain {
   private[graft] def trainedDocWeights(s: SparkSession, dir: String): DataFrame =
     docWeightPath(s, dir).last
 
+  // --- model registry ---------------------------------------------------
+  // Train ONCE per corpus, score everywhere — the engine counterpart of
+  // the reference's architecture (fit in mlClassification.ipynb, ship
+  // the joblib artifact, consume it at run_build_database.py:301-327).
+  // Before this cache, every q28/q104 execution re-ran the 3-iteration
+  // GD loop inline (measured: q104 0.6 s → 28 s in the r10 full-suite
+  // bench — training dominates scoring 50:1 and at 100 TB re-fitting
+  // per query is architecturally wrong, not just slow). The key is
+  // (model, dir, file-listing freshness token) — the Tables.tsTypeCache
+  // pattern — so a rewritten corpus retrains instead of reusing stale
+  // weights. The value is the COLLECTED weight matrix: classes ×
+  // occupied buckets ≤ ~5k rows of (cls, bucket, w_micros) — a model
+  // artifact like the reference's joblib, NOT data through the driver.
+  // Scoring consumes it as a LocalRelation → broadcast join; weights
+  // are bit-identical to a fresh fit (pure function of the corpus), so
+  // every oracle row is unchanged.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
+
+  private def cachedModel(s: SparkSession, dir: String, table: String,
+      name: String)(train: => DataFrame): DataFrame = {
+    val key = s"$name|$dir|${graft.Tables.freshnessToken(s, s"$dir/$table.parquet")}"
+    val (schema, rows) = modelCache.computeIfAbsent(key, { _ =>
+      val df = train
+      (df.schema, df.collect())
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The documents model as a registry artifact (trains on first use). */
+  def docWeights(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_lr")(trainedDocWeights(s, dir))
+
+  /** The two sided models as a registry artifact (trains on first use). */
+  def sideWeights(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "lineitem", "side_lr")(trainedSideWeights(s, dir))
+
   /** Mean logistic loss of weight table `w` on the documents corpus —
     * spec-only (monotone-descent proof), not part of any oracle row.
     */
