@@ -202,6 +202,27 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("n_docs"), p)
   }
 
+  test("q28/q104 score from the model registry — training runs once, not per query") {
+    import graft.operators.{Classify, LrTrain}
+    // first touch may train (populating the JVM-wide registry); after
+    // that, building the scoring query must run ZERO jobs beyond the
+    // cached-artifact localization, and the executed plan must be a
+    // LocalTableScan broadcast into the token scan — no GD iteration
+    // stages (the pre-fix shape re-ran 3 localCheckpoint'ed iterations
+    // per execution: q104 0.6 s -> 28 s in the r10 full-suite bench)
+    LrTrain.docWeights(spark, sfDir).count()   // warm the registry
+    LrTrain.sideWeights(spark, sfDir).count()
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val p28 = planOf(Classify.q28ClassifyLr(spark, sfDir))
+    val p104 = planOf(Classify.q104DualLr(spark, sfDir))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"scoring-query construction ran ${after - before} jobs")
+    Seq("q28" -> p28, "q104" -> p104).foreach { case (n, p) =>
+      assert(p.contains("LocalTableScan"), s"$n weights are not a local artifact:\n$p")
+      assert(!p.contains("Checkpoint"), s"$n still carries training stages:\n$p")
+    }
+  }
+
   test("q62 bloom capacity comes from config — no eval-count job at build") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Dedup.q62BloomMembership(spark, sfDir)
