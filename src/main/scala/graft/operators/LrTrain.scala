@@ -15,18 +15,20 @@ import graft.Tables
   * Spark-first design: full-batch gradient descent is nothing but the
   * joins + aggregations the engine already runs everywhere —
   *
-  *   margins   m_dc = Σ_tokens w_t(c, bucket)      (join tok ⋈ broadcast w)
+  *   margins   m_dc = Σ_b x_db · w_t(c, b)         (xdb ⋈ broadcast w)
   *   residuals r_dc = σ(m_dc) − y_dc               (pointwise)
   *   gradient  G_cb = Σ_d r_dc · x_db              (keyed join on doc)
   *   update    w_{t+1} = w_t − G/(n·LrDen)         (tiny keyed join)
   *
   * — so one iteration is two keyed shuffles over the corpus plus a
   * broadcast of the weight matrix (classes × buckets rows: KBs). The
-  * weight matrix is localCheckpoint'ed between iterations (the q55/q90
-  * iterative pattern) so the plan stays linear in the iteration count;
-  * at 100 TB the feature frame (xdb) would additionally be persisted
-  * once and reused across iterations — each iteration is then exactly
-  * one pass over the cached features, the textbook distributed-LR shape.
+  * class axis is packed in COLUMNS (w0..w4) so no shuffle carries a
+  * (doc × class) row explosion; the weight matrix is re-materialized as
+  * a driver-local relation between iterations (parameter-server shape)
+  * so the plan stays linear in the iteration count; the feature frame
+  * (xdb) is persisted once and reused across iterations — each
+  * iteration is exactly one pass over the cached features, the textbook
+  * distributed-LR shape.
   *
   * ORACLE-EXACT BY QUANTIZATION (the q90 Lloyd-loop discipline): weights
   * live in integer MICROS, margins are exact long sums of those micros,
@@ -107,48 +109,104 @@ object LrTrain {
     Tables.documents(s, dir)
       .select(col("doc_id"), labelIdx(col("text")).as("y_cls"))
 
-  /** One GD step over a (docKey, bucket) token frame. `w` is
-    * (modelKey*, cls, bucket, w_micros); returns the same shape.
+  /** Weight matrices are MODEL STATE, not data: ≤ classes × buckets
+    * rows (KBs), bounded by the model, not the corpus. Materialize them
+    * as driver-local relations — the parameter-server shape Spark ML's
+    * own LR uses for its coefficient vector — so every broadcast join
+    * against them sees the ACTUAL size. A localCheckpoint is NOT
+    * enough for this: LogicalRDD inherits the ORIGIN plan's size
+    * estimate, and w's origin is a distinct ⋈ crossJoin whose product
+    * estimate (~10^30 bytes at gen-sf1) then COMPOUNDS through each
+    * iteration's lineage — so BroadcastGuard (correctly, by its
+    * contract) stripped the margin join's broadcast hint and iteration
+    * after iteration degraded to a full sort-merge join over the token
+    * frame (measured: 270-380 s cold side-model fits at gen-sf1;
+    * ~40 s after this fix).
     */
-  private def gdStep(tok: DataFrame, xdb: DataFrame, labels: DataFrame,
-      nDf: DataFrame, w: DataFrame, docKey: Seq[String],
-      modelKey: Seq[String]): DataFrame = {
-    val m = tok.join(broadcast(w), modelKey :+ "bucket")
-      .groupBy((docKey ++ modelKey :+ "cls").map(col): _*)
-      .agg(sum("w_micros").as("m_micros"))
+  private def asLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  // --- wide (packed-class) training loop --------------------------------
+  // The class count is a FIXED small constant, so the class axis lives
+  // in COLUMNS (w0..w4 / m0..m4 / r0..r4 / g0..g4), not rows:
+  //   margins   m_dc: xdb ⋈ broadcast(w_wide), groupBy(doc), Σ x·w_c
+  //   residuals r_dc: pointwise on the wide margin row
+  //   gradient  G_cb: r_wide ⋈ xdb (one keyed join), groupBy(bucket)
+  // — two keyed shuffles of NARROW frames per iteration, with no
+  // (doc × class) or (doc × class × bucket) row explosion anywhere. The
+  // long form (tok ⋈ w producing classes rows per token, then a second
+  // classes × buckets-per-doc join for the gradient) computed the same
+  // sums through ~5× the shuffled rows — measured at gen-sf1 the cold
+  // side-model fit was 218-344 s long vs ~45 s wide. Every sum has the
+  // SAME exact integer terms, reassociated — weights are bit-identical,
+  // so the DuckDB twin stays in the long form (the clearer SQL) and
+  // replays unchanged. The margin sum over the grouped (doc, bucket, x)
+  // frame instead of raw tokens is the same reassociation argument:
+  // Σ_occurrences w = Σ_buckets x·w exactly, in integers.
+
+  /** One GD step. `xdb` is (docKey*, modelKey*, bucket, x); `labels` is
+    * (docKey*, y_cls) — kept as its own join on the GROUPED margin frame
+    * (not folded into xdb) because the side corpus has duplicate-lid
+    * physical rows whose doubled label join is documented, oracle-
+    * replayed semantics. `w` is the wide (modelKey*, bucket, w0..) local
+    * relation; returns the same wide shape.
+    */
+  private def gdStep(xdb: DataFrame, labels: DataFrame, nDf: DataFrame,
+      w: DataFrame, docKey: Seq[String], modelKey: Seq[String]): DataFrame = {
+    val mAggs = (0 until Classes).map(c => sum(col("x") * col(s"w$c")).as(s"m$c"))
+    val m = xdb.join(broadcast(w), modelKey :+ "bucket")
+      .groupBy((docKey ++ modelKey).map(col): _*)
+      .agg(mAggs.head, mAggs.tail: _*)
     val r = m.join(labels, docKey)
-      .withColumn("y", when(col("y_cls") === col("cls"), 1.0).otherwise(0.0))
-      .select((docKey ++ modelKey).map(col) ++ Seq(col("cls"),
-        residMicros(col("m_micros"), col("y")).as("r")): _*)
+      .select((docKey ++ modelKey).map(col) ++ (0 until Classes).map(c =>
+        residMicros(col(s"m$c"),
+          when(col("y_cls") === c, 1.0).otherwise(0.0)).as(s"r$c")): _*)
+    val gAggs = (0 until Classes).map(c => sum(col(s"r$c") * col("x")).as(s"g$c"))
     val g = r.join(xdb, docKey ++ modelKey)
-      .groupBy((modelKey ++ Seq("cls", "bucket")).map(col): _*)
-      .agg(sum(col("r") * col("x")).as("g"))
+      .groupBy((modelKey :+ "bucket").map(col): _*)
+      .agg(gAggs.head, gAggs.tail: _*)
     val gn = if (modelKey.isEmpty) g.crossJoin(broadcast(nDf))
              else g.join(broadcast(nDf), modelKey)
-    w.join(gn.select((modelKey ++ Seq("cls", "bucket")).map(col) ++
-        Seq(truncDivPos(col("g"), col("n") * lit(LrDen)).as("dw")): _*),
-        modelKey ++ Seq("cls", "bucket"))
-      .select((modelKey ++ Seq("cls", "bucket")).map(col) :+
-        (col("w_micros") - col("dw")).as("w_micros"): _*)
-      .localCheckpoint() // truncate lineage: plan stays linear in Iters
+    asLocal(w.join(gn, modelKey :+ "bucket")
+      .select((modelKey :+ "bucket").map(col) ++ (0 until Classes).map(c =>
+        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(LrDen))).as(s"w$c")): _*))
+    // asLocal also truncates lineage: the plan stays linear in Iters
+  }
+
+  /** Wide weight matrix → the long (modelKey*, cls, bucket, w_micros)
+    * public form (cls INTEGER, ascending per bucket via stack order).
+    */
+  private def toLong(wide: DataFrame, modelKey: Seq[String]): DataFrame = {
+    val stackExpr = s"stack($Classes, " +
+      (0 until Classes).map(c => s"$c, w$c").mkString(", ") + ") AS (cls, w_micros)"
+    wide.selectExpr((modelKey :+ "bucket") :+ stackExpr: _*)
+      .select(modelKey.map(col) ++ Seq(col("cls").cast(IntegerType).as("cls"),
+        col("bucket"), col("w_micros")): _*)
   }
 
   /** The weight trajectory w0..wIters for the documents model — exposed
-    * so the spec can prove the training loss is monotone.
+    * (in the long public form) so the spec can prove the training loss
+    * is monotone.
     */
   private[graft] def docWeightPath(s: SparkSession, dir: String): Seq[DataFrame] = {
-    val tok = docTok(s, dir)
-    val xdb = tok.groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+    // Persist the feature frame ONCE (localCheckpoint), iterate over the
+    // materialized form — the textbook distributed-LR shape: each
+    // iteration is one pass over cached features, not a re-scan +
+    // re-tokenize of the corpus. w0 goes through asLocal like every
+    // later w so iteration 1's broadcast sees its actual KB size (see
+    // asLocal's note — its origin estimate is an aggregate-derived
+    // product).
+    val xdb = docTok(s, dir)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
     val labels = docLabels(s, dir)
-    val nDf = tok.agg(countDistinct(col("doc_id")).as("n"))
-    val clsDf = s.range(Classes).select(col("id").cast(IntegerType).as("cls"))
-    val w0 = tok.select("bucket").distinct()
-      .crossJoin(broadcast(clsDf))
-      .withColumn("w_micros", lit(0L))
-      .select("cls", "bucket", "w_micros")
-    Iterator.iterate(w0)(w =>
-      gdStep(tok, xdb, labels, nDf, w, Seq("doc_id"), Seq.empty))
-      .take(Iters + 1).toSeq
+    val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
+    val w0 = asLocal(xdb.select("bucket").distinct()
+      .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    Iterator.iterate(w0)(w => gdStep(xdb, labels, nDf, w, Seq("doc_id"), Seq.empty))
+      .take(Iters + 1).toSeq.map(toLong(_, Seq.empty))
   }
 
   private[graft] def trainedDocWeights(s: SparkSession, dir: String): DataFrame =
@@ -317,19 +375,22 @@ object LrTrain {
 
   /** Train the two side matrices: (side, cls, bucket, w_micros). */
   private[graft] def trainedSideWeights(s: SparkSession, dir: String): DataFrame = {
-    val sided = sidedLines(s, dir)
-    val tok = sideTok(sided)
-    val xdb = tok.groupBy("lid", "side", "bucket").agg(count(lit(1)).as("x"))
+    // Same persist-once + wide loop as docWeightPath — doubly important
+    // here because sidedLines carries a window over l_orderkey that
+    // would otherwise be re-shuffled by every frame of every iteration.
+    val sided = sidedLines(s, dir).localCheckpoint()
+    val xdb = sideTok(sided)
+      .groupBy("lid", "side", "bucket").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
     val labels = sided.select("lid", "y_cls")
     val nDf = sided.groupBy("side").agg(count(lit(1)).as("n"))
-    val clsDf = s.range(Classes).select(col("id").cast(IntegerType).as("cls"))
-    val w0 = tok.select("side", "bucket").distinct()
-      .crossJoin(broadcast(clsDf))
-      .withColumn("w_micros", lit(0L))
-      .select("side", "cls", "bucket", "w_micros")
-    Iterator.iterate(w0)(w =>
-      gdStep(tok, xdb, labels, nDf, w, Seq("lid"), Seq("side")))
-      .drop(Iters).next()
+    val w0 = asLocal(xdb.select("side", "bucket").distinct()
+      .select(Seq(col("side"), col("bucket")) ++
+        (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    toLong(
+      Iterator.iterate(w0)(w => gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("side")))
+        .drop(Iters).next(),
+      Seq("side"))
   }
 
   // --- sided oracle CTEs (consumed by Classify.q104Sql) ----------------
