@@ -57,16 +57,29 @@ object Classify {
 
   import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
+  /** Pointwise argmax over the wide margin columns: greatest() compares
+    * (m, -cls) structs field-by-field — the same max-margin,
+    * ties-to-lowest-class rule as the previous max(struct(...))
+    * aggregate, but with no class-axis row expansion and no sort
+    * aggregate (max over a struct is not hash-aggregable, so the long
+    * form paid a SortAggregate over the full token frame).
+    */
+  private[graft] def bestOfWide(prefix: String): Column =
+    greatest((0 until NumClasses).map(c =>
+      struct(col(s"$prefix$c").as("m"), lit(-c).as("negc"))): _*)
+
   def q28ClassifyLr(s: SparkSession, dir: String): DataFrame = {
     // registry artifact: fit once per corpus, scored as a broadcast
     // LocalRelation (LrTrain.modelCache rationale) — q129 is the
-    // benchmark of the training cost itself
-    val w = LrTrain.docWeights(s, dir)
-    val scored = LrTrain.docTok(s, dir)
+    // benchmark of the training cost itself. Scoring is ONE hash
+    // aggregate: tok ⋈ broadcast(wide weights), groupBy(doc), per-class
+    // margin sums in packed columns, then a pointwise argmax.
+    val w = LrTrain.docWeightsWide(s, dir)
+    val mAggs = (0 until NumClasses).map(c => sum(col(s"w$c")).as(s"m$c"))
+    LrTrain.docTok(s, dir)
       .join(broadcast(w), Seq("bucket"))
-      .groupBy("doc_id", "cls").agg(sum("w_micros").as("m"))
-    scored.groupBy("doc_id")
-      .agg(max(struct(col("m"), (-col("cls")).as("negc"))).as("b"))
+      .groupBy("doc_id").agg(mAggs.head, mAggs.tail: _*)
+      .select(col("doc_id"), bestOfWide("m").as("b"))
       // NO round(…,4) here: micro-quantized margins make exact x.xxxx50
       // ties common, and Spark rounds the shortest-decimal repr while
       // DuckDB rounds the binary double — the tie direction diverges.
@@ -107,20 +120,19 @@ object Classify {
   private[graft] def routedLr(s: SparkSession, dir: String,
       forceSide: Option[String]): DataFrame = {
     val sided = LrTrain.sidedLines(s, dir)
-    val w = LrTrain.sideWeights(s, dir)
+    val w = LrTrain.sideWeightsWide(s, dir)
       .withColumnRenamed("side", "w_side")
     val tok = sided.select(col("lid"), col("side"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         explode(split(lineLabel(col("l_partkey")), " ")).as("token"))
       .withColumn("bucket", pmod(md5Long(col("token")), lit(NumBuckets)))
       .withColumn("w_side", forceSide.map(lit(_)).getOrElse(col("side")))
-    val scored = tok.join(broadcast(w), Seq("w_side", "bucket"))
+    val mAggs = (0 until NumClasses).map(c => sum(col(s"w$c")).as(s"m$c"))
+    tok.join(broadcast(w), Seq("w_side", "bucket"))
       .groupBy("lid", "side", "l_orderkey", "l_linenumber", "l_partkey",
-        "l_suppkey", "cls")
-      .agg(sum("w_micros").as("m"))
-    scored
-      .groupBy("lid", "side", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-      .agg(max(struct(col("m"), (-col("cls")).as("negc"))).as("b"))
+        "l_suppkey")
+      .agg(mAggs.head, mAggs.tail: _*)
+      .withColumn("b", bestOfWide("m"))
       // unrounded for the same tie-direction reason as q28
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("side"),

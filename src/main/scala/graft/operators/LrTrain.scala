@@ -249,6 +249,41 @@ object LrTrain {
   def sideWeights(s: SparkSession, dir: String): DataFrame =
     cachedModel(s, dir, "lineitem", "side_lr")(trainedSideWeights(s, dir))
 
+  /** The cached artifacts pivoted to the wide (modelKey*, bucket, w0..)
+    * form — the shape scoring wants: margins become sums of the packed
+    * columns and the argmax a pointwise greatest(), with no class-axis
+    * row expansion and no sort aggregate. The pivot runs DRIVER-SIDE on
+    * the collected artifact rows (a LocalRelation collect is local —
+    * building a scoring plan still launches zero jobs, which PlanSpec
+    * pins).
+    */
+  def docWeightsWide(s: SparkSession, dir: String): DataFrame =
+    pivotWide(s, docWeights(s, dir), Seq.empty)
+
+  def sideWeightsWide(s: SparkSession, dir: String): DataFrame =
+    pivotWide(s, sideWeights(s, dir), Seq("side"))
+
+  private def pivotWide(s: SparkSession, w: DataFrame,
+      modelKey: Seq[String]): DataFrame = {
+    val sch = w.schema
+    val keyIdx = modelKey.map(sch.fieldIndex)
+    val bIdx = sch.fieldIndex("bucket")
+    val clsIdx = sch.fieldIndex("cls")
+    val wIdx = sch.fieldIndex("w_micros")
+    val rows = w.collect()
+      .groupBy(r => keyIdx.map(r.get).toList :+ r.get(bIdx))
+      .map { case (k, rs) =>
+        val ws = Array.fill(Classes)(0L)
+        rs.foreach(r => ws(r.getInt(clsIdx)) = r.getLong(wIdx))
+        org.apache.spark.sql.Row.fromSeq(k ++ ws.toSeq)
+      }
+      .toSeq.sortBy(_.toString) // deterministic artifact row order
+    val wideSchema = StructType(
+      modelKey.map(sch(_)) ++ Seq(sch("bucket")) ++
+        (0 until Classes).map(c => StructField(s"w$c", LongType, nullable = false)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), wideSchema)
+  }
+
   /** Mean logistic loss of weight table `w` on the documents corpus —
     * spec-only (monotone-descent proof), not part of any oracle row.
     */

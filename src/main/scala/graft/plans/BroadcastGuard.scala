@@ -20,6 +20,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * EliminateResolvedHint has folded hints into Join.hint, before
   * JoinSelection reads them.
   */
+object BroadcastGuard {
+  /** Count of stripped hints since JVM start — a test hook: specs assert
+    * a query's plan kept its intended broadcasts by running it and
+    * checking the counter didn't move (the LR training loop regressed
+    * exactly this way once: a compounding size estimate demoted its
+    * margin join every iteration, silently, for a 5-10× slowdown).
+    */
+  val stripped = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def maxBytes: Long =
@@ -33,6 +43,7 @@ case class BroadcastGuard(spark: SparkSession) extends Rule[LogicalPlan] {
           if tooBig(hint.leftHint, l, limit) || tooBig(hint.rightHint, r, limit) =>
         val newHint = JoinHint(
           strip(hint.leftHint, l, limit), strip(hint.rightHint, r, limit))
+        BroadcastGuard.stripped.incrementAndGet()
         logWarning(s"BroadcastGuard: stripped BROADCAST hint from join side " +
           s"larger than $limit bytes " +
           s"(left=${l.stats.sizeInBytes}, right=${r.stats.sizeInBytes})")

@@ -223,6 +223,24 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q129 training keeps every intended broadcast (no guard demotion)") {
+    import graft.operators.LrTrain
+    // The wide GD loop broadcasts the weight matrix into the margin join
+    // every iteration. When the weights were localCheckpoint'ed frames,
+    // their inherited origin-plan estimate compounded past the guard
+    // limit and BroadcastGuard demoted the join to a sort-merge over the
+    // full feature frame — silently, every iteration (cold side fits
+    // 218-344 s at gen-sf1). The parameter-server form (asLocal weight
+    // relations) keeps the estimate exact; this pins that: training both
+    // models end-to-end must strip NOTHING.
+    val before = graft.plans.BroadcastGuard.stripped.get()
+    LrTrain.q129LrTrain(spark, sfDir).count()
+    graft.operators.LrTrain.trainedSideWeights(spark, sfDir).count()
+    val after = graft.plans.BroadcastGuard.stripped.get()
+    assert(after == before,
+      s"BroadcastGuard demoted ${after - before} broadcast(s) during LR training")
+  }
+
   test("q62 bloom capacity comes from config — no eval-count job at build") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     Dedup.q62BloomMembership(spark, sfDir)
