@@ -12,6 +12,14 @@ object Bench {
     // committed artifact, so the artifact now carries every pass).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = GraftSession(s"local[$cpus]", cpus)
+    // optional runtime-conf overrides for tuned soak runs, e.g.
+    // SPARK_GRAFT_CONF=spark.graft.rplsh.bandBits=8 — the per-round
+    // driver bench never sets this, so its numbers are always defaults
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // warm the JVM/codegen/file-index paths so the first timed query
     // doesn't absorb session startup (untimed; tolerate missing tables)
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")

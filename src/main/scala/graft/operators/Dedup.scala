@@ -610,6 +610,22 @@ object Dedup {
   val RpPlanes = 16
   val RpBandBits = 4
 
+  /** The occupancy dial above, made EXECUTABLE (round 10): bits per
+    * band and band count read from session conf, so a soak or cluster
+    * job holds expected bucket occupancy n/2^bits constant as the
+    * corpus grows instead of letting the per-bucket self-join go
+    * quadratic (measured at gen-sf3: the fixed 4-bit dial put 3 750
+    * vectors in every bucket and q109 went 9.3 s → 91 s for 3× rows).
+    * Defaults match the oracle twin's fixed shape — the driver gate
+    * always runs at defaults; a tuned run trades the exact oracle
+    * replay for bounded candidate counts and stays SOUND because every
+    * emitted pair is exact-cosine verified regardless of banding
+    * (spec-pinned, along with the dial being honored).
+    */
+  private[graft] def rpConf(s: SparkSession): (Int, Int) = (
+    s.conf.get("spark.graft.rplsh.bands", (RpPlanes / RpBandBits).toString).toInt,
+    s.conf.get("spark.graft.rplsh.bandBits", RpBandBits.toString).toInt)
+
   private def rpPlane(h: Int, d: Column): Column =
     (((lit(1103515245L) * (lit(h.toLong * 1000003L) + d.cast(LongType)) + lit(12345L))
       % lit(2147483648L)).cast(DoubleType) / 2147483648.0) - 0.5
@@ -625,10 +641,10 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
-    val nBands = RpPlanes / RpBandBits
+    val (nBands, bandBits) = rpConf(s)
     val bandKeys = (0 until nBands).map { b =>
-      (0 until RpBandBits).map { i =>
-        rpBit(b * RpBandBits + i, col("embedding")) * (1 << (RpBandBits - 1 - i))
+      (0 until bandBits).map { i =>
+        rpBit(b * bandBits + i, col("embedding")) * (1 << (bandBits - 1 - i))
       }.reduce(_ + _).as(s"band$b")
     }
     val sigs = e.select(col("vec_id") +: bandKeys: _*)
