@@ -50,8 +50,23 @@ object GenScale {
   private def unif(salt: String, cols: Column*): Column =
     (roll(salt, 1000000L, cols: _*) + lit(1L)) / lit(1000000.0)
 
-  def documents(s: SparkSession, nDocs: Long): DataFrame = {
-    val vocab = array(Vocab.map(lit): _*)
+  /** Heaps-law vocabulary size for the opt-in v2 profile: V ∝ √corpus,
+    * anchored so V(5 000 docs) = 31 — gen2-sf0.1 is therefore
+    * bit-identical to the v1 anchor scale, and larger scales grow
+    * vocabulary the way a real corpus does (so the shingle df
+    * distribution, and with it the near-dup candidate workload, stays
+    * stable instead of collapsing against the posting-list df cap —
+    * the gen-sf3 boundary BENCH_R10_SF1.json records).
+    */
+  private[graft] def heapsV(nDocs: Long): Int =
+    math.max(31, math.round(31.0 * math.sqrt(nDocs / 5000.0)).toInt)
+
+  def documents(s: SparkSession, nDocs: Long,
+      heapsVocab: Boolean = false): DataFrame = {
+    val v: Int = if (heapsVocab) heapsV(nDocs) else Vocab.size
+    val vocabWords: Seq[String] =
+      Vocab ++ (Vocab.size until v).map(i => s"tok$i")
+    val vocab = array(vocabWords.map(lit): _*)
     val base = s.range(nDocs).toDF("doc_id")
       // duplicate injection, all row-local: a copy doc derives its text
       // from a CONTENT id pointing ≤50 ids back, so the base doc's text
@@ -72,7 +87,7 @@ object GenScale {
     val words = transform(
       sequence(lit(1), col("n_words")),
       i => element_at(vocab,
-        (roll("w", 31L, col("content_id") * 131 + i.cast(LongType)) + lit(1L)).cast(IntegerType)))
+        (roll("w", v.toLong, col("content_id") * 131 + i.cast(LongType)) + lit(1L)).cast(IntegerType)))
     // near-copy edit: overwrite up to 3 hash-chosen positions with a
     // hash-chosen replacement word (edit distance 1-3 → token-3-gram
     // Jaccard ~0.85-0.95 on a 54-word doc, squarely in the near-dup band)
@@ -84,7 +99,7 @@ object GenScale {
             p === roll(s"pos$e", 1000L, col("doc_id")).cast(IntegerType) % size(col("words_raw"))
         }.reduce(_ || _)
         when(hit, element_at(vocab,
-          (roll("mw", 31L, col("doc_id") * 7 + p.cast(LongType)) + lit(1L)).cast(IntegerType)))
+          (roll("mw", v.toLong, col("doc_id") * 7 + p.cast(LongType)) + lit(1L)).cast(IntegerType)))
           .otherwise(w)
       })
     val langRoll = roll("lang", 100L, col("doc_id"))
@@ -191,16 +206,21 @@ object GenScale {
         concat(lit("NATION_"), col("n_nationkey")).as("n_name"),
         pmod(col("n_nationkey"), lit(5)).cast(IntegerType).as("n_regionkey"))
 
-  /** args: outDir sf — e.g. `runMain graft.GenScale target/gen/sf1 1.0` */
+  /** args: outDir sf [heaps] — e.g. `runMain graft.GenScale
+    * target/gen/sf1 1.0` (v1 fixed vocab) or `... target/gen2/sf1 1.0
+    * heaps` (Heaps-law vocabulary; documents only differ).
+    */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: GenScale <outDir> <sf>")
+    require(args.length == 2 || args.length == 3,
+      "usage: GenScale <outDir> <sf> [heaps]")
     val outDir = args(0)
     val sf = args(1).toDouble
+    val heaps = args.length == 3 && args(2) == "heaps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val s = GraftSession(s"local[$cpus]", cpus)
     def n(perSf1: Long): Long = math.max(1L, math.round(perSf1 * sf))
     val tables: Seq[(String, DataFrame)] = Seq(
-      "documents" -> documents(s, n(50000L)),
+      "documents" -> documents(s, n(50000L), heaps),
       "embeddings" -> embeddings(s, n(20000L)),
       "events" -> events(s, n(1000000L), n(15000L)),
       "lineitem" -> lineitem(s, n(1500000L), n(200000L), n(10000L)),

@@ -73,6 +73,31 @@ class GenScaleSpec extends GraftSpec {
     }
   }
 
+  test("heaps profile: anchored at v1, vocabulary grows, dup shape held") {
+    // anchor identity: at the 5 000-doc anchor (V=31) the heaps profile
+    // IS the v1 profile, bit for bit — the two soak series share their
+    // sf0.1 point
+    val a = GenScale.documents(spark, 5000).orderBy("doc_id").collect()
+    val b = GenScale.documents(spark, 5000, heapsVocab = true)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "heaps profile must equal v1 at the anchor")
+    // Heaps' law: V ∝ √n — distinct tokens grow with the corpus instead
+    // of saturating at 31 (the v1 ceiling that collapses the shingle
+    // workload against the df cap at 30×)
+    assert(GenScale.heapsV(5000) == 31 && GenScale.heapsV(50000) == 98 &&
+      GenScale.heapsV(150000) == 170)
+    val big = GenScale.documents(spark, 20000, heapsVocab = true)
+    val nTok = big.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t")).head.getLong(0)
+    assert(nTok > 55 && nTok <= GenScale.heapsV(20000),
+      s"vocabulary did not grow under heaps profile: $nTok")
+    // the dup-injection shape is vocabulary-independent
+    val dup = big.agg(
+      (lit(1.0) - countDistinct(col("text")) / count(lit(1))).as("dup_rate"))
+      .head.getDouble(0)
+    assert(dup > 0.0 && dup < 0.01, s"dup rate off under heaps: $dup")
+  }
+
   test("embeddings are unit-norm and lineitem keeps ~4 lines/order") {
     val e = GenScale.embeddings(spark, 300)
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
