@@ -117,6 +117,36 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming LR scoring equals batch q28 bit for bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // score REAL corpus documents in-flight and require exact agreement
+    // with the batch scorer over the same registry model — train once,
+    // score everywhere, identically
+    val docs = Tables.documents(sp, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(6).collect()
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val scored = streaming.ClassifyStream.score(sp, sfDir,
+      stream.toDF().toDF("ts", "doc_id", "text"))
+    val query = scored.writeStream.format("memory").queryName("lr_scored")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.toSeq.map(r =>
+        (Timestamp.valueOf("2024-01-01 00:00:00"), r.getLong(0), r.getString(1))))
+      query.processAllAvailable()
+      val got = sp.sql("SELECT doc_id, pred_class, best_score FROM lr_scored")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      val want = graft.operators.Classify.q28ClassifyLr(sp, sfDir)
+        .filter(col("doc_id").isin(docs.map(_.getLong(0)): _*))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+      want.foreach { case (id, v) =>
+        assert(got(id) == v, s"doc $id diverged in-flight: ${got(id)} vs $v")
+      }
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window signups") {
     val sp = spark
     import sp.implicits._
