@@ -200,6 +200,61 @@ object GenScale {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
 
+  // --- dimension tables (round 10: the FULL registry sweeps at 10×,
+  // so every table the 132 queries read must exist at generated scale;
+  // schemas and value domains match the driver sf0.1 parquet) ---------
+
+  def customer(s: SparkSession, nCust: Long): DataFrame =
+    s.range(nCust).toDF("c_custkey")
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast(StringType), 9, "0")))
+      .withColumn("c_nationkey", roll("cn", 25L, col("c_custkey")).cast(IntegerType))
+      .withColumn("c_acctbal",
+        round(lit(-1000.0) + unif("cb", col("c_custkey")) * lit(11000.0), 2))
+      .withColumn("c_mktsegment", element_at(
+        array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+        (roll("cs", 5L, col("c_custkey")) + 1L).cast(IntegerType)))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  def supplier(s: SparkSession, nSupp: Long): DataFrame =
+    s.range(nSupp).toDF("s_suppkey")
+      .withColumn("s_name",
+        concat(lit("Supplier#"), lpad(col("s_suppkey").cast(StringType), 9, "0")))
+      .withColumn("s_nationkey", roll("sn", 25L, col("s_suppkey")).cast(IntegerType))
+      .withColumn("s_acctbal",
+        round(lit(-1000.0) + unif("sb", col("s_suppkey")) * lit(11000.0), 2))
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  def part(s: SparkSession, nParts: Long): DataFrame = {
+    val adjs = array(Seq("large", "hot", "blue", "old", "small", "red",
+      "green", "new", "cold", "dark").map(lit): _*)
+    val nouns = array(Seq("ring", "bolt", "plate", "wheel", "gear", "pin",
+      "cap", "rod", "tube", "disk").map(lit): _*)
+    s.range(nParts).toDF("p_partkey")
+      .withColumn("p_name", concat(
+        element_at(adjs, (roll("pa", 10L, col("p_partkey")) + 1L).cast(IntegerType)),
+        lit(" "),
+        element_at(nouns, (roll("pn", 10L, col("p_partkey")) + 1L).cast(IntegerType))))
+      .withColumn("p_brand",
+        concat(lit("Brand#"), (roll("pb", 25L, col("p_partkey")) + 1L)))
+      .withColumn("p_type", element_at(
+        array(lit("ECONOMY"), lit("LARGE"), lit("MEDIUM"), lit("PROMO"),
+          lit("SMALL"), lit("STANDARD")),
+        (roll("pt", 6L, col("p_partkey")) + 1L).cast(IntegerType)))
+      .withColumn("p_size", (roll("ps", 50L, col("p_partkey")) + 1L).cast(IntegerType))
+      .withColumn("p_retailprice",
+        round(lit(900.0) + pmod(col("p_partkey"), lit(1000L)) / 10.0, 1))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+  }
+
+  def region(s: SparkSession): DataFrame =
+    s.range(5).toDF("r_regionkey")
+      .select(col("r_regionkey").cast(IntegerType).as("r_regionkey"),
+        element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
+          lit("EUROPE"), lit("MIDDLE EAST")),
+          (col("r_regionkey") + 1).cast(IntegerType)).as("r_name"))
+
   def nation(s: SparkSession): DataFrame =
     s.range(25).toDF("n_nationkey")
       .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
@@ -225,6 +280,10 @@ object GenScale {
       "events" -> events(s, n(1000000L), n(15000L)),
       "lineitem" -> lineitem(s, n(1500000L), n(200000L), n(10000L)),
       "orders" -> orders(s, n(1500000L), n(150000L)),
+      "customer" -> customer(s, n(150000L)),
+      "supplier" -> supplier(s, n(10000L)),
+      "part" -> part(s, n(200000L)),
+      "region" -> region(s),
       "nation" -> nation(s))
     tables.foreach { case (name, df) =>
       // a handful of files per table so downstream scans start parallel
