@@ -209,19 +209,46 @@ object Edgar {
   // distance, with a 40-start cap bounding the blow-up on pathological
   // lengths. Fragments are synthesized as deterministic name suffixes —
   // the EDGAR variant-merge case (distinctive tail digits, shared
-  // prefixes). Pair space stays nation-blocked like q25 (linear-ish, no
-  // unkeyed cross join); the window explode multiplies rows by ~n−m+1
+  // prefixes). Pair space (r10, the decade sweep's finding): the
+  // original per-nation all-pairs join grew quadratically per block —
+  // measured 0.65 s → 8.7 s for 10× suppliers. The gate itself bounds
+  // the fix: ratio_partial ≥ 90 on fragments of length 8-12 means
+  // best_lev ≤ ⌊m/10⌋ ≤ 1, so by the PassJoin pigeonhole (split the
+  // fragment into lev+1 = 2 segments; any ≤1-edit alignment leaves one
+  // segment intact) at least one fragment HALF appears EXACTLY as a
+  // contiguous substring of the matching window. Candidates therefore
+  // come from an equi-join of fragment halves against the name's
+  // exploded 4-6-char substrings on (nation, half) — every pair the
+  // gate can emit survives blocking, so the result set (and the
+  // all-pairs DuckDB twin) is UNCHANGED, while the shuffle carries
+  // posting lists instead of a per-block cross product. The window
+  // explode then multiplies only the surviving candidates by ~n−m+1
   // (≤ 40), all map-side until one keyed aggregate.
   def q131PartialRatio(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.supplier(s, dir).select(
       col("s_suppkey").as("k1"), col("s_name").as("name1"), col("s_nationkey").as("nk"))
-    val b = Tables.supplier(s, dir).select(
-      col("s_suppkey").as("k2"), col("s_name").as("name2"), col("s_nationkey").as("nk"))
-    val pairs = a.join(b, Seq("nk"))
+    val bFrag = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("k2"), col("s_name").as("name2"),
+        col("s_nationkey").as("nk"))
       .withColumn("frag", expr(
         "substring(name2, length(name2) - (CAST(k2 % 5 AS INT) + 8) + 1," +
           " CAST(k2 % 5 AS INT) + 8)"))
       .withColumn("m", length(col("frag")))
+    val halves = bFrag.select(col("k2"), col("frag"), col("m"), col("nk"),
+        explode(array(
+          expr("substring(frag, 1, CAST(ceil(m / 2.0) AS INT))"),
+          expr("substring(frag, CAST(ceil(m / 2.0) AS INT) + 1, m)"))).as("key"))
+    val subs = a
+      .select(col("k1"), col("name1"), col("nk"),
+        explode(sequence(lit(4), lit(6))).as("len"))
+      .filter(col("len") <= length(col("name1")))
+      .select(col("k1"), col("name1"), col("nk"), col("len"),
+        explode(sequence(lit(1), length(col("name1")) - col("len") + 1)).as("p"))
+      .select(col("k1"), col("name1"), col("nk"),
+        expr("substring(name1, p, len)").as("key"))
+      .distinct()
+    val pairs = halves.join(subs, Seq("nk", "key"))
+      .select("k1", "k2", "name1", "frag", "m").distinct()
       .withColumn("n", length(col("name1")))
       .filter(col("m") <= col("n"))
     val win = pairs
