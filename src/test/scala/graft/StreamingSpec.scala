@@ -144,6 +144,18 @@ class StreamingSpec extends GraftSpec {
       want.foreach { case (id, v) =>
         assert(got(id) == v, s"doc $id diverged in-flight: ${got(id)} vs $v")
       }
+      // the one DECLARED divergence from batch: a doc with no trained
+      // token is dropped by q28's inner scoring join, but a stream must
+      // verdict every arriving row — pin the documented zero-margin form
+      stream.addData(Seq(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 999999L, "zzz qqq")))
+      query.processAllAvailable()
+      val unseen = sp.sql(
+        "SELECT pred_class, best_score FROM lr_scored WHERE doc_id = 999999")
+        .collect()
+      assert(unseen.length == 1 && unseen(0).getInt(0) == 0 &&
+        unseen(0).getDouble(1) == 0.0,
+        s"all-unseen doc must get the zero-margin verdict: ${unseen.toSeq}")
     } finally query.stop()
   }
 
