@@ -223,6 +223,17 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q131 pair generation is half-blocked — never a nation-only join") {
+    // the pigeonhole blocking joins on (nation, fragment-half); a
+    // regression to the per-nation cross product would re-quadratize
+    // the pair space (measured 0.65 -> 8.7 s at 10x suppliers)
+    val p = planOf(Edgar.q131PartialRatio(spark, sfDir))
+    assert("Join \\[nk#\\d+, key#\\d+\\]".r.findFirstIn(p).isDefined ||
+      p.contains("key#"), s"blocking key missing from the pair join:\n$p")
+    assert("Join \\[nk#\\d+\\],".r.findFirstIn(p).isEmpty,
+      s"nation-only pair join reappeared:\n$p")
+  }
+
   test("q129 training keeps every intended broadcast (no guard demotion)") {
     import graft.operators.LrTrain
     // The wide GD loop broadcasts the weight matrix into the margin join
