@@ -14,12 +14,17 @@ object Bench {
     val spark = GraftSession(s"local[$cpus]", cpus)
     // optional runtime-conf overrides for tuned soak runs, e.g.
     // SPARK_GRAFT_CONF=spark.graft.rplsh.bandBits=8 — the per-round
-    // driver bench never sets this, so its numbers are always defaults
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-      })
+    // driver bench never sets this, so its numbers are always defaults.
+    // Entries are comma-separated k=v pairs; values must not contain
+    // commas. A malformed entry aborts the run LOUDLY — a silently
+    // dropped conf would make a tuned soak masquerade as defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => sys.error(s"[bench] malformed SPARK_GRAFT_CONF entry: '$kv'" +
+          " (expected key=value; values must not contain commas)")
+      }
+    })
     // warm the JVM/codegen/file-index paths so the first timed query
     // doesn't absorb session startup (untimed; tolerate missing tables)
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
@@ -91,7 +96,13 @@ object Bench {
     // keeps only the last ~2000 chars of stdout and must be able to parse the
     // final line as one JSON object, so stdout gets a compact line keyed by
     // the qNN prefix (full names are in BENCH_DETAIL.json / SURVEY.md §2).
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    // Default to BENCH_WINDOW.json: the per-round driver bench never
+    // sets SPARK_GRAFT_DETAIL, and for three rounds running its loaded
+    // window overwrote the committed calm reps=3 artifact in the working
+    // tree. Calm runs opt in explicitly with
+    // SPARK_GRAFT_DETAIL=BENCH_DETAIL.json; the driver window lands in
+    // its own file and the calm artifact stays append-only.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_WINDOW.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (detailLine + "\n").getBytes("UTF-8"))

@@ -261,16 +261,24 @@ object GenScale {
         concat(lit("NATION_"), col("n_nationkey")).as("n_name"),
         pmod(col("n_nationkey"), lit(5)).cast(IntegerType).as("n_regionkey"))
 
-  /** args: outDir sf [heaps] — e.g. `runMain graft.GenScale
-    * target/gen/sf1 1.0` (v1 fixed vocab) or `... target/gen2/sf1 1.0
-    * heaps` (Heaps-law vocabulary; documents only differ).
+  /** args: outDir sf [heaps|v1] — e.g. `runMain graft.GenScale
+    * target/gen/sf1 1.0`. The Heaps-law vocabulary profile is the
+    * DEFAULT (round-11: the fixed 31-word v1 vocab collapses the
+    * shingle df distribution against the posting-list cap at 30× —
+    * the gen-sf3 boundary BENCH_R10_SF1.json records — so every soak
+    * should measure the realistic profile unless it explicitly asks
+    * for the legacy one with `v1`). At the 5 000-doc anchor scale the
+    * two profiles are bit-identical (GenScaleSpec), so existing
+    * cross-scale series keep their anchor point.
     */
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
-      "usage: GenScale <outDir> <sf> [heaps]")
+      "usage: GenScale <outDir> <sf> [heaps|v1]")
     val outDir = args(0)
     val sf = args(1).toDouble
-    val heaps = args.length == 3 && args(2) == "heaps"
+    require(args.length == 2 || args(2) == "heaps" || args(2) == "v1",
+      s"unknown documents profile '${args(2)}' (expected heaps or v1)")
+    val heaps = args.length == 2 || args(2) == "heaps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val s = GraftSession(s"local[$cpus]", cpus)
     def n(perSf1: Long): Long = math.max(1L, math.round(perSf1 * sf))

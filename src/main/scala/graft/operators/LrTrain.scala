@@ -91,23 +91,47 @@ object LrTrain {
       .when(text.contains("data"), 3)
       .otherwise(lit(4))
 
-  private val labelIdxSql: String =
+  private[graft] val labelIdxSql: String =
     """CASE WHEN text LIKE '%customer%' THEN 0
       | WHEN text LIKE '%order%' THEN 1
       | WHEN text LIKE '%stream%' THEN 2
       | WHEN text LIKE '%data%' THEN 3
       | ELSE 4 END""".stripMargin
 
-  /** Token occurrences → hash buckets (the q28 feature pipeline). */
-  private[graft] def docTok(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Token occurrences → hash buckets (the q28 feature pipeline), over
+    * an arbitrary documents slice — q133's held-out evaluation trains
+    * on the 80% split and scores the 20%, so both tokenizer and trainer
+    * are parameterized by the slice, not the table.
+    */
+  private[graft] def docTokFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .select(col("doc_id"), pmod(md5Long(col("token")), lit(Buckets)).as("bucket"))
 
+  private[graft] def docTok(s: SparkSession, dir: String): DataFrame =
+    docTokFrom(Tables.documents(s, dir))
+
+  private def docLabelsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), labelIdx(col("text")).as("y_cls"))
+
   private def docLabels(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), labelIdx(col("text")).as("y_cls"))
+    docLabelsFrom(Tables.documents(s, dir))
+
+  /** Deterministic 80/20 train split — q18's hash-sampling discipline
+    * (md5 prefix, no RNG, stable under any partitioning/retry/engine):
+    * first two hex chars of md5(doc_id) < 'cd' keeps 205/256 ≈ 80.1%.
+    * The eval slice is the exact complement, so the two are disjoint
+    * and exhaustive by construction — the engine twin of the
+    * reference's train_test_split(test_size=0.20, random_state=…)
+    * (mlClassification.ipynb), made reproducible without seed
+    * coordination.
+    */
+  private[graft] def trainFilter: Column =
+    substring(md5(col("doc_id").cast(StringType)), 1, 2) < "cd"
+
+  private[graft] val trainFilterSql: String =
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'"
 
   /** Weight matrices are MODEL STATE, not data: ≤ classes × buckets
     * rows (KBs), bounded by the model, not the corpus. Materialize them
@@ -190,7 +214,7 @@ object LrTrain {
     * (in the long public form) so the spec can prove the training loss
     * is monotone.
     */
-  private[graft] def docWeightPath(s: SparkSession, dir: String): Seq[DataFrame] = {
+  private[graft] def docWeightPathFrom(docs: DataFrame): Seq[DataFrame] = {
     // Persist the feature frame ONCE (localCheckpoint), iterate over the
     // materialized form — the textbook distributed-LR shape: each
     // iteration is one pass over cached features, not a re-scan +
@@ -198,10 +222,10 @@ object LrTrain {
     // later w so iteration 1's broadcast sees its actual KB size (see
     // asLocal's note — its origin estimate is an aggregate-derived
     // product).
-    val xdb = docTok(s, dir)
+    val xdb = docTokFrom(docs)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
       .localCheckpoint()
-    val labels = docLabels(s, dir)
+    val labels = docLabelsFrom(docs)
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
@@ -209,8 +233,21 @@ object LrTrain {
       .take(Iters + 1).toSeq.map(toLong(_, Seq.empty))
   }
 
+  private[graft] def docWeightPath(s: SparkSession, dir: String): Seq[DataFrame] =
+    docWeightPathFrom(Tables.documents(s, dir))
+
   private[graft] def trainedDocWeights(s: SparkSession, dir: String): DataFrame =
     docWeightPath(s, dir).last
+
+  /** The 80%-slice model for held-out evaluation (q133): identical GD
+    * loop, identical hyperparameters, trained ONLY on the trainFilter
+    * slice — the eval slice never reaches the tokenizer, the label
+    * frame, the bucket space, or the gradient (no leakage by plan
+    * construction; the spec additionally proves the two slices are
+    * disjoint and exhaustive).
+    */
+  private[graft] def trainedDocWeights80(s: SparkSession, dir: String): DataFrame =
+    docWeightPathFrom(Tables.documents(s, dir).filter(trainFilter)).last
 
   // --- model registry ---------------------------------------------------
   // Train ONCE per corpus, score everywhere — the engine counterpart of
@@ -249,6 +286,13 @@ object LrTrain {
   def sideWeights(s: SparkSession, dir: String): DataFrame =
     cachedModel(s, dir, "lineitem", "side_lr")(trainedSideWeights(s, dir))
 
+  /** The 80%-slice documents model as a registry artifact (q133). */
+  def docWeights80(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_lr80")(trainedDocWeights80(s, dir))
+
+  def docWeights80Wide(s: SparkSession, dir: String): DataFrame =
+    pivotWide(s, docWeights80(s, dir), Seq.empty)
+
   /** The cached artifacts pivoted to the wide (modelKey*, bucket, w0..)
     * form — the shape scoring wants: margins become sums of the packed
     * columns and the argmax a pointwise greatest(), with no class-axis
@@ -263,7 +307,7 @@ object LrTrain {
   def sideWeightsWide(s: SparkSession, dir: String): DataFrame =
     pivotWide(s, sideWeights(s, dir), Seq("side"))
 
-  private def pivotWide(s: SparkSession, w: DataFrame,
+  private[graft] def pivotWide(s: SparkSession, w: DataFrame,
       modelKey: Seq[String]): DataFrame = {
     val sch = w.schema
     val keyIdx = modelKey.map(sch.fieldIndex)
@@ -271,13 +315,20 @@ object LrTrain {
     val clsIdx = sch.fieldIndex("cls")
     val wIdx = sch.fieldIndex("w_micros")
     val rows = w.collect()
-      .groupBy(r => keyIdx.map(r.get).toList :+ r.get(bIdx))
-      .map { case (k, rs) =>
+      .groupBy(r => keyIdx.map(r.getString).toList :+ r.getLong(bIdx).toString)
+      .toSeq
+      // deterministic artifact row order on the TYPED key tuple (string
+      // model keys, then bucket numerically) — Row.toString ordering was
+      // format-dependent (r10 ADVICE)
+      .sortBy { case (_, rs) =>
+        (keyIdx.map(rs.head.getString).mkString("|"), rs.head.getLong(bIdx))
+      }
+      .map { case (_, rs) =>
         val ws = Array.fill(Classes)(0L)
         rs.foreach(r => ws(r.getInt(clsIdx)) = r.getLong(wIdx))
-        org.apache.spark.sql.Row.fromSeq(k ++ ws.toSeq)
+        org.apache.spark.sql.Row.fromSeq(
+          keyIdx.map(rs.head.get) ++ Seq(rs.head.getLong(bIdx)) ++ ws.toSeq)
       }
-      .toSeq.sortBy(_.toString) // deterministic artifact row order
     val wideSchema = StructType(
       modelKey.map(sch(_)) ++ Seq(sch("bucket")) ++
         (0 until Classes).map(c => StructField(s"w$c", LongType, nullable = false)))
@@ -330,19 +381,27 @@ object LrTrain {
        | SELECT w.cls, w.bucket, w.w - (g.g // ((SELECT n FROM nn) * $LrDen)) AS w
        | FROM w${t - 1} w JOIN g$t g USING (cls, bucket))""".stripMargin
 
-  private[graft] val docTrainCtes: String =
-    s"""tok AS (
+  /** The training CTE block over an arbitrary documents-slice subquery
+    * — `docTrainCtes` trains on the whole table (q28/q129/q134);
+    * q133 passes the 80% trainFilter slice.
+    */
+  private[graft] def docTrainCtesFor(src: String): String =
+    s"""trn AS ($src),
+       |tok AS (
        | SELECT doc_id, (${md5LongSql("token")} % $Buckets) AS bucket
-       | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM trn)
        | WHERE LENGTH(token) > 0),
        |xdb AS (SELECT doc_id, bucket, COUNT(*) AS x FROM tok GROUP BY 1, 2),
-       |lab AS (SELECT doc_id, $labelIdxSql AS y_cls FROM documents),
+       |lab AS (SELECT doc_id, $labelIdxSql AS y_cls FROM trn),
        |classes AS (SELECT CAST(UNNEST(range(0, $Classes)) AS INTEGER) AS cls),
        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
        |w0 AS (
        | SELECT cls, bucket, CAST(0 AS BIGINT) AS w
        | FROM classes CROSS JOIN (SELECT DISTINCT bucket FROM tok)),
        |${(1 to Iters).map(docIterCte).mkString(",\n")}""".stripMargin
+
+  private[graft] val docTrainCtes: String =
+    docTrainCtesFor("SELECT * FROM documents")
 
   val q129Sql: String =
     s"""WITH $docTrainCtes
@@ -409,11 +468,19 @@ object LrTrain {
         pmod(md5Long(col("token")), lit(Buckets)).as("bucket"))
 
   /** Train the two side matrices: (side, cls, bucket, w_micros). */
-  private[graft] def trainedSideWeights(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def trainedSideWeights(s: SparkSession, dir: String): DataFrame =
+    trainedSideWeightsFrom(s, dir, lit(true))
+
+  /** Sided training restricted to a line slice — MlEval's held-out
+    * proof trains on 80% of lids and scores the complement (spec-only;
+    * the registry artifact always trains on the full corpus).
+    */
+  private[graft] def trainedSideWeightsFrom(s: SparkSession, dir: String,
+      keep: Column): DataFrame = {
     // Same persist-once + wide loop as docWeightPath — doubly important
     // here because sidedLines carries a window over l_orderkey that
     // would otherwise be re-shuffled by every frame of every iteration.
-    val sided = sidedLines(s, dir).localCheckpoint()
+    val sided = sidedLines(s, dir).filter(keep).localCheckpoint()
     val xdb = sideTok(sided)
       .groupBy("lid", "side", "bucket").agg(count(lit(1)).as("x"))
       .localCheckpoint()

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Held-out model evaluation + calibrated probability output
+  * (SURVEY.md §2.2/§2.3 — the EVALUATION half of the reference's ML
+  * notebook, the last uncovered capability after round 10 closed
+  * training: mlClassification.ipynb runs
+  * `train_test_split(test_size=0.20)`, `confusion_matrix`,
+  * `precision_score`/`classification_report` on the held-out slice,
+  * and ships `predict_proba` outputs as `ml_proba_asset.csv` /
+  * `ml_proba_liable.csv`, consumed by DatabaseStructured.py).
+  *
+  * Spark-first: both operators are compositions of forms the engine
+  * already trusts — q18's deterministic md5 hash split, q129's
+  * quantized-GD training (on the 80% slice only), q28's one-aggregate
+  * scoring plan, and q99's margin/contingency assembly. Every metric
+  * is EXACT integer arithmetic over counts (precision/recall/F1 in
+  * truncated micros), so DuckDB replays the whole evaluation
+  * bit-for-bit.
+  */
+object MlEval {
+
+  import graft.functions.TextFunctions.{md5Long, md5LongSql}
+
+  private val K = Classify.NumClasses
+
+  // ---------------------------------------------------------------------
+  // q133: held-out evaluation — confusion matrix + per-class report.
+  // ---------------------------------------------------------------------
+
+  /** K×K confusion matrix with per-class precision/recall/F1, evaluated
+    * on the 20% slice the 80%-trained model never saw.
+    *
+    * Shape at scale: the eval-slice scoring is q28's plan — tokenize,
+    * one broadcast join against the KB weight matrix, one hash
+    * aggregate keyed by doc — so it is linear in the corpus with a
+    * single keyed shuffle; everything after `cells` operates on ≤ K²
+    * rows (tiny literal grids and broadcast margins, the q99
+    * discipline). A doc whose tokens were ALL unseen in training drops
+    * out of the inner scoring join (q28's documented semantics); the
+    * oracle twin drops it identically.
+    *
+    * Metric quantization: precision = tp·1e6 ∕ (tp+fp), recall =
+    * tp·1e6 ∕ (tp+fn), F1 = 2·tp·1e6 ∕ (2·tp+fp+fn) — all truncating
+    * integer division of exact counts (F1 from counts directly, not
+    * from the rounded P/R, so there is no compounding truncation);
+    * classes never predicted / never present give NULL, as
+    * classification_report's zero-division branch does.
+    */
+  def q133HoldoutEval(s: SparkSession, dir: String): DataFrame = {
+    val w = LrTrain.docWeights80Wide(s, dir)
+    val ev = Tables.documents(s, dir).filter(!LrTrain.trainFilter)
+      .select(col("doc_id"), LrTrain.labelIdx(col("text")).cast(IntegerType).as("actual_cls"),
+        col("text"))
+    val tok = ev
+      .select(col("doc_id"), col("actual_cls"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("actual_cls"),
+        pmod(md5Long(col("token")), lit(LrTrain.Buckets)).as("bucket"))
+    val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
+    val pred = tok.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "actual_cls")
+      .agg(mAggs.head, mAggs.tail: _*)
+      .select(col("actual_cls"),
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("pred_cls"))
+    val cells = pred.groupBy("actual_cls", "pred_cls").agg(count(lit(1)).as("cnt"))
+    // K×K literal grid so absent (actual, pred) cells surface as exact
+    // zeros — the confusion matrix is COMPLETE even for classes the
+    // eval slice never shows
+    val classes = s.range(K).select(col("id").cast(IntegerType).as("cls"))
+    val grid = classes.select(col("cls").as("actual_cls"))
+      .crossJoin(classes.select(col("cls").as("pred_cls")))
+    val full = grid.join(cells, Seq("actual_cls", "pred_cls"), "left_outer")
+      .select(col("actual_cls"), col("pred_cls"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val pCols = (0 until K).map(c =>
+      sum(when(col("pred_cls") === c, col("cnt")).otherwise(0L)).as(s"p$c"))
+    val byActual = full.groupBy("actual_cls").agg(
+      sum(when(col("pred_cls") === col("actual_cls"), col("cnt")).otherwise(0L)).as("tp"),
+      (sum("cnt").as("support") +: pCols): _*)
+    val byPred = full.groupBy("pred_cls").agg(sum("cnt").as("pred_total"))
+    def microsOver(num: Column, den: Column): Column =
+      when(den > 0, LrTrain.truncDivPos(num, den)).otherwise(lit(null).cast(LongType))
+    byActual.join(byPred, col("actual_cls") === col("pred_cls")).drop("pred_cls")
+      .withColumn("fp", col("pred_total") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision_micros",
+        microsOver(col("tp") * lit(1000000L), col("tp") + col("fp")))
+      .withColumn("recall_micros",
+        microsOver(col("tp") * lit(1000000L), col("tp") + col("fn")))
+      .withColumn("f1_micros",
+        microsOver(col("tp") * lit(2000000L), col("tp") * 2 + col("fp") + col("fn")))
+      .select((col("actual_cls") +: (0 until K).map(c => col(s"p$c"))) ++
+        Seq(col("support"), col("tp"), col("pred_total"),
+          col("precision_micros"), col("recall_micros"), col("f1_micros")): _*)
+      .orderBy("actual_cls")
+  }
+
+  val q133Sql: String = {
+    val it = LrTrain.Iters
+    val pSel = (0 until K).map(c =>
+      s"CAST(SUM(CASE WHEN pred_cls = $c THEN cnt ELSE 0 END) AS BIGINT) AS p$c")
+      .mkString(",\n   ")
+    s"""WITH ${LrTrain.docTrainCtesFor(
+         s"SELECT * FROM documents WHERE ${LrTrain.trainFilterSql}")},
+       |ev AS (
+       | SELECT doc_id, CAST(${LrTrain.labelIdxSql} AS INTEGER) AS actual_cls, text
+       | FROM documents WHERE NOT (${LrTrain.trainFilterSql})),
+       |etok AS (
+       | SELECT doc_id, actual_cls, (${md5LongSql("token")} % ${LrTrain.Buckets}) AS bucket
+       | FROM (SELECT doc_id, actual_cls, UNNEST(string_split(text, ' ')) AS token FROM ev)
+       | WHERE LENGTH(token) > 0),
+       |epred AS (
+       | SELECT actual_cls, CAST(cls AS INTEGER) AS pred_cls FROM (
+       |  SELECT t.doc_id, t.actual_cls, w.cls,
+       |   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |     ORDER BY SUM(w.w) DESC, w.cls ASC) AS rk
+       |  FROM etok t JOIN w$it w USING (bucket)
+       |  GROUP BY t.doc_id, t.actual_cls, w.cls)
+       | WHERE rk = 1),
+       |cells AS (SELECT actual_cls, pred_cls, COUNT(*) AS cnt FROM epred GROUP BY 1, 2),
+       |grid AS (
+       | SELECT a.cls AS actual_cls, p.cls AS pred_cls
+       | FROM classes a CROSS JOIN classes p),
+       |filled AS (
+       | SELECT g.actual_cls, g.pred_cls, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+       | FROM grid g LEFT JOIN cells c USING (actual_cls, pred_cls)),
+       |ba AS (
+       | SELECT actual_cls,
+       |   CAST(SUM(CASE WHEN pred_cls = actual_cls THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+       |   CAST(SUM(cnt) AS BIGINT) AS support,
+       |   $pSel
+       | FROM filled GROUP BY 1),
+       |bp AS (SELECT pred_cls, CAST(SUM(cnt) AS BIGINT) AS pred_total FROM filled GROUP BY 1)
+       |SELECT ba.actual_cls, ${(0 until K).map(c => s"ba.p$c").mkString(", ")},
+       | ba.support, ba.tp, bp.pred_total,
+       | CASE WHEN bp.pred_total > 0
+       |   THEN (ba.tp * 1000000) // bp.pred_total END AS precision_micros,
+       | CASE WHEN ba.support > 0
+       |   THEN (ba.tp * 1000000) // ba.support END AS recall_micros,
+       | CASE WHEN ba.tp + (bp.pred_total - ba.tp) + ba.support > 0
+       |   THEN (ba.tp * 2000000) // (ba.tp + (bp.pred_total - ba.tp) + ba.support)
+       |   END AS f1_micros
+       |FROM ba JOIN bp ON ba.actual_cls = bp.pred_cls
+       |ORDER BY ba.actual_cls""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q134: predict_proba — calibrated per-class probabilities.
+  // ---------------------------------------------------------------------
+
+  /** Per-document per-class probabilities from the FULL-corpus trained
+    * model (the engine twin of `ml_proba_*.csv`): σ per one-vs-rest
+    * head rounded once to integer micros, then normalized across heads
+    * with truncating integer division — after the single sigmoid
+    * round, everything is integer arithmetic both engines replay
+    * exactly. Probabilities of a doc sum to 1e6 minus at most K−1
+    * truncation units (spec-pinned); pred_class comes from the EXACT
+    * unquantized margins (q28's rule), so argmax(prob) coincides with
+    * q28's verdict on every doc by construction, even when two rounded
+    * sigmoids tie.
+    *
+    * Shape at scale: identical to q28 — one broadcast join + one hash
+    * aggregate keyed by doc; the per-class axis stays packed in
+    * columns until the final stack, which emits exactly K rows per doc.
+    */
+  def q134PredictProba(s: SparkSession, dir: String): DataFrame = {
+    val w = LrTrain.docWeightsWide(s, dir)
+    val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
+    val m = LrTrain.docTok(s, dir)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id").agg(mAggs.head, mAggs.tail: _*)
+    // σ(m) rounded to micros — the residMicros float-exposure class
+    // (one IEEE sigmoid on an exact quantized input, one round)
+    def sgm(c: Int): Column = round(
+      (lit(1.0) / (lit(1.0) + exp(-(col(s"m$c").cast(DoubleType) / lit(1000000.0)))))
+        * lit(1000000.0)).cast(LongType)
+    val wide = m
+      .select((col("doc_id") +: (0 until K).map(c => col(s"m$c"))) ++
+        (0 until K).map(c => sgm(c).as(s"s$c")): _*)
+      .withColumn("stot", (0 until K).map(c => col(s"s$c")).reduce(_ + _))
+      .withColumn("pred_class",
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType))
+    val stackExpr = s"stack($K, " +
+      (0 until K).map(c => s"$c, s$c").mkString(", ") + ") AS (cls, sgm_micros)"
+    wide.selectExpr(Seq("doc_id", "stot", "pred_class", stackExpr): _*)
+      .select(col("doc_id"), col("cls").cast(IntegerType).as("cls"),
+        col("sgm_micros"),
+        when(col("stot") > 0,
+          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
+          .otherwise(lit(null).cast(LongType)).as("prob_micros"),
+        col("pred_class"))
+      .orderBy("doc_id", "cls")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sided held-out proof (spec-only): the q104 side models evaluated on
+  // lines their training never saw.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 80% keep-filter on the line identity hash — lid is
+    * already an md5-derived long, so a pmod range is the same
+    * partition-stable hash-split discipline as trainFilter.
+    */
+  private[graft] def sideTrainKeep: Column = pmod(col("lid"), lit(256L)) < 205
+
+  /** Held-out argmax accuracy per side: train the two matrices on 80%
+    * of lids, score the 20% complement, return side → accuracy. The
+    * spec pins this against the in-sample >95% claim — the honest
+    * generalization check the r10 verdict asked for.
+    */
+  private[graft] def sidedHoldoutAccuracy(s: SparkSession, dir: String): Map[String, Double] = {
+    val w = LrTrain.pivotWide(s,
+      LrTrain.trainedSideWeightsFrom(s, dir, sideTrainKeep), Seq("side"))
+    val ev = LrTrain.sidedLines(s, dir).filter(!sideTrainKeep)
+    val tok = ev.select(col("lid"), col("side"), col("y_cls"),
+        explode(split(Classify.lineLabel(col("l_partkey")), " ")).as("token"))
+      .select(col("lid"), col("side"), col("y_cls"),
+        pmod(md5Long(col("token")), lit(LrTrain.Buckets)).as("bucket"))
+    val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
+    tok.join(broadcast(w), Seq("side", "bucket"))
+      .groupBy("lid", "side", "y_cls").agg(mAggs.head, mAggs.tail: _*)
+      .select(col("side"), col("y_cls"),
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("pred"))
+      .groupBy("side")
+      .agg(avg(when(col("pred") === col("y_cls"), 1.0).otherwise(0.0)).as("acc"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  val q134Sql: String = {
+    val it = LrTrain.Iters
+    s"""WITH ${LrTrain.docTrainCtes},
+       |sm AS (
+       | SELECT t.doc_id, w.cls, SUM(w.w) AS m
+       | FROM tok t JOIN w$it w USING (bucket) GROUP BY 1, 2),
+       |sg AS (
+       | SELECT doc_id, cls, m,
+       |  CAST(ROUND((1.0/(1.0 + EXP(-(CAST(m AS DOUBLE)/1000000.0)))) * 1000000.0)
+       |    AS BIGINT) AS sgm
+       | FROM sm),
+       |tt AS (SELECT doc_id, CAST(SUM(sgm) AS BIGINT) AS stot FROM sg GROUP BY 1),
+       |pc AS (
+       | SELECT doc_id, CAST(cls AS INTEGER) AS pred_class FROM (
+       |  SELECT doc_id, cls,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m DESC, cls ASC) AS rk
+       |  FROM sm)
+       | WHERE rk = 1)
+       |SELECT s.doc_id, CAST(s.cls AS INTEGER) AS cls, s.sgm AS sgm_micros,
+       | CASE WHEN t.stot > 0 THEN (s.sgm * 1000000) // t.stot END AS prob_micros,
+       | p.pred_class
+       |FROM sg s JOIN tt t USING (doc_id) JOIN pc p USING (doc_id)
+       |ORDER BY s.doc_id, cls""".stripMargin
+  }
+}

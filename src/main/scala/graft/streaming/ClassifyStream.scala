@@ -30,9 +30,14 @@ object ClassifyStream {
     * works identically on a static frame (the spec's equality proof).
     */
   def score(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val w = LrTrain.docWeightsWide(s, dir).collect()
-    val wmap: Map[Long, Seq[Long]] = w.map { r =>
-      r.getLong(0) -> (1 to Classify.NumClasses).map(r.getLong).toSeq
+    val wide = LrTrain.docWeightsWide(s, dir)
+    // resolve field positions by NAME: positional indexing was only
+    // valid for the empty-modelKey doc matrix and would silently build
+    // a wrong map for any keyed wide frame (r10 ADVICE)
+    val bIdx = wide.schema.fieldIndex("bucket")
+    val wIdx = (0 until Classify.NumClasses).map(c => wide.schema.fieldIndex(s"w$c"))
+    val wmap: Map[Long, Seq[Long]] = wide.collect().map { r =>
+      r.getLong(bIdx) -> wIdx.map(r.getLong)
     }.toMap
     // a single MapType literal — constant-folded, no per-entry codegen
     val wlit = typedLit(wmap)

@@ -228,8 +228,11 @@ class PlanSpec extends GraftSpec {
     // regression to the per-nation cross product would re-quadratize
     // the pair space (measured 0.65 -> 8.7 s at 10x suppliers)
     val p = planOf(Edgar.q131PartialRatio(spark, sfDir))
-    assert("Join \\[nk#\\d+, key#\\d+\\]".r.findFirstIn(p).isDefined ||
-      p.contains("key#"), s"blocking key missing from the pair join:\n$p")
+    // the positive assertion must match the PAIR JOIN's own key list —
+    // a bare contains("key#") was satisfied by the halves/subs column
+    // projections even with a nation-only join (r10 ADVICE)
+    assert("Join \\[nk#\\d+, key#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"blocking key missing from the pair join:\n$p")
     assert("Join \\[nk#\\d+\\],".r.findFirstIn(p).isEmpty,
       s"nation-only pair join reappeared:\n$p")
   }

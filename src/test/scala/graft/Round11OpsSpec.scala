@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classify, LrTrain, MlEval}
+
+class Round11OpsSpec extends GraftSpec {
+
+  test("q133 split is disjoint and exhaustive; no eval bucket leaks into training") {
+    val d = graft.Tables.documents(spark, sfDir)
+    val total = d.count()
+    val nTrain = d.filter(LrTrain.trainFilter).count()
+    val nEval = d.filter(!LrTrain.trainFilter).count()
+    assert(nTrain + nEval == total, s"$nTrain + $nEval != $total")
+    // 205/256 ≈ 80.1% expected keep rate, ±5pp at sf0.001 volumes
+    assert(math.abs(nTrain.toDouble / total - 205.0 / 256.0) < 0.05,
+      s"train share off: $nTrain/$total")
+    // leakage check on the MODEL'S bucket space: every bucket the 80%
+    // matrix knows must come from a train-slice token — an eval-only
+    // bucket appearing in the matrix means eval text reached training
+    val trainBuckets = LrTrain
+      .docTokFrom(d.filter(LrTrain.trainFilter))
+      .select("bucket").distinct()
+    val leaked = LrTrain.docWeights80(spark, sfDir)
+      .select("bucket").distinct()
+      .join(trainBuckets, Seq("bucket"), "left_anti")
+      .count()
+    assert(leaked == 0, s"$leaked eval-only buckets in the 80% matrix")
+    // and the held-out model is genuinely different from the full fit
+    val w80 = LrTrain.docWeights80(spark, sfDir)
+      .orderBy("cls", "bucket").collect().toSeq
+    val wFull = LrTrain.docWeights(spark, sfDir)
+      .orderBy("cls", "bucket").collect().toSeq
+    assert(w80 != wFull, "80% model bit-identical to full-corpus model")
+  }
+
+  test("q133 confusion matrix is complete and internally consistent") {
+    val rows = MlEval.q133HoldoutEval(spark, sfDir).collect()
+    assert(rows.length == Classify.NumClasses, s"${rows.length} rows")
+    val K = Classify.NumClasses
+    // support = row sum of confusion cells; pred_total = column sums
+    val cells = rows.map(r => (0 until K).map(c => r.getLong(1 + c)))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i, s"actual_cls order: $r")
+      val support = r.getLong(1 + K)
+      val tp = r.getLong(2 + K)
+      assert(cells(i).sum == support, s"row sum != support: $r")
+      assert(cells(i)(i) == tp, s"diagonal != tp: $r")
+      val predTotal = r.getLong(3 + K)
+      assert(cells.map(_(i)).sum == predTotal, s"col sum != pred_total: $r")
+      // metric quantization replays: precision = tp·1e6 / pred_total
+      if (predTotal > 0)
+        assert(r.getLong(4 + K) == tp * 1000000L / predTotal, r.toString)
+      else assert(r.isNullAt(4 + K), r.toString)
+      if (support > 0)
+        assert(r.getLong(5 + K) == tp * 1000000L / support, r.toString)
+    }
+    // every scored eval doc lands in exactly one cell
+    val scored = cells.map(_.sum).sum
+    val evalDocs = graft.Tables.documents(spark, sfDir)
+      .filter(!LrTrain.trainFilter).count()
+    assert(scored <= evalDocs && scored > evalDocs * 0.9,
+      s"scored $scored of $evalDocs eval docs")
+  }
+
+  test("q134 probabilities are calibrated: sum to 1e6 minus truncation, argmax = q28 verdict") {
+    val rows = MlEval.q134PredictProba(spark, sfDir).collect()
+    val K = Classify.NumClasses
+    assert(rows.length % K == 0 && rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length == K, s"doc $doc has ${rs.length} class rows")
+      val probs = rs.sortBy(_.getInt(1)).map(r => r.getLong(3))
+      val tot = probs.sum
+      // truncating normalization loses < 1 micro per class
+      assert(tot <= 1000000L && tot > 1000000L - K, s"doc $doc prob sum $tot")
+      // argmax(prob) agrees with the exact-margin verdict (ties to
+      // lowest class on both sides)
+      val pred = rs.head.getInt(4)
+      val maxP = probs.max
+      assert(probs(pred) == maxP,
+        s"doc $doc pred_class $pred has prob ${probs(pred)} < max $maxP")
+      assert(probs.indexWhere(_ == maxP) <= pred, s"doc $doc tie-break at $pred")
+    }
+    // the verdict column IS q28's verdict, doc for doc
+    val q28 = Classify.q28ClassifyLr(spark, sfDir)
+      .select(col("doc_id"), col("pred_class").as("q28_pred"))
+    val mismatch = MlEval.q134PredictProba(spark, sfDir)
+      .select("doc_id", "pred_class").distinct()
+      .join(q28, Seq("doc_id"))
+      .filter(col("pred_class") =!= col("q28_pred")).count()
+    assert(mismatch == 0, s"$mismatch docs diverge from q28")
+  }
+
+  test("sided models generalize: held-out argmax accuracy stays >95% per side") {
+    // the in-sample claim from round 10, now proven on lines the
+    // training never saw (80/20 lid-hash split)
+    val acc = MlEval.sidedHoldoutAccuracy(spark, sfDir)
+    assert(acc.keySet == Set("assets", "liabilities"), acc.toString)
+    acc.foreach { case (side, a) =>
+      assert(a > 0.95, s"held-out $side accuracy $a")
+    }
+  }
+}
