@@ -601,30 +601,48 @@ object Dedup {
   // Scale shape: the band shuffle carries (band, key, vec_id) — never
   // the vector payload; candidates re-join the (vec_id, embedding, nrm)
   // side by id for verification. The bucket-size dial is the BITS PER
-  // BAND: expected bucket size is n / 2^RpBandBits, so r grows with
-  // log2(n) at scale (4 bits suits this 2k-vector test corpus; a
-  // 100 TB run uses 16-20-bit bands and correspondingly more planes,
-  // trading recall per band for more bands) — the same discipline as
-  // q42's banded minhash, where the band signature hash plays the role
-  // of the key space.
-  val RpPlanes = 16
-  val RpBandBits = 4
+  // BAND: expected bucket size is n / 2^bits, so bits must grow with
+  // log2(n) at scale — the same discipline as q42's banded minhash,
+  // where the band signature hash plays the role of the key space.
+  //
+  // Round 11: the dial is AUTO-SIZED IN-LINEAGE. Round 10 made it an
+  // executable conf, but default conf still meant 4 fixed bits — the
+  // measured exponent-1.01 quadratic at 30× rows for any user who
+  // didn't read the tuning note. Now a one-row count aggregate over
+  // the corpus derives bits = ceil(log2(n / RpTargetOcc)) — computed
+  // as PURE INTEGER threshold counting (Σ_k [n > occ·2^k]), never a
+  // float log that could ceil differently across engines — and rides
+  // into the signature expression as a broadcast scalar (the q53
+  // in-lineage-count pattern: no driver action, the derivation is part
+  // of the plan and the oracle twin replays it from the same data).
+  // Per-bit evaluation is lazily gated on i < bits, so a small corpus
+  // computes exactly the planes its derived dial needs, not the
+  // RpMaxBits ceiling. The conf keys remain as explicit overrides
+  // (bandBits pins the dial; bands scales recall); beyond
+  // n ≈ occ·2^RpMaxBits ≈ 5M vectors per job, occupancy grows again —
+  // raise spark.graft.rplsh.bandBits (or RpMaxBits, one constant) for
+  // larger single-job corpora.
+  val RpBands = 4
+  val RpMaxBits = 16
+  val RpTargetOcc = 80L // expected bucket occupancy the derivation holds
 
-  /** The occupancy dial above, made EXECUTABLE (round 10): bits per
-    * band and band count read from session conf, so a soak or cluster
-    * job holds expected bucket occupancy n/2^bits constant as the
-    * corpus grows instead of letting the per-bucket self-join go
-    * quadratic (measured at gen-sf3: the fixed 4-bit dial put 3 750
-    * vectors in every bucket and q109 went 9.3 s → 91 s for 3× rows).
-    * Defaults match the oracle twin's fixed shape — the driver gate
-    * always runs at defaults; a tuned run trades the exact oracle
-    * replay for bounded candidate counts and stays SOUND because every
-    * emitted pair is exact-cosine verified regardless of banding
-    * (spec-pinned, along with the dial being honored).
+  private[graft] def rpConf(s: SparkSession): (Int, Option[Int]) = (
+    s.conf.get("spark.graft.rplsh.bands", RpBands.toString).toInt,
+    s.conf.getOption("spark.graft.rplsh.bandBits").map(_.toInt))
+
+  /** bits = max(1, Σ_{k<RpMaxBits} [n > occ·2^k]) ≡ clamp(ceil(log2(
+    * n/occ)), 1, RpMaxBits) for n > occ — integer comparisons only, so
+    * Spark and DuckDB agree on every n including exact powers of two.
     */
-  private[graft] def rpConf(s: SparkSession): (Int, Int) = (
-    s.conf.get("spark.graft.rplsh.bands", (RpPlanes / RpBandBits).toString).toInt,
-    s.conf.get("spark.graft.rplsh.bandBits", RpBandBits.toString).toInt)
+  private def rpDerivedBits(n: Column): Column =
+    greatest(lit(1), (0 until RpMaxBits).map(k =>
+      when(n > lit(RpTargetOcc << k), 1).otherwise(0)).reduce(_ + _))
+
+  /** The same derivation as plain Scala — spec anchor against the
+    * held-occupancy table in BENCH_R10_SF1.json.
+    */
+  private[graft] def rpDerivedBitsFor(n: Long): Int =
+    math.max(1, (0 until RpMaxBits).count(k => n > (RpTargetOcc << k)))
 
   private def rpPlane(h: Int, d: Column): Column =
     (((lit(1103515245L) * (lit(h.toLong * 1000003L) + d.cast(LongType)) + lit(12345L))
@@ -641,13 +659,29 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
-    val (nBands, bandBits) = rpConf(s)
+    val (nBands, fixedBits) = rpConf(s)
+    fixedBits.foreach(b => require(b >= 1 && b <= RpMaxBits,
+      s"spark.graft.rplsh.bandBits=$b outside [1, $RpMaxBits]"))
+    // the dial column: a conf literal, or the corpus-derived scalar
+    // broadcast into every row (one-row aggregate — KBs, in-lineage)
+    val withBits = fixedBits match {
+      case Some(b) => e.withColumn("bits", lit(b))
+      case None => e.crossJoin(broadcast(
+        e.agg(count(lit(1)).as("n")).select(rpDerivedBits(col("n")).as("bits"))))
+    }
+    // plane identity is i within a FIXED RpMaxBits stride per band, so
+    // the same (band, i) bit means the same hyperplane at every dial
+    // setting — the derivation changes how many bits a key uses, never
+    // what any bit is
     val bandKeys = (0 until nBands).map { b =>
-      (0 until bandBits).map { i =>
-        rpBit(b * bandBits + i, col("embedding")) * (1 << (bandBits - 1 - i))
+      (0 until RpMaxBits).map { i =>
+        when(lit(i) < col("bits"),
+          rpBit(b * RpMaxBits + i, col("embedding")) *
+            expr(s"shiftleft(1, bits - 1 - $i)"))
+          .otherwise(0)
       }.reduce(_ + _).as(s"band$b")
     }
-    val sigs = e.select(col("vec_id") +: bandKeys: _*)
+    val sigs = withBits.select(col("vec_id") +: bandKeys: _*)
     // the band shuffle carries only (band, key, vec_id) — no payload
     val buckets = sigs.select(col("vec_id"),
       posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)).as(Seq("band", "key")))
@@ -675,23 +709,30 @@ object Dedup {
       s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
          |   i -> CAST(embedding[i] AS DOUBLE) * ${planeSql(h)})) >= 0.0
          |  THEN 1 ELSE 0 END)""".stripMargin
-    val nBands = RpPlanes / RpBandBits
-    val bandCols = (0 until nBands).map { b =>
-      (0 until RpBandBits).map { i =>
-        s"${bitSql(b * RpBandBits + i)} * ${1 << (RpBandBits - 1 - i)}"
+    // the same integer-threshold dial derivation as rpDerivedBits, from
+    // the same filtered corpus — the twin replays the auto-sizing, not
+    // a frozen constant
+    val bitsSql = (0 until RpMaxBits).map(k =>
+      s"CASE WHEN n > ${RpTargetOcc << k} THEN 1 ELSE 0 END")
+      .mkString("GREATEST(1, ", " + ", ")")
+    val bandCols = (0 until RpBands).map { b =>
+      (0 until RpMaxBits).map { i =>
+        s"CASE WHEN $i < bits THEN ${bitSql(b * RpMaxBits + i)} * (1 << (bits - 1 - $i)) ELSE 0 END"
       }.mkString("(", " + ", s") AS band$b")
     }.mkString(",\n  ")
-    val bucketUnion = (0 until nBands)
+    val bucketUnion = (0 until RpBands)
       .map(b => s"SELECT vec_id, $b AS band, band$b AS key FROM sig")
       .mkString("\n UNION ALL ")
     val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
     val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
     s"""WITH nz AS (
        | SELECT * FROM (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings) WHERE nrm > 0
+       |), nb AS (
+       | SELECT $bitsSql AS bits FROM (SELECT COUNT(*) AS n FROM nz)
        |), sig AS (
        | SELECT vec_id,
        |  $bandCols
-       | FROM nz
+       | FROM nz CROSS JOIN nb
        |), buckets AS (
        | $bucketUnion
        |), cand AS (

@@ -92,6 +92,28 @@ class Round11OpsSpec extends GraftSpec {
     assert(mismatch == 0, s"$mismatch docs diverge from q28")
   }
 
+  test("q109 dial auto-sizes in-lineage to the r10 held-occupancy table") {
+    import graft.operators.Dedup
+    // BENCH_R10_SF1.json q109_held_occupancy held these bits per corpus
+    // (bands=4, occupancy ≈ 60-80): the derivation must reproduce them
+    // so default conf now IS the tuned soak configuration
+    assert(Dedup.rpDerivedBitsFor(2000) == 5)
+    assert(Dedup.rpDerivedBitsFor(20000) == 8)
+    assert(Dedup.rpDerivedBitsFor(60000) == 10)
+    assert(Dedup.rpDerivedBitsFor(20) == 1, "floor clamp")
+    assert(Dedup.rpDerivedBitsFor(Long.MaxValue) == Dedup.RpMaxBits, "cap")
+    // exact powers of the threshold stay deterministic (the reason the
+    // derivation is integer comparisons, not a float log2 both engines
+    // could ceil differently)
+    assert(Dedup.rpDerivedBitsFor(Dedup.RpTargetOcc * 1024) == 10)
+    assert(Dedup.rpDerivedBitsFor(Dedup.RpTargetOcc * 1024 + 1) == 11)
+    // the count is in-lineage: building the q109 plan launches no jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Dedup.q109EmbedLsh(spark, sfDir).queryExecution.optimizedPlan.toString
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"plan build ran ${after - before} jobs")
+  }
+
   test("sided models generalize: held-out argmax accuracy stays >95% per side") {
     // the in-sample claim from round 10, now proven on lines the
     // training never saw (80/20 lid-hash split)
