@@ -90,7 +90,7 @@ object Classify {
       .orderBy("doc_id")
   }
 
-  val q28Sql: String =
+  def q28Sql: String =
     s"""WITH ${LrTrain.docTrainCtes}
        |${LrTrain.docScoreSql}""".stripMargin
 
@@ -141,7 +141,7 @@ object Classify {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
-  val q104Sql: String = {
+  def q104Sql: String = {
     val label = // the q103/q104 shared synthesized line label, by partkey
       s"""CASE (l_partkey) % 5 WHEN 0 THEN 'customer deposits held'
          | WHEN 1 THEN 'order receivables net'

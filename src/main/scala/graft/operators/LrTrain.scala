@@ -55,8 +55,23 @@ object LrTrain {
   // iteration (two keyed shuffles + a broadcast) does not change.
   val Buckets: Int = Classify.NumBuckets // 1024 hashed-TF buckets
   val Classes: Int = Classify.NumClasses // 5 one-vs-rest heads
-  val Iters: Int   = 3                   // FIXED count: replayable
-  val LrDen: Long  = 16L                 // step = mean gradient / 16
+
+  /** Iteration count and step denominator, SESSION-CONFIGURABLE
+    * (round-11 verdict item 5): defaults replay the r10 oracle rows
+    * bit-for-bit; a production fit raises iters without touching code.
+    * Both the Spark plans AND the DuckDB twin SQL are generated
+    * through these accessors, so a tuned session stays oracle-aligned
+    * — the twin unrolls exactly the configured iteration count (the
+    * driver gate always runs defaults). Reading the ACTIVE session
+    * keeps SQL generation and plan construction in lockstep inside
+    * one session; with no session the defaults apply.
+    */
+  private def confInt(key: String, dflt: Int): Int =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(key)).map(_.toInt).getOrElse(dflt)
+
+  def Iters: Int  = confInt("spark.graft.lr.iters", 3)
+  def LrDen: Long = confInt("spark.graft.lr.lrDen", 16).toLong
 
   import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
@@ -249,6 +264,113 @@ object LrTrain {
   private[graft] def trainedDocWeights80(s: SparkSession, dir: String): DataFrame =
     docWeightPathFrom(Tables.documents(s, dir).filter(trainFilter)).last
 
+  // --- class-balanced documents training (q135) -------------------------
+  // The documents corpus is 79% one class, so the plain mean-gradient
+  // cross-head argmax stays prior-dominated at 3 iterations (the
+  // documented r10 limitation). The balanced fit weights each SAMPLE's
+  // residuals by the inverse frequency of the sample's own class, in
+  // EXACT integers:
+  //   rb_dc = trunc(r_dc · n_total / (K · n_{y_d}))
+  // — sklearn's class_weight='balanced' sample weighting: a minority
+  // doc's contribution to EVERY head carries majority-magnitude mass,
+  // so the argmax learns the classes instead of the prior, at the SAME
+  // iteration count and shuffle shape (the weighting is one extra
+  // pointwise projection against a broadcast one-row class-count
+  // frame; weighting per HEAD instead would only rescale each head's
+  // learning rate and leaves the argmax prior-dominated — measured:
+  // accuracy pinned at the 0.792 prior for 3..20 iterations). All
+  // integer arithmetic, so DuckDB replays the balanced fit bit-for-bit
+  // like the plain one.
+
+  private def gdStepBalanced(xdb: DataFrame, labels: DataFrame, nDf: DataFrame,
+      ncDf: DataFrame, w: DataFrame): DataFrame = {
+    val mAggs = (0 until Classes).map(c => sum(col("x") * col(s"w$c")).as(s"m$c"))
+    val m = xdb.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(mAggs.head, mAggs.tail: _*)
+    val r = m.join(labels, Seq("doc_id"))
+      .select(col("doc_id") +: col("y_cls") +: (0 until Classes).map(c =>
+        residMicros(col(s"m$c"),
+          when(col("y_cls") === c, 1.0).otherwise(0.0)).as(s"r$c")): _*)
+    // the sample's own class count picks the weight denominator
+    val ncOfDoc = (0 until Classes - 1).foldRight(col(s"nc${Classes - 1}")) {
+      (c, rest) => when(col("y_cls") === c, col(s"nc$c")).otherwise(rest)
+    }
+    val rb = r.crossJoin(broadcast(ncDf))
+      .select(col("doc_id") +: (0 until Classes).map(c =>
+        truncDivPos(col(s"r$c") * col("n_total"),
+          lit(Classes.toLong) * greatest(ncOfDoc, lit(1L))).as(s"r$c")): _*)
+    val gAggs = (0 until Classes).map(c => sum(col(s"r$c") * col("x")).as(s"g$c"))
+    val g = rb.join(xdb, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(gAggs.head, gAggs.tail: _*)
+    val gn = g.crossJoin(broadcast(nDf))
+    asLocal(w.join(gn, Seq("bucket"))
+      .select(col("bucket") +: (0 until Classes).map(c =>
+        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(LrDen))).as(s"w$c")): _*))
+  }
+
+  private[graft] def trainedDocWeightsBalanced(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val xdb = docTokFrom(docs)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val labels = docLabelsFrom(docs)
+    val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
+    val ncAggs = (0 until Classes).map(c =>
+      sum(when(col("y_cls") === c, 1L).otherwise(0L)).as(s"nc$c"))
+    val ncDf = labels.agg(count(lit(1)).as("n_total"), ncAggs: _*)
+    val w0 = asLocal(xdb.select("bucket").distinct()
+      .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    toLong(
+      Iterator.iterate(w0)(w => gdStepBalanced(xdb, labels, nDf, ncDf, w))
+        .drop(Iters).next(),
+      Seq.empty)
+  }
+
+  /** The balanced documents model as a registry artifact. */
+  def docWeightsBalanced(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_lr_bal")(trainedDocWeightsBalanced(s, dir))
+
+  /** q135: the class-balanced trained matrix (q129's shape). */
+  def q135LrBalanced(s: SparkSession, dir: String): DataFrame =
+    trainedDocWeightsBalanced(s, dir)
+      .withColumn("w", round(col("w_micros").cast(DoubleType) / lit(1000000.0), 6))
+      .select("cls", "bucket", "w_micros", "w")
+      .orderBy("cls", "bucket")
+
+  private def docBalIterCte(t: Int): String =
+    s"""bm$t AS (
+       | SELECT t.doc_id, w.cls, SUM(w.w) AS m
+       | FROM tok t JOIN bw${t - 1} w USING (bucket) GROUP BY 1, 2),
+       |br$t AS (
+       | SELECT m.doc_id, m.cls,
+       |  CAST(ROUND((1.0/(1.0 + EXP(-(CAST(m.m AS DOUBLE)/1000000.0))) -
+       |   CASE WHEN l.y_cls = m.cls THEN 1.0 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS r
+       | FROM bm$t m JOIN lab l USING (doc_id)),
+       |brb$t AS (
+       | SELECT r.doc_id, r.cls,
+       |  (r.r * nt.n_total) // ($Classes * GREATEST(nc.c, 1)) AS r
+       | FROM br$t r JOIN lab l USING (doc_id)
+       |      JOIN ncls nc ON nc.cls = l.y_cls CROSS JOIN ntot nt),
+       |bg$t AS (
+       | SELECT r.cls, x.bucket, SUM(r.r * x.x) AS g
+       | FROM brb$t r JOIN xdb x USING (doc_id) GROUP BY 1, 2),
+       |bw$t AS (
+       | SELECT w.cls, w.bucket, w.w - (g.g // ((SELECT n FROM nn) * $LrDen)) AS w
+       | FROM bw${t - 1} w JOIN bg$t g USING (cls, bucket))""".stripMargin
+
+  def q135Sql: String =
+    s"""WITH $docTrainCtes,
+       |ntot AS (SELECT COUNT(*) AS n_total FROM lab),
+       |ncls AS (
+       | SELECT c.cls, COALESCE(x.c, 0) AS c
+       | FROM classes c LEFT JOIN (
+       |  SELECT y_cls AS cls, COUNT(*) AS c FROM lab GROUP BY 1) x USING (cls)),
+       |bw0 AS (SELECT cls, bucket, w FROM w0),
+       |${(1 to Iters).map(docBalIterCte).mkString(",\n")}
+       |SELECT cls, bucket, CAST(w AS BIGINT) AS w_micros,
+       | ROUND(CAST(w AS DOUBLE)/1000000.0, 6) AS w
+       |FROM bw$Iters ORDER BY cls, bucket""".stripMargin
+
   // --- model registry ---------------------------------------------------
   // Train ONCE per corpus, score everywhere — the engine counterpart of
   // the reference's architecture (fit in mlClassification.ipynb, ship
@@ -270,7 +392,10 @@ object LrTrain {
 
   private def cachedModel(s: SparkSession, dir: String, table: String,
       name: String)(train: => DataFrame): DataFrame = {
-    val key = s"$name|$dir|${graft.Tables.freshnessToken(s, s"$dir/$table.parquet")}"
+    // hyperparameters are part of the model identity: a session that
+    // re-dials iters/lrDen must retrain, not reuse another dial's fit
+    val key = s"$name|$dir|it=$Iters|den=$LrDen|" +
+      graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
     val (schema, rows) = modelCache.computeIfAbsent(key, { _ =>
       val df = train
       (df.schema, df.collect())
@@ -400,10 +525,10 @@ object LrTrain {
        | FROM classes CROSS JOIN (SELECT DISTINCT bucket FROM tok)),
        |${(1 to Iters).map(docIterCte).mkString(",\n")}""".stripMargin
 
-  private[graft] val docTrainCtes: String =
+  private[graft] def docTrainCtes: String =
     docTrainCtesFor("SELECT * FROM documents")
 
-  val q129Sql: String =
+  def q129Sql: String =
     s"""WITH $docTrainCtes
        |SELECT cls, bucket, CAST(w AS BIGINT) AS w_micros,
        | ROUND(CAST(w AS DOUBLE)/1000000.0, 6) AS w
@@ -412,7 +537,7 @@ object LrTrain {
   /** Scoring SQL over the trained matrix — appended to the training CTEs
     * by Classify.q28Sql.
     */
-  private[graft] val docScoreSql: String =
+  private[graft] def docScoreSql: String =
     s"""SELECT doc_id, CAST(cls AS INTEGER) AS pred_class,
        | CAST(m AS DOUBLE)/1000000.0 AS best_score
        |FROM (
@@ -517,7 +642,7 @@ object LrTrain {
   /** Training CTE block over an existing `sided` CTE with columns
     * (lid, side, l_partkey, y_cls, label).
     */
-  private[graft] val sideTrainCtes: String =
+  private[graft] def sideTrainCtes: String =
     s"""stok AS (
        | SELECT lid, side, (${md5LongSql("token")} % $Buckets) AS bucket
        | FROM (SELECT lid, side, UNNEST(string_split(label, ' ')) AS token FROM sided)),

@@ -101,7 +101,7 @@ object MlEval {
       .orderBy("actual_cls")
   }
 
-  val q133Sql: String = {
+  def q133Sql: String = {
     val it = LrTrain.Iters
     val pSel = (0 until K).map(c =>
       s"CAST(SUM(CASE WHEN pred_cls = $c THEN cnt ELSE 0 END) AS BIGINT) AS p$c")
@@ -232,7 +232,7 @@ object MlEval {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
-  val q134Sql: String = {
+  def q134Sql: String = {
     val it = LrTrain.Iters
     s"""WITH ${LrTrain.docTrainCtes},
        |sm AS (
