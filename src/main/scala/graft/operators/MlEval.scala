@@ -209,15 +209,11 @@ object MlEval {
     */
   private[graft] def sideTrainKeep: Column = pmod(col("lid"), lit(256L)) < 205
 
-  /** Held-out argmax accuracy per side: train the two matrices on 80%
-    * of lids, score the 20% complement, return side → accuracy. The
-    * spec pins this against the in-sample >95% claim — the honest
-    * generalization check the r10 verdict asked for.
+  /** Score a sided eval slice with a wide (side, bucket, w0..) matrix:
+    * (side, y_cls, pred) per line — the shared scoring core of the
+    * hold-out proof and the k-fold CV harness below.
     */
-  private[graft] def sidedHoldoutAccuracy(s: SparkSession, dir: String): Map[String, Double] = {
-    val w = LrTrain.pivotWide(s,
-      LrTrain.trainedSideWeightsFrom(s, dir, sideTrainKeep), Seq("side"))
-    val ev = LrTrain.sidedLines(s, dir).filter(!sideTrainKeep)
+  private def scoreSided(ev: DataFrame, w: DataFrame): DataFrame = {
     val tok = ev.select(col("lid"), col("side"), col("y_cls"),
         explode(split(Classify.lineLabel(col("l_partkey")), " ")).as("token"))
       .select(col("lid"), col("side"), col("y_cls"),
@@ -227,9 +223,66 @@ object MlEval {
       .groupBy("lid", "side", "y_cls").agg(mAggs.head, mAggs.tail: _*)
       .select(col("side"), col("y_cls"),
         (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("pred"))
+  }
+
+  /** Held-out argmax accuracy per side: train the two matrices on 80%
+    * of lids, score the 20% complement, return side → accuracy. The
+    * spec pins this against the in-sample >95% claim — the honest
+    * generalization check the r10 verdict asked for.
+    */
+  private[graft] def sidedHoldoutAccuracy(s: SparkSession, dir: String): Map[String, Double] = {
+    val w = LrTrain.pivotWide(s,
+      LrTrain.trainedSideWeightsFrom(s, dir, sideTrainKeep), Seq("side"))
+    scoreSided(LrTrain.sidedLines(s, dir).filter(!sideTrainKeep), w)
       .groupBy("side")
       .agg(avg(when(col("pred") === col("y_cls"), 1.0).otherwise(0.0)).as("acc"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  // ---------------------------------------------------------------------
+  // k-fold cross-validation + grid search (spec-verified orchestration —
+  // the cross_val_score / GridSearchCV half of mlClassification.ipynb).
+  // ---------------------------------------------------------------------
+
+  /** k-fold CV over the sided models: fold id = pmod(lid, k) — the lid
+    * is already an md5-derived hash, so folds are deterministic,
+    * disjoint, exhaustive, and stable under any partitioning. Each fold
+    * trains the E28 loop on the complement and scores the fold; returns
+    * (side, fold, n_eval, acc). Pure orchestration of existing
+    * operators: k sided fits + k broadcast-scored evaluations, each the
+    * plan q104 already runs — nothing here collects data, only the
+    * K-row metric frames.
+    */
+  private[graft] def sidedCrossVal(s: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val fold = pmod(col("lid"), lit(k.toLong))
+    (0 until k).map { f =>
+      val w = LrTrain.pivotWide(s,
+        LrTrain.trainedSideWeightsFrom(s, dir, fold =!= f), Seq("side"))
+      scoreSided(LrTrain.sidedLines(s, dir).filter(fold === f), w)
+        .groupBy("side")
+        .agg(count(lit(1)).as("n_eval"),
+          avg(when(col("pred") === col("y_cls"), 1.0).otherwise(0.0)).as("acc"))
+        .select(col("side"), lit(f).as("fold"), col("n_eval"), col("acc"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** GridSearchCV's shape: one CV sweep per hyperparameter point, one
+    * summary row (point, mean accuracy) each. The dial rides the same
+    * session conf the oracle twins read, so each point's training is
+    * the exact operator a production run with that dial would execute;
+    * conf is restored afterwards.
+    */
+  private[graft] def sidedGridSearch(s: SparkSession, dir: String,
+      lrDens: Seq[Int], k: Int): Seq[(Int, Double)] = {
+    val key = "spark.graft.lr.lrDen"
+    val prev = s.conf.getOption(key)
+    try lrDens.map { den =>
+      s.conf.set(key, den.toString)
+      val mean = sidedCrossVal(s, dir, k)
+        .agg(avg("acc")).head.getDouble(0)
+      den -> mean
+    } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
 
   def q134Sql: String = {

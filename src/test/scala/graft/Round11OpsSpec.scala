@@ -161,6 +161,28 @@ class Round11OpsSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.lr.iters")
   }
 
+  test("k-fold CV partitions the corpus; per-fold sided accuracy and grid search hold") {
+    val cv = MlEval.sidedCrossVal(spark, sfDir, 3).collect()
+    assert(cv.length == 6, s"expected 2 sides × 3 folds, got ${cv.length}")
+    assert(cv.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      (for (s <- Seq("assets", "liabilities"); f <- 0 until 3) yield (s, f)).toSet)
+    cv.foreach(r => assert(r.getDouble(3) > 0.9,
+      s"fold accuracy collapsed: $r"))
+    // folds are disjoint + exhaustive: scored lines sum to the distinct
+    // line universe (scoring groups physical dup rows by lid)
+    val scored = cv.map(_.getLong(2)).sum
+    val universe = LrTrain.sidedLines(spark, sfDir)
+      .select("lid").distinct().count()
+    assert(scored == universe, s"$scored scored vs $universe lines")
+    // GridSearchCV's shape: one mean-accuracy summary per dial point;
+    // conf restored afterwards
+    val grid = MlEval.sidedGridSearch(spark, sfDir, Seq(16, 64), 2)
+    assert(grid.map(_._1) == Seq(16, 64))
+    grid.foreach { case (den, a) =>
+      assert(a > 0.8 && a <= 1.0, s"den=$den mean acc $a") }
+    assert(spark.conf.getOption("spark.graft.lr.lrDen").isEmpty)
+  }
+
   test("sided models generalize: held-out argmax accuracy stays >95% per side") {
     // the in-sample claim from round 10, now proven on lines the
     // training never saw (80/20 lid-hash split)
