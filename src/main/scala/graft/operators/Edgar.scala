@@ -234,13 +234,22 @@ object Edgar {
         "substring(name2, length(name2) - (CAST(k2 % 5 AS INT) + 8) + 1," +
           " CAST(k2 % 5 AS INT) + 8)"))
       .withColumn("m", length(col("frag")))
+    // Sharper pigeonhole (r11, still lossless): the ≥90 gate bounds
+    // best_lev ≤ m/10, so fragments of length 8-9 admit NO edit at all
+    // — the whole fragment must appear verbatim, and blocking on the
+    // full fragment (a near-unique key) replaces their two weak halves.
+    // Only m ≥ 10 fragments (lev ≤ 1) still need the two-half split,
+    // whose halves are 5-6 chars — the weakly-selective 4-char keys the
+    // r10 advice flagged (shared 'Supplier#00…' prefix region) vanish
+    // from the key space entirely.
     val halves = bFrag.select(col("k2"), col("frag"), col("m"), col("nk"),
-        explode(array(
-          expr("substring(frag, 1, CAST(ceil(m / 2.0) AS INT))"),
-          expr("substring(frag, CAST(ceil(m / 2.0) AS INT) + 1, m)"))).as("key"))
+        explode(when(col("m") <= 9, array(col("frag")))
+          .otherwise(array(
+            expr("substring(frag, 1, CAST(ceil(m / 2.0) AS INT))"),
+            expr("substring(frag, CAST(ceil(m / 2.0) AS INT) + 1, m)")))).as("key"))
     val subs = a
       .select(col("k1"), col("name1"), col("nk"),
-        explode(sequence(lit(4), lit(6))).as("len"))
+        explode(array(lit(5), lit(6), lit(8), lit(9))).as("len"))
       .filter(col("len") <= length(col("name1")))
       .select(col("k1"), col("name1"), col("nk"), col("len"),
         explode(sequence(lit(1), length(col("name1")) - col("len") + 1)).as("p"))
