@@ -390,16 +390,32 @@ object LrTrain {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
 
+  /** Test hook: drop every cached fit so a spec can drive the
+    * cold-start path (e.g. a wide accessor as the registry's very
+    * first caller — the shape that exposed the nested-insert bug).
+    */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
   private def cachedModel(s: SparkSession, dir: String, table: String,
       name: String)(train: => DataFrame): DataFrame = {
     // hyperparameters are part of the model identity: a session that
     // re-dials iters/lrDen must retrain, not reuse another dial's fit
     val key = s"$name|$dir|it=$Iters|den=$LrDen|" +
       graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
-    val (schema, rows) = modelCache.computeIfAbsent(key, { _ =>
+    // get + putIfAbsent, NOT computeIfAbsent: the wide-pivot entries
+    // train their long artifact inside the thunk, i.e. a nested cache
+    // insert — ConcurrentHashMap throws "Recursive update" whenever the
+    // inner insert hits the outer key's bin (bin-layout-dependent, so
+    // it surfaced only in some JVMs). The benign cost is that two
+    // concurrent first callers may both train; the fit is a pure
+    // function of (corpus, dial), so either result is identical.
+    val cached = modelCache.get(key)
+    val (schema, rows) = if (cached != null) cached else {
       val df = train
-      (df.schema, df.collect())
-    })
+      val v = (df.schema, df.collect())
+      modelCache.putIfAbsent(key, v)
+      v
+    }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 

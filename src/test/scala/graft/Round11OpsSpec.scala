@@ -183,6 +183,19 @@ class Round11OpsSpec extends GraftSpec {
     assert(spark.conf.getOption("spark.graft.lr.lrDen").isEmpty)
   }
 
+  test("model registry cold-start: a wide accessor as first caller trains cleanly") {
+    // regression: the memoized wide pivot trains its long artifact
+    // inside its own cache-insert thunk; with computeIfAbsent that
+    // nested insert threw ConcurrentHashMap's "Recursive update"
+    // whenever the two keys shared a bin (bin-layout luck — it passed
+    // verify and failed the bench JVM). Drive the exact cold path.
+    LrTrain.clearModelCache()
+    assert(LrTrain.sideWeightsWide(spark, sfDir).count() > 0)
+    LrTrain.clearModelCache()
+    assert(LrTrain.docWeightsWide(spark, sfDir).count() > 0)
+    assert(LrTrain.docWeights(spark, sfDir).count() > 0) // long form reuses
+  }
+
   test("sided models generalize: held-out argmax accuracy stays >95% per side") {
     // the in-sample claim from round 10, now proven on lines the
     // training never saw (80/20 lid-hash split)
