@@ -83,10 +83,21 @@ object MlEval {
     val byActual = full.groupBy("actual_cls").agg(
       sum(when(col("pred_cls") === col("actual_cls"), col("cnt")).otherwise(0L)).as("tp"),
       (sum("cnt").as("support") +: pCols): _*)
-    val byPred = full.groupBy("pred_cls").agg(sum("cnt").as("pred_total"))
+    // pred_total (column sums of the confusion matrix) via a window
+    // over the K-row frame, NOT a second aggregation branch: a second
+    // groupBy over `full` duplicates the whole scoring subtree in the
+    // plan (no exchange reuse across the branches — audited), so the
+    // corpus would be scanned and scored twice. The window runs on K
+    // rows in one partition — constant-size by construction.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val predTotal = (0 until K).map(c =>
+      when(col("actual_cls") === c, sum(col(s"p$c")).over(wAll)).otherwise(0L))
+      .reduce(_ + _)
     def microsOver(num: Column, den: Column): Column =
       when(den > 0, LrTrain.truncDivPos(num, den)).otherwise(lit(null).cast(LongType))
-    byActual.join(byPred, col("actual_cls") === col("pred_cls")).drop("pred_cls")
+    byActual
+      .withColumn("pred_total", predTotal)
       .withColumn("fp", col("pred_total") - col("tp"))
       .withColumn("fn", col("support") - col("tp"))
       .withColumn("precision_micros",
@@ -136,18 +147,22 @@ object MlEval {
        |   CAST(SUM(cnt) AS BIGINT) AS support,
        |   $pSel
        | FROM filled GROUP BY 1),
-       |bp AS (SELECT pred_cls, CAST(SUM(cnt) AS BIGINT) AS pred_total FROM filled GROUP BY 1)
-       |SELECT ba.actual_cls, ${(0 until K).map(c => s"ba.p$c").mkString(", ")},
-       | ba.support, ba.tp, bp.pred_total,
-       | CASE WHEN bp.pred_total > 0
-       |   THEN (ba.tp * 1000000) // bp.pred_total END AS precision_micros,
-       | CASE WHEN ba.support > 0
-       |   THEN (ba.tp * 1000000) // ba.support END AS recall_micros,
-       | CASE WHEN ba.tp + (bp.pred_total - ba.tp) + ba.support > 0
-       |   THEN (ba.tp * 2000000) // (ba.tp + (bp.pred_total - ba.tp) + ba.support)
+       |res AS (
+       | SELECT *, CAST(CASE actual_cls
+       |   ${(0 until K).map(c => s"WHEN $c THEN SUM(p$c) OVER ()").mkString(" ")}
+       |   END AS BIGINT) AS pred_total
+       | FROM ba)
+       |SELECT actual_cls, ${(0 until K).map(c => s"p$c").mkString(", ")},
+       | support, tp, pred_total,
+       | CASE WHEN pred_total > 0
+       |   THEN (tp * 1000000) // pred_total END AS precision_micros,
+       | CASE WHEN support > 0
+       |   THEN (tp * 1000000) // support END AS recall_micros,
+       | CASE WHEN tp + (pred_total - tp) + support > 0
+       |   THEN (tp * 2000000) // (tp + (pred_total - tp) + support)
        |   END AS f1_micros
-       |FROM ba JOIN bp ON ba.actual_cls = bp.pred_cls
-       |ORDER BY ba.actual_cls""".stripMargin
+       |FROM res
+       |ORDER BY actual_cls""".stripMargin
   }
 
   // ---------------------------------------------------------------------

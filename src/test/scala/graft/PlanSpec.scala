@@ -237,6 +237,17 @@ class PlanSpec extends GraftSpec {
       s"nation-only pair join reappeared:\n$p")
   }
 
+  test("q133 evaluation scans the corpus exactly once (windowed column sums)") {
+    // pred_total as a second groupBy branch over the cell frame
+    // duplicated the entire scoring subtree — corpus scanned and
+    // scored twice with no exchange reuse (audited r11). The window
+    // form references the K-row aggregate once.
+    import graft.operators.MlEval
+    val p = planOf(MlEval.q133HoldoutEval(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$p")
+  }
+
   test("q129 training keeps every intended broadcast (no guard demotion)") {
     import graft.operators.LrTrain
     // The wide GD loop broadcasts the weight matrix into the margin join
