@@ -26,10 +26,10 @@ import graft.functions.TextFunctions.md5Long
   */
 object ClassifyStream {
 
-  /** `docs` must carry (ts: timestamp, doc_id: long, text: string);
-    * works identically on a static frame (the spec's equality proof).
+  /** The per-row margin fold over the broadcast map literal — shared
+    * by the argmax scorer and the proba scorer.
     */
-  def score(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+  private def marginCol(s: SparkSession, dir: String) = {
     val wide = LrTrain.docWeightsWide(s, dir)
     // resolve field positions by NAME: positional indexing was only
     // valid for the empty-modelKey doc matrix and would silently build
@@ -42,7 +42,7 @@ object ClassifyStream {
     // a single MapType literal — constant-folded, no per-entry codegen
     val wlit = typedLit(wmap)
     val zero = array(Seq.fill(Classify.NumClasses)(lit(0L)): _*)
-    val margins = aggregate(
+    aggregate(
       filter(split(col("text"), " "), t => length(t) > 0),
       zero,
       (acc, t) => zip_with(acc,
@@ -50,13 +50,50 @@ object ClassifyStream {
           element_at(wlit, pmod(md5Long(t), lit(Classify.NumBuckets))),
           zero),
         (a, b) => a + b))
-    val best = greatest((0 until Classify.NumClasses).map(c =>
+  }
+
+  private def bestOfMargins: org.apache.spark.sql.Column =
+    greatest((0 until Classify.NumClasses).map(c =>
       struct(element_at(col("margins"), c + 1).as("m"), lit(-c).as("negc"))): _*)
+
+  /** `docs` must carry (ts: timestamp, doc_id: long, text: string);
+    * works identically on a static frame (the spec's equality proof).
+    */
+  def score(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
     docs
-      .withColumn("margins", margins)
-      .withColumn("b", best)
+      .withColumn("margins", marginCol(s, dir))
+      .withColumn("b", bestOfMargins)
       .select(col("ts"), col("doc_id"),
         (-col("b.negc")).cast("int").as("pred_class"),
         (col("b.m").cast("double") / 1000000.0).as("best_score"))
+
+  /** Streaming predict_proba — q134's calibrated per-class
+    * probabilities on a document stream, same stateless row-local
+    * shape as score(): the sigmoid quantization and truncating
+    * normalization are q134's exact integer pipeline, so every emitted
+    * row is bit-identical to the batch output for any doc the batch
+    * scorer covers (spec-proven); a doc with NO trained token gets the
+    * uniform zero-margin distribution (σ(0)·1e6 = 500000 per head,
+    * prob 200000 each) instead of being dropped — the stream-verdicts-
+    * every-row rule score() already documents.
+    */
+  def scoreProba(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val sg = transform(col("margins"), m =>
+      round((lit(1.0) / (lit(1.0) + exp(-(m.cast("double") / lit(1000000.0)))))
+        * lit(1000000.0)).cast("long"))
+    docs
+      .withColumn("margins", marginCol(s, dir))
+      .withColumn("b", bestOfMargins)
+      .withColumn("sg", sg)
+      .withColumn("stot", aggregate(col("sg"), lit(0L), (a, x) => a + x))
+      .select(col("ts"), col("doc_id"), col("stot"),
+        (-col("b.negc")).cast("int").as("pred_class"),
+        posexplode(col("sg")).as(Seq("pos", "sgm_micros")))
+      .select(col("ts"), col("doc_id"), col("pos").cast("int").as("cls"),
+        col("sgm_micros"),
+        when(col("stot") > 0,
+          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
+          .otherwise(lit(null).cast("long")).as("prob_micros"),
+        col("pred_class"))
   }
 }

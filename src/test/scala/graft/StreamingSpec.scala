@@ -159,6 +159,50 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming predict_proba equals batch q134 bit for bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = Tables.documents(sp, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(5).collect()
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val scored = streaming.ClassifyStream.scoreProba(sp, sfDir,
+      stream.toDF().toDF("ts", "doc_id", "text"))
+    val query = scored.writeStream.format("memory").queryName("proba_scored")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.toSeq.map(r =>
+        (Timestamp.valueOf("2024-01-01 00:00:00"), r.getLong(0), r.getString(1))))
+      query.processAllAvailable()
+      val got = sp.sql(
+        "SELECT doc_id, cls, sgm_micros, prob_micros, pred_class FROM proba_scored")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+      val want = graft.operators.MlEval.q134PredictProba(sp, sfDir)
+        .filter(col("doc_id").isin(docs.map(_.getLong(0)): _*))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+      assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+      want.foreach { case (k, v) =>
+        assert(got(k) == v, s"$k diverged in-flight: ${got(k)} vs $v")
+      }
+      // stream-only semantics: an all-unseen doc gets the uniform
+      // zero-margin distribution instead of dropping
+      stream.addData(Seq(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 999999L, "zzz qqq")))
+      query.processAllAvailable()
+      val unseen = sp.sql(
+        "SELECT cls, sgm_micros, prob_micros FROM proba_scored WHERE doc_id = 999999")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+      assert(unseen.length == graft.operators.Classify.NumClasses)
+      unseen.foreach { case (_, sgm, prob) =>
+        assert(sgm == 500000L && prob == 200000L, unseen.mkString(", "))
+      }
+    } finally query.stop()
+  }
+
   test("stream-stream interval join attributes purchases to in-window signups") {
     val sp = spark
     import sp.implicits._
