@@ -141,14 +141,18 @@ object Classify {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
-  def q104Sql: String = {
+  /** Shared sided-scoring CTE prefix: sided lines + the sided training
+    * block + per-(lid, cls) margin sums — q104's argmax and q136's
+    * proba tails both consume it.
+    */
+  private[graft] def sidedScoreCtes: String = {
     val label = // the q103/q104 shared synthesized line label, by partkey
       s"""CASE (l_partkey) % 5 WHEN 0 THEN 'customer deposits held'
          | WHEN 1 THEN 'order receivables net'
          | WHEN 2 THEN 'stream service obligations'
          | WHEN 3 THEN 'data center equipment'
          | ELSE 'sundry payables' END""".stripMargin
-    s"""WITH sided AS (
+    s"""sided AS (
        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |  ${LrTrain.lidSql} AS lid,
        |  CASE WHEN l_linenumber <= split_line THEN 'assets'
@@ -164,7 +168,11 @@ object Classify {
        |sscore AS (
        | SELECT t.lid, w.cls, SUM(w.w) AS m
        | FROM stok t JOIN sw${LrTrain.Iters} w USING (side, bucket)
-       | GROUP BY 1, 2)
+       | GROUP BY 1, 2)""".stripMargin
+  }
+
+  def q104Sql: String =
+    s"""WITH $sidedScoreCtes
        |SELECT s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey, s.side,
        | CAST(b.cls AS INTEGER) AS pred_class,
        | CAST(b.m AS DOUBLE)/1000000.0 AS best_score
@@ -176,7 +184,6 @@ object Classify {
        |       l_suppkey, side FROM sided) s USING (lid)
        |WHERE b.rk = 1
        |ORDER BY s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey""".stripMargin
-  }
 
   // E13 (DatabaseStructured.py:21-48): manual-label override — left join
   // the (small, broadcast) manual table; manual wins over predicted.

@@ -644,17 +644,6 @@ object Dedup {
   private[graft] def rpDerivedBitsFor(n: Long): Int =
     math.max(1, (0 until RpMaxBits).count(k => n > (RpTargetOcc << k)))
 
-  private def rpPlane(h: Int, d: Column): Column =
-    (((lit(1103515245L) * (lit(h.toLong * 1000003L) + d.cast(LongType)) + lit(12345L))
-      % lit(2147483648L)).cast(DoubleType) / 2147483648.0) - 0.5
-
-  private def rpBit(h: Int, e: Column): Column = {
-    val dotH = aggregate(
-      zip_with(e, sequence(lit(1), size(e)), (x, d) => x.cast(DoubleType) * rpPlane(h, d)),
-      lit(0.0), (acc, x) => acc + x)
-    when(dotH >= 0.0, 1).otherwise(0)
-  }
-
   def q109EmbedLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
@@ -672,19 +661,27 @@ object Dedup {
     // plane identity is i within a FIXED RpMaxBits stride per band, so
     // the same (band, i) bit means the same hyperplane at every dial
     // setting — the derivation changes how many bits a key uses, never
-    // what any bit is
-    val bandKeys = (0 until nBands).map { b =>
-      (0 until RpMaxBits).map { i =>
-        when(lit(i) < col("bits"),
-          rpBit(b * RpMaxBits + i, col("embedding")) *
-            expr(s"shiftleft(1, bits - 1 - $i)"))
-          .otherwise(0)
-      }.reduce(_ + _).as(s"band$b")
-    }
-    val sigs = withBits.select(col("vec_id") +: bandKeys: _*)
-    // the band shuffle carries only (band, key, vec_id) — no payload
-    val buckets = sigs.select(col("vec_id"),
-      posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)).as(Seq("band", "key")))
+    // what any bit is. The signature is the NATIVE RpLshKeysExpr (r11):
+    // the declarative form's per-bit aggregate(zip_with(...)) HOFs run
+    // interpreted (measured 58-300 s of task time at gen2-sf3); the
+    // expression computes every band key in one fused codegen'd pass
+    // with the identical IEEE sequence (spec-proven bit-for-bit, and
+    // the DuckDB twin below is unchanged).
+    val sigs = withBits.select(col("vec_id"),
+      call_function("rp_lsh_keys", col("embedding"), col("bits"),
+        lit(nBands), lit(RpMaxBits)).as("keys"))
+    // the band shuffle carries only (band, key, vec_id) — no payload.
+    // repartition with an EXPLICIT count: the bucket-id frame is tiny
+    // (ids only), so AQE coalesced the pre-join exchange to 2
+    // partitions and the quadratic pair materialization then ran on 2
+    // of 32 cores (measured: the sf3 pair stage wrote 307 MB through 2
+    // tasks). A user-specified partition count is exempt from
+    // coalescing, and the join's (band, key) requirement is satisfied
+    // by this exchange, so no extra shuffle appears.
+    val buckets = sigs
+      .select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("key"))
     val cand = buckets.as("x")
       .join(buckets.as("y"), Seq("band", "key"))
       .filter(col("x.vec_id") < col("y.vec_id"))

@@ -214,6 +214,70 @@ object MlEval {
   }
 
   // ---------------------------------------------------------------------
+  // q136: SIDE-ROUTED predict_proba — the exact twin of the reference's
+  // ml_proba_asset.csv / ml_proba_liable.csv: per-line per-class
+  // calibrated probabilities from the model of the line's balance-sheet
+  // side (q104's routing × q134's integer probability pipeline).
+  // ---------------------------------------------------------------------
+
+  def q136SideProba(s: SparkSession, dir: String): DataFrame = {
+    val sided = LrTrain.sidedLines(s, dir)
+    val w = LrTrain.sideWeightsWide(s, dir).withColumnRenamed("side", "w_side")
+    val keys = Seq("lid", "side", "l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey")
+    val tok = sided.select(keys.map(col) :+
+        explode(split(Classify.lineLabel(col("l_partkey")), " ")).as("token"): _*)
+      .withColumn("bucket", pmod(md5Long(col("token")), lit(LrTrain.Buckets)))
+      .withColumn("w_side", col("side"))
+    val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
+    val m = tok.join(broadcast(w), Seq("w_side", "bucket"))
+      .groupBy(keys.map(col): _*).agg(mAggs.head, mAggs.tail: _*)
+    def sgm(c: Int): Column = round(
+      (lit(1.0) / (lit(1.0) + exp(-(col(s"m$c").cast(DoubleType) / lit(1000000.0)))))
+        * lit(1000000.0)).cast(LongType)
+    val wide = m
+      .select((keys.map(col) ++ (0 until K).map(c => col(s"m$c"))) ++
+        (0 until K).map(c => sgm(c).as(s"s$c")): _*)
+      .withColumn("stot", (0 until K).map(c => col(s"s$c")).reduce(_ + _))
+      .withColumn("pred_class",
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType))
+    val stackExpr = s"stack($K, " +
+      (0 until K).map(c => s"$c, s$c").mkString(", ") + ") AS (cls, sgm_micros)"
+    wide.selectExpr(keys ++ Seq("stot", "pred_class", stackExpr): _*)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("side"), col("cls").cast(IntegerType).as("cls"),
+        col("sgm_micros"),
+        when(col("stot") > 0,
+          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
+          .otherwise(lit(null).cast(LongType)).as("prob_micros"),
+        col("pred_class"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cls")
+  }
+
+  def q136Sql: String =
+    s"""WITH ${Classify.sidedScoreCtes},
+       |psg AS (
+       | SELECT lid, cls, m,
+       |  CAST(ROUND((1.0/(1.0 + EXP(-(CAST(m AS DOUBLE)/1000000.0)))) * 1000000.0)
+       |    AS BIGINT) AS sgm
+       | FROM sscore),
+       |ptt AS (SELECT lid, CAST(SUM(sgm) AS BIGINT) AS stot FROM psg GROUP BY 1),
+       |ppc AS (
+       | SELECT lid, CAST(cls AS INTEGER) AS pred_class FROM (
+       |  SELECT lid, cls,
+       |   ROW_NUMBER() OVER (PARTITION BY lid ORDER BY m DESC, cls ASC) AS rk
+       |  FROM sscore)
+       | WHERE rk = 1)
+       |SELECT s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey, s.side,
+       | CAST(g.cls AS INTEGER) AS cls, g.sgm AS sgm_micros,
+       | CASE WHEN t.stot > 0 THEN (g.sgm * 1000000) // t.stot END AS prob_micros,
+       | p.pred_class
+       |FROM psg g JOIN ptt t USING (lid) JOIN ppc p USING (lid)
+       |JOIN (SELECT DISTINCT lid, l_orderkey, l_linenumber, l_partkey,
+       |       l_suppkey, side FROM sided) s USING (lid)
+       |ORDER BY s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey, cls""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Sided held-out proof (spec-only): the q104 side models evaluated on
   // lines their training never saw.
   // ---------------------------------------------------------------------

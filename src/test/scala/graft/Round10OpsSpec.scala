@@ -154,8 +154,10 @@ class Round10OpsSpec extends GraftSpec {
     try {
       val tunedPlan = Dedup.q109EmbedLsh(spark, sf01)
         .queryExecution.analyzed.toString
-      assert(tunedPlan.contains("band1") && !tunedPlan.contains("band2"),
-        "band count must follow spark.graft.rplsh.bands")
+      // the native signature expression carries the dial as literal
+      // children, so the plan shows the effective (bands, maxBits)
+      assert(tunedPlan.contains(", 2, 16)") && !tunedPlan.contains(", 4, 16)"),
+        s"band count must follow spark.graft.rplsh.bands:\n$tunedPlan")
       // soundness under ANY dial: banding changes which candidates are
       // probed (recall), never a verified pair's value — every tuned
       // pair must carry the same exact cosine the default run computes

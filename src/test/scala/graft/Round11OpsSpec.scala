@@ -183,6 +183,68 @@ class Round11OpsSpec extends GraftSpec {
     assert(spark.conf.getOption("spark.graft.lr.lrDen").isEmpty)
   }
 
+  test("rp_lsh_keys native signature matches an independent fold bit for bit") {
+    import graft.operators.Dedup
+    val s = spark
+    try {
+      // a HIGH dial (the oracle gate only exercises the small derived
+      // bits): every bit of every band must match a driver-side
+      // reimplementation of the published formula on the same floats
+      s.conf.set("spark.graft.rplsh.bandBits", "12")
+      val got = Dedup.q109EmbedLsh(spark, sfDir) // sanity: plan executes
+      got.collect()
+      val rows = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          call_function("rp_lsh_keys", col("embedding"), lit(12),
+            lit(Dedup.RpBands), lit(Dedup.RpMaxBits)).as("keys"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val e = r.getSeq[Float](1)
+        val keys = r.getSeq[Int](2)
+        val want = (0 until Dedup.RpBands).map { b =>
+          (0 until 12).foldLeft(0) { (key, i) =>
+            val seed = (b * Dedup.RpMaxBits + i).toLong * 1000003L
+            var acc = 0.0
+            var d = 1
+            while (d <= e.length) {
+              val lcg = (1103515245L * (seed + d) + 12345L) % 2147483648L
+              acc += e(d - 1).toDouble * (lcg.toDouble / 2147483648.0 - 0.5)
+              d += 1
+            }
+            (key << 1) | (if (acc >= 0.0) 1 else 0)
+          }
+        }
+        assert(keys == want, s"vec ${r.getLong(0)}: $keys vs $want")
+      }
+    } finally s.conf.unset("spark.graft.rplsh.bandBits")
+  }
+
+  test("q136 side-routed probabilities: sums calibrated, argmax = q104 verdict") {
+    val rows = MlEval.q136SideProba(spark, sfDir).collect()
+    val K = Classify.NumClasses
+    assert(rows.length % K == 0 && rows.nonEmpty)
+    val byLine = rows.groupBy(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+    byLine.foreach { case (line, rs) =>
+      assert(rs.length == K, s"$line has ${rs.length} class rows")
+      val probs = rs.sortBy(_.getInt(5)).map(_.getLong(7))
+      val tot = probs.sum
+      assert(tot <= 1000000L && tot > 1000000L - K, s"$line prob sum $tot")
+      val pred = rs.head.getInt(8)
+      assert(probs(pred) == probs.max, s"$line argmax")
+    }
+    // the verdict column IS q104's verdict, line for line
+    val q104 = Classify.q104DualLr(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("pred_class").as("q104_pred"))
+    val mismatch = MlEval.q136SideProba(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "pred_class")
+      .distinct()
+      .join(q104, Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      .filter(col("pred_class") =!= col("q104_pred")).count()
+    assert(mismatch == 0, s"$mismatch lines diverge from q104")
+  }
+
   test("model registry cold-start: a wide accessor as first caller trains cleanly") {
     // regression: the memoized wide pivot trains its long artifact
     // inside its own cache-insert thunk; with computeIfAbsent that
