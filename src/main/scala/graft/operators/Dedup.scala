@@ -686,9 +686,17 @@ object Dedup {
       .join(buckets.as("y"), Seq("band", "key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
-    // exact verification: join the vectors back BY ID (narrow shuffle),
-    // same IEEE expression shape as q44 so the values hash-match
+    // exact verification FIRST, dedup AFTER the gate (r11): the old
+    // distinct-before-verify order hashed the FULL candidate pair
+    // space through its own exchange — at gen2-sf10 that partial
+    // aggregate spilled 20 GB sorting ~20M pairs. Verification is a
+    // cheap codegen'd vec_dot per pair, the multi-band duplicate
+    // factor on random candidates is ~1 (only true near-dups collide
+    // in several bands), and the ≥τ gate leaves survivors measured in
+    // thousands — so deduping survivors costs nothing and the pair
+    // space is never exchanged. Same result set: cos is a pure
+    // function of the pair, so distinct-on-(v1,v2,cos) ≡ the old
+    // distinct-on-pairs.
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
     cand.join(a, Seq("v1")).join(b, Seq("v2"))
@@ -696,6 +704,7 @@ object Dedup {
         round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("v1"), col("v2"), col("cos"))
+      .distinct()
       .orderBy("v1", "v2")
   }
 
