@@ -240,7 +240,11 @@ object LrTrain {
     val xdb = docTokFrom(docs)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
       .localCheckpoint()
-    val labels = docLabelsFrom(docs)
+    // the label frame is joined EVERY iteration — checkpoint it once
+    // (r11: the lazy form re-scanned the documents parquet per
+    // iteration; at 100 TB that is Iters extra corpus scans for a
+    // 2-column frame)
+    val labels = docLabelsFrom(docs).localCheckpoint()
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
@@ -313,7 +317,9 @@ object LrTrain {
     val xdb = docTokFrom(docs)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
       .localCheckpoint()
-    val labels = docLabelsFrom(docs)
+    // checkpointed for the same per-iteration reason as the plain path
+    // — doubly so here, because the class-count frame derives from it
+    val labels = docLabelsFrom(docs).localCheckpoint()
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val ncAggs = (0 until Classes).map(c =>
       sum(when(col("y_cls") === c, 1L).otherwise(0L)).as(s"nc$c"))
