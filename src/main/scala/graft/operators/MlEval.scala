@@ -89,8 +89,11 @@ object MlEval {
     // plan (no exchange reuse across the branches — audited), so the
     // corpus would be scanned and scored twice. The window runs on K
     // rows in one partition — constant-size by construction.
+    // a constant partition key (not an empty spec) — same one-group
+    // semantics over K rows without WindowExec's single-partition
+    // warning on every execution
     val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
     val predTotal = (0 until K).map(c =>
       when(col("actual_cls") === c, sum(col(s"p$c")).over(wAll)).otherwise(0L))
       .reduce(_ + _)
