@@ -18,13 +18,17 @@ object Bench {
     // Entries are comma-separated k=v pairs; values must not contain
     // commas. A malformed entry aborts the run LOUDLY — a silently
     // dropped conf would make a tuned soak masquerade as defaults.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
-        case _ => sys.error(s"[bench] malformed SPARK_GRAFT_CONF entry: '$kv'" +
-          " (expected key=value; values must not contain commas)")
-      }
-    })
+    // empty/whitespace entries are tolerated (SPARK_GRAFT_CONF="" is a
+    // common wrapper-script default); a NON-empty malformed entry still
+    // aborts loudly so a tuned soak can't silently run at defaults
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+          case _ => sys.error(s"[bench] malformed SPARK_GRAFT_CONF entry: '$kv'" +
+            " (expected key=value; values must not contain commas)")
+        }
+      })
     // warm the JVM/codegen/file-index paths so the first timed query
     // doesn't absorb session startup (untimed; tolerate missing tables)
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")

@@ -649,6 +649,8 @@ object Dedup {
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
     val (nBands, fixedBits) = rpConf(s)
+    require(nBands >= 1 && nBands <= 64,
+      s"spark.graft.rplsh.bands=$nBands outside [1, 64]")
     fixedBits.foreach(b => require(b >= 1 && b <= RpMaxBits,
       s"spark.graft.rplsh.bandBits=$b outside [1, $RpMaxBits]"))
     // the dial column: a conf literal, or the corpus-derived scalar

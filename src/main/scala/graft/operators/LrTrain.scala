@@ -66,9 +66,17 @@ object LrTrain {
     * keeps SQL generation and plan construction in lockstep inside
     * one session; with no session the defaults apply.
     */
-  private def confInt(key: String, dflt: Int): Int =
-    SparkSession.getActiveSession
-      .flatMap(_.conf.getOption(key)).map(_.toInt).getOrElse(dflt)
+  private def confInt(key: String, dflt: Int): Int = {
+    // active session first, then the global default session so a
+    // thread-pool thread (no thread-local active session) still sees
+    // the dial instead of silently training at defaults
+    val s = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    s.flatMap(_.conf.getOption(key)).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"$key must be an integer, got '$v'") }
+    }.getOrElse(dflt)
+  }
 
   def Iters: Int  = confInt("spark.graft.lr.iters", 3)
   def LrDen: Long = confInt("spark.graft.lr.lrDen", 16).toLong
@@ -76,16 +84,15 @@ object LrTrain {
   import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
   /** Truncating integer division for b > 0, matching DuckDB's `//`
-    * (verified: -7 // 2 = -3, toward zero — NOT floor). Exact: |a| −
-    * pmod(|a|,b) is a multiple of b, both < 2^53, and an IEEE division
-    * of exact doubles with an integral quotient is exact; the sign is
-    * reapplied outside so negative gradients truncate identically.
+    * (verified: -7 // 2 = -3, toward zero — NOT floor). Implemented as
+    * Spark's integral `div` (Java long division — truncates toward
+    * zero, exact over the FULL long range; the earlier double-based
+    * form required both operands < 2^53, a precondition the balanced
+    * residual rescale r·n_total would cross near 10^10 docs). Null on
+    * b = 0, like the `when`-guarded callers expect.
     */
-  private[graft] def truncDivPos(a: Column, b: Column): Column = {
-    def fd(x: Column): Column =
-      ((x - pmod(x, b)).cast(DoubleType) / b.cast(DoubleType)).cast(LongType)
-    when(a >= 0, fd(a)).otherwise(-fd(-a))
-  }
+  private[graft] def truncDivPos(a: Column, b: Column): Column =
+    call_function("div", a, b)
 
   /** round((σ(m) − y)·1e6) as an exact long: the quantized residual. */
   private def residMicros(mMicros: Column, y: Column): Column = {
@@ -365,7 +372,7 @@ object LrTrain {
        | FROM bw${t - 1} w JOIN bg$t g USING (cls, bucket))""".stripMargin
 
   def q135Sql: String =
-    s"""WITH $docTrainCtes,
+    s"""WITH ${docBaseCtesFor("SELECT * FROM documents")},
        |ntot AS (SELECT COUNT(*) AS n_total FROM lab),
        |ncls AS (
        | SELECT c.cls, COALESCE(x.c, 0) AS c
@@ -534,11 +541,13 @@ object LrTrain {
        | SELECT w.cls, w.bucket, w.w - (g.g // ((SELECT n FROM nn) * $LrDen)) AS w
        | FROM w${t - 1} w JOIN g$t g USING (cls, bucket))""".stripMargin
 
-  /** The training CTE block over an arbitrary documents-slice subquery
-    * — `docTrainCtes` trains on the whole table (q28/q129/q134);
-    * q133 passes the 80% trainFilter slice.
+  /** Feature/label/init CTEs over an arbitrary documents-slice
+    * subquery — everything up to the zero matrix w0, shared by the
+    * plain chain (which appends its unrolled iterations) and the
+    * balanced chain (q135 — which unrolls its OWN iterations and must
+    * not drag Iters dead plain-iteration CTEs along).
     */
-  private[graft] def docTrainCtesFor(src: String): String =
+  private def docBaseCtesFor(src: String): String =
     s"""trn AS ($src),
        |tok AS (
        | SELECT doc_id, (${md5LongSql("token")} % $Buckets) AS bucket
@@ -550,7 +559,14 @@ object LrTrain {
        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
        |w0 AS (
        | SELECT cls, bucket, CAST(0 AS BIGINT) AS w
-       | FROM classes CROSS JOIN (SELECT DISTINCT bucket FROM tok)),
+       | FROM classes CROSS JOIN (SELECT DISTINCT bucket FROM tok))""".stripMargin
+
+  /** The full plain-GD training CTE block — `docTrainCtes` trains on
+    * the whole table (q28/q129/q134); q133 passes the 80% trainFilter
+    * slice.
+    */
+  private[graft] def docTrainCtesFor(src: String): String =
+    s"""${docBaseCtesFor(src)},
        |${(1 to Iters).map(docIterCte).mkString(",\n")}""".stripMargin
 
   private[graft] def docTrainCtes: String =

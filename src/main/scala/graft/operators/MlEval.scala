@@ -187,17 +187,29 @@ object MlEval {
     * aggregate keyed by doc; the per-class axis stays packed in
     * columns until the final stack, which emits exactly K rows per doc.
     */
+  /** σ(margin-micros) rounded once to integer micros — the residMicros
+    * float-exposure class (one IEEE sigmoid on an exact quantized
+    * input, one round). The SINGLE definition behind q134, q136, and
+    * (in its array form) ClassifyStream.scoreProba — the three paths
+    * are spec-pinned bit-identical, so the scalar pipeline lives here
+    * once.
+    */
+  private[graft] def sigmoidMicros(m: Column): Column = round(
+    (lit(1.0) / (lit(1.0) + exp(-(m.cast(DoubleType) / lit(1000000.0)))))
+      * lit(1000000.0)).cast(LongType)
+
+  /** prob = trunc(sgm·1e6 / stot), NULL when the quantized mass is 0. */
+  private[graft] def probMicros(sgm: Column, stot: Column): Column =
+    when(stot > 0, LrTrain.truncDivPos(sgm * lit(1000000L), stot))
+      .otherwise(lit(null).cast(LongType))
+
   def q134PredictProba(s: SparkSession, dir: String): DataFrame = {
     val w = LrTrain.docWeightsWide(s, dir)
     val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
     val m = LrTrain.docTok(s, dir)
       .join(broadcast(w), Seq("bucket"))
       .groupBy("doc_id").agg(mAggs.head, mAggs.tail: _*)
-    // σ(m) rounded to micros — the residMicros float-exposure class
-    // (one IEEE sigmoid on an exact quantized input, one round)
-    def sgm(c: Int): Column = round(
-      (lit(1.0) / (lit(1.0) + exp(-(col(s"m$c").cast(DoubleType) / lit(1000000.0)))))
-        * lit(1000000.0)).cast(LongType)
+    def sgm(c: Int): Column = sigmoidMicros(col(s"m$c"))
     val wide = m
       .select((col("doc_id") +: (0 until K).map(c => col(s"m$c"))) ++
         (0 until K).map(c => sgm(c).as(s"s$c")): _*)
@@ -209,9 +221,7 @@ object MlEval {
     wide.selectExpr(Seq("doc_id", "stot", "pred_class", stackExpr): _*)
       .select(col("doc_id"), col("cls").cast(IntegerType).as("cls"),
         col("sgm_micros"),
-        when(col("stot") > 0,
-          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
-          .otherwise(lit(null).cast(LongType)).as("prob_micros"),
+        probMicros(col("sgm_micros"), col("stot")).as("prob_micros"),
         col("pred_class"))
       .orderBy("doc_id", "cls")
   }
@@ -235,9 +245,7 @@ object MlEval {
     val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
     val m = tok.join(broadcast(w), Seq("w_side", "bucket"))
       .groupBy(keys.map(col): _*).agg(mAggs.head, mAggs.tail: _*)
-    def sgm(c: Int): Column = round(
-      (lit(1.0) / (lit(1.0) + exp(-(col(s"m$c").cast(DoubleType) / lit(1000000.0)))))
-        * lit(1000000.0)).cast(LongType)
+    def sgm(c: Int): Column = sigmoidMicros(col(s"m$c"))
     val wide = m
       .select((keys.map(col) ++ (0 until K).map(c => col(s"m$c"))) ++
         (0 until K).map(c => sgm(c).as(s"s$c")): _*)
@@ -250,9 +258,7 @@ object MlEval {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("side"), col("cls").cast(IntegerType).as("cls"),
         col("sgm_micros"),
-        when(col("stot") > 0,
-          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
-          .otherwise(lit(null).cast(LongType)).as("prob_micros"),
+        probMicros(col("sgm_micros"), col("stot")).as("prob_micros"),
         col("pred_class"))
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cls")
   }

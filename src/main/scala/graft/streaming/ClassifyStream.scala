@@ -78,9 +78,11 @@ object ClassifyStream {
     * every-row rule score() already documents.
     */
   def scoreProba(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val sg = transform(col("margins"), m =>
-      round((lit(1.0) / (lit(1.0) + exp(-(m.cast("double") / lit(1000000.0)))))
-        * lit(1000000.0)).cast("long"))
+    // the ARRAY form of MlEval.sigmoidMicros/probMicros (the lambda
+    // maps the shared scalar pipeline over the margin array) — the
+    // bit-equality spec pins this against batch q134 exactly
+    val sg = transform(col("margins"),
+      m => graft.operators.MlEval.sigmoidMicros(m))
     docs
       .withColumn("margins", marginCol(s, dir))
       .withColumn("b", bestOfMargins)
@@ -91,9 +93,8 @@ object ClassifyStream {
         posexplode(col("sg")).as(Seq("pos", "sgm_micros")))
       .select(col("ts"), col("doc_id"), col("pos").cast("int").as("cls"),
         col("sgm_micros"),
-        when(col("stot") > 0,
-          LrTrain.truncDivPos(col("sgm_micros") * lit(1000000L), col("stot")))
-          .otherwise(lit(null).cast("long")).as("prob_micros"),
+        graft.operators.MlEval.probMicros(col("sgm_micros"), col("stot"))
+          .as("prob_micros"),
         col("pred_class"))
   }
 }

@@ -105,6 +105,12 @@ class Round11OpsSpec extends GraftSpec {
       assert(LrTrain.docWeightPath(spark, sfDir).length == 3) // w0..w2
     } finally spark.conf.unset("spark.graft.lr.iters")
     assert(LrTrain.Iters == 3 && LrTrain.LrDen == 16L, "defaults restored")
+    // the exact-division primitive truncates toward zero like DuckDB's
+    // `//` (-7 div 2 = -3, NOT floor's -4) — every quantized update in
+    // the LR family leans on this
+    val d = spark.range(1).select(
+      graft.operators.LrTrain.truncDivPos(lit(-7L), lit(2L))).head.getLong(0)
+    assert(d == -3L, s"div semantics drifted: -7 div 2 = $d")
   }
 
   test("q109 dial auto-sizes in-lineage to the r10 held-occupancy table") {
@@ -153,7 +159,10 @@ class Round11OpsSpec extends GraftSpec {
     // a production fit dials spark.graft.lr.iters exactly like this.
     try {
       spark.conf.set("spark.graft.lr.iters", "12")
-      val balanced = accuracyOf(LrTrain.trainedDocWeightsBalanced(spark, sfDir))
+      // through the REGISTRY accessor: exercises the dial-keyed cache
+      // (a 12-iteration session must train fresh, not reuse the
+      // default fit) alongside the accuracy claim
+      val balanced = accuracyOf(LrTrain.docWeightsBalanced(spark, sfDir))
       val plain = accuracyOf(LrTrain.trainedDocWeights(spark, sfDir))
       assert(plain <= prior + 0.01, s"plain $plain vs prior $prior")
       assert(balanced > prior + 0.05,
