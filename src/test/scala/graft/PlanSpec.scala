@@ -261,6 +261,9 @@ class PlanSpec extends GraftSpec {
     val before = graft.plans.BroadcastGuard.stripped.get()
     LrTrain.q129LrTrain(spark, sfDir).count()
     graft.operators.LrTrain.trainedSideWeights(spark, sfDir).count()
+    // r11: the balanced loop adds a class-count broadcast per
+    // iteration — same demotion class, same zero-tolerance
+    LrTrain.q135LrBalanced(spark, sfDir).count()
     val after = graft.plans.BroadcastGuard.stripped.get()
     assert(after == before,
       s"BroadcastGuard demoted ${after - before} broadcast(s) during LR training")
