@@ -62,24 +62,32 @@ object LrTrain {
     * Both the Spark plans AND the DuckDB twin SQL are generated
     * through these accessors, so a tuned session stays oracle-aligned
     * — the twin unrolls exactly the configured iteration count (the
-    * driver gate always runs defaults). Reading the ACTIVE session
-    * keeps SQL generation and plan construction in lockstep inside
-    * one session; with no session the defaults apply.
+    * driver gate always runs defaults).
+    *
+    * Every PLAN-building and cache-keying path resolves the dial from
+    * the EXPLICIT session it was handed (r11 ADVICE: the ambient
+    * active-or-default session can be a different session in a
+    * multi-session JVM, silently training under another session's
+    * hyperparameters). The no-arg forms exist ONLY for the SQL-twin
+    * boundary — `SparkEntry.oracleSql` has no session parameter — and
+    * resolve the ambient session there, where the caller genuinely has
+    * no handle.
     */
-  private def confInt(key: String, dflt: Int): Int = {
-    // active session first, then the global default session so a
-    // thread-pool thread (no thread-local active session) still sees
-    // the dial instead of silently training at defaults
-    val s = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    s.flatMap(_.conf.getOption(key)).map { v =>
+  private def confInt(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map { v =>
       try v.trim.toInt
       catch { case _: NumberFormatException =>
         sys.error(s"$key must be an integer, got '$v'") }
     }.getOrElse(dflt)
-  }
 
-  def Iters: Int  = confInt("spark.graft.lr.iters", 3)
-  def LrDen: Long = confInt("spark.graft.lr.lrDen", 16).toLong
+  def Iters(s: SparkSession): Int  = confInt(s, "spark.graft.lr.iters", 3)
+  def LrDen(s: SparkSession): Long = confInt(s, "spark.graft.lr.lrDen", 16).toLong
+
+  /** Ambient resolution — the oracleSql boundary only (see above). */
+  private def ambient: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+  def Iters: Int  = ambient.map(Iters(_)).getOrElse(3)
+  def LrDen: Long = ambient.map(LrDen(_)).getOrElse(16L)
 
   import graft.functions.TextFunctions.{md5Long, md5LongSql}
 
@@ -200,7 +208,8 @@ object LrTrain {
     * relation; returns the same wide shape.
     */
   private def gdStep(xdb: DataFrame, labels: DataFrame, nDf: DataFrame,
-      w: DataFrame, docKey: Seq[String], modelKey: Seq[String]): DataFrame = {
+      w: DataFrame, docKey: Seq[String], modelKey: Seq[String],
+      lrDen: Long): DataFrame = {
     val mAggs = (0 until Classes).map(c => sum(col("x") * col(s"w$c")).as(s"m$c"))
     val m = xdb.join(broadcast(w), modelKey :+ "bucket")
       .groupBy((docKey ++ modelKey).map(col): _*)
@@ -217,7 +226,7 @@ object LrTrain {
              else g.join(broadcast(nDf), modelKey)
     asLocal(w.join(gn, modelKey :+ "bucket")
       .select((modelKey :+ "bucket").map(col) ++ (0 until Classes).map(c =>
-        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(LrDen))).as(s"w$c")): _*))
+        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(lrDen))).as(s"w$c")): _*))
     // asLocal also truncates lineage: the plan stays linear in Iters
   }
 
@@ -255,8 +264,10 @@ object LrTrain {
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
-    Iterator.iterate(w0)(w => gdStep(xdb, labels, nDf, w, Seq("doc_id"), Seq.empty))
-      .take(Iters + 1).toSeq.map(toLong(_, Seq.empty))
+    val sess = docs.sparkSession
+    Iterator.iterate(w0)(w =>
+        gdStep(xdb, labels, nDf, w, Seq("doc_id"), Seq.empty, LrDen(sess)))
+      .take(Iters(sess) + 1).toSeq.map(toLong(_, Seq.empty))
   }
 
   private[graft] def docWeightPath(s: SparkSession, dir: String): Seq[DataFrame] =
@@ -294,7 +305,7 @@ object LrTrain {
   // like the plain one.
 
   private def gdStepBalanced(xdb: DataFrame, labels: DataFrame, nDf: DataFrame,
-      ncDf: DataFrame, w: DataFrame): DataFrame = {
+      ncDf: DataFrame, w: DataFrame, lrDen: Long): DataFrame = {
     val mAggs = (0 until Classes).map(c => sum(col("x") * col(s"w$c")).as(s"m$c"))
     val m = xdb.join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id")).agg(mAggs.head, mAggs.tail: _*)
@@ -316,11 +327,15 @@ object LrTrain {
     val gn = g.crossJoin(broadcast(nDf))
     asLocal(w.join(gn, Seq("bucket"))
       .select(col("bucket") +: (0 until Classes).map(c =>
-        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(LrDen))).as(s"w$c")): _*))
+        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(lrDen))).as(s"w$c")): _*))
   }
 
-  private[graft] def trainedDocWeightsBalanced(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Balanced GD over an arbitrary documents slice — q135 trains on the
+    * whole table; q137's held-out evaluation passes the 80% trainFilter
+    * slice (the same slice-parameterization discipline as
+    * docWeightPathFrom).
+    */
+  private[graft] def trainedDocWeightsBalancedFrom(docs: DataFrame): DataFrame = {
     val xdb = docTokFrom(docs)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
       .localCheckpoint()
@@ -333,11 +348,20 @@ object LrTrain {
     val ncDf = labels.agg(count(lit(1)).as("n_total"), ncAggs: _*)
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    val sess = docs.sparkSession
     toLong(
-      Iterator.iterate(w0)(w => gdStepBalanced(xdb, labels, nDf, ncDf, w))
-        .drop(Iters).next(),
+      Iterator.iterate(w0)(w =>
+          gdStepBalanced(xdb, labels, nDf, ncDf, w, LrDen(sess)))
+        .drop(Iters(sess)).next(),
       Seq.empty)
   }
+
+  private[graft] def trainedDocWeightsBalanced(s: SparkSession, dir: String): DataFrame =
+    trainedDocWeightsBalancedFrom(Tables.documents(s, dir))
+
+  /** The 80%-slice balanced model for q137's held-out evaluation. */
+  private[graft] def trainedDocWeightsBalanced80(s: SparkSession, dir: String): DataFrame =
+    trainedDocWeightsBalancedFrom(Tables.documents(s, dir).filter(trainFilter))
 
   /** The balanced documents model as a registry artifact. */
   def docWeightsBalanced(s: SparkSession, dir: String): DataFrame =
@@ -403,6 +427,100 @@ object LrTrain {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
 
+  // --- persisted registry (round 12: the joblib parity) -----------------
+  // When `spark.graft.model.registry.dir` is set, every fitted matrix is
+  // ALSO written once as a parquet artifact (with a sidecar carrying the
+  // exact cache key and schema JSON), and a cold JVM LOADS the artifact
+  // instead of retraining — the reference's train-once/persist/consume
+  // architecture (mlClassification.ipynb fits; run_build_database.py:43
+  // loads `asset_log_reg_mdl_v2.joblib` and consumes it at :301-327).
+  // Unset ⇒ the registry stays process-local as before (the driver gate
+  // runs unset, so its oracle compare always exercises the full
+  // train-path). Design points:
+  //  - the artifact key IS the cache key (corpus dir + freshness token +
+  //    dial + an algorithm-version tag), so a rewritten corpus, a
+  //    re-dialed session, or a changed training algorithm falls through
+  //    to retrain instead of serving a stale fit;
+  //  - writes go to a temp dir then an ATOMIC rename — a crashed writer
+  //    leaves no half-artifact, and a concurrent winner is accepted
+  //    (fits are pure functions of the key, so either copy is
+  //    bit-identical);
+  //  - any load failure (missing, torn, foreign key) falls back to
+  //    retrain-and-rewrite — persistence is an optimization and can
+  //    never fail or corrupt a query;
+  //  - the sidecar stores the EXACT schema (parquet round-trips widen
+  //    nullability), so a loaded matrix is indistinguishable from a
+  //    fresh fit down to the StructType.
+
+  /** Bump when the training math changes semantics: it namespaces the
+    * persisted artifacts so an old registry dir can never serve a fit
+    * the current code would not reproduce bit-for-bit.
+    */
+  private val AlgoVersion = "lrv1"
+
+  /** Cumulative count of actual training-thunk executions — the
+    * cold-load spec pins this at zero for an artifact-served session
+    * ("zero training stages" made falsifiable).
+    */
+  private[graft] val trainCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def registryRoot(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.model.registry.dir").map(_.trim).filter(_.nonEmpty)
+
+  private def keyHash(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def loadArtifact(s: SparkSession, root: String, name: String,
+      key: String): Option[(StructType, Array[org.apache.spark.sql.Row])] =
+    try {
+      val dir = java.nio.file.Paths.get(root, s"$name-${keyHash(key)}")
+      val keyFile = dir.resolve("MODEL_KEY")
+      if (!java.nio.file.Files.exists(keyFile)) None
+      else if (new String(java.nio.file.Files.readAllBytes(keyFile),
+          java.nio.charset.StandardCharsets.UTF_8) != key) None
+      else {
+        val schema = DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(dir.resolve("SCHEMA")),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        val rows = s.read.schema(schema)
+          .parquet(dir.resolve("data").toString).collect()
+        Some((schema, rows))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def saveArtifact(s: SparkSession, root: String, name: String,
+      key: String, schema: StructType,
+      rows: Array[org.apache.spark.sql.Row]): Unit =
+    try {
+      val dir = java.nio.file.Paths.get(root, s"$name-${keyHash(key)}")
+      if (!java.nio.file.Files.exists(dir)) {
+        val tmp = java.nio.file.Paths.get(root,
+          s".tmp-$name-${keyHash(key)}-${java.util.UUID.randomUUID}")
+        java.nio.file.Files.createDirectories(tmp)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(tmp.resolve("data").toString)
+        java.nio.file.Files.write(tmp.resolve("SCHEMA"),
+          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // MODEL_KEY last: a load only trusts a dir whose key file exists
+        java.nio.file.Files.write(tmp.resolve("MODEL_KEY"),
+          key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => deleteRec(tmp) }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Test hook: drop every cached fit so a spec can drive the
     * cold-start path (e.g. a wide accessor as the registry's very
     * first caller — the shape that exposed the nested-insert bug).
@@ -413,7 +531,8 @@ object LrTrain {
       name: String)(train: => DataFrame): DataFrame = {
     // hyperparameters are part of the model identity: a session that
     // re-dials iters/lrDen must retrain, not reuse another dial's fit
-    val key = s"$name|$dir|it=$Iters|den=$LrDen|" +
+    // (resolved from the EXPLICIT session — r11 ADVICE)
+    val key = s"$AlgoVersion|$name|$dir|it=${Iters(s)}|den=${LrDen(s)}|" +
       graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
     // get + putIfAbsent, NOT computeIfAbsent: the wide-pivot entries
     // train their long artifact inside the thunk, i.e. a nested cache
@@ -424,8 +543,14 @@ object LrTrain {
     // function of (corpus, dial), so either result is identical.
     val cached = modelCache.get(key)
     val (schema, rows) = if (cached != null) cached else {
-      val df = train
-      val v = (df.schema, df.collect())
+      val root = registryRoot(s)
+      val v = root.flatMap(loadArtifact(s, _, name, key)).getOrElse {
+        trainCount.incrementAndGet()
+        val df = train
+        val r = (df.schema, df.collect())
+        root.foreach(saveArtifact(s, _, name, key, r._1, r._2))
+        r
+      }
       modelCache.putIfAbsent(key, v)
       v
     }
@@ -474,14 +599,20 @@ object LrTrain {
     val bIdx = sch.fieldIndex("bucket")
     val clsIdx = sch.fieldIndex("cls")
     val wIdx = sch.fieldIndex("w_micros")
+    // model keys go through String.valueOf, not getString: the current
+    // keys are strings ("side"), but a future typed key (e.g. an int
+    // route) must group/sort the same way instead of throwing a
+    // ClassCastException at runtime (r11 ADVICE)
     val rows = w.collect()
-      .groupBy(r => keyIdx.map(r.getString).toList :+ r.getLong(bIdx).toString)
+      .groupBy(r => keyIdx.map(i => String.valueOf(r.get(i))).toList :+
+        r.getLong(bIdx).toString)
       .toSeq
-      // deterministic artifact row order on the TYPED key tuple (string
+      // deterministic artifact row order on the key tuple (stringified
       // model keys, then bucket numerically) — Row.toString ordering was
       // format-dependent (r10 ADVICE)
       .sortBy { case (_, rs) =>
-        (keyIdx.map(rs.head.getString).mkString("|"), rs.head.getLong(bIdx))
+        (keyIdx.map(i => String.valueOf(rs.head.get(i))).mkString("|"),
+          rs.head.getLong(bIdx))
       }
       .map { case (_, rs) =>
         val ws = Array.fill(Classes)(0L)
@@ -659,8 +790,9 @@ object LrTrain {
       .select(Seq(col("side"), col("bucket")) ++
         (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
     toLong(
-      Iterator.iterate(w0)(w => gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("side")))
-        .drop(Iters).next(),
+      Iterator.iterate(w0)(w =>
+          gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("side"), LrDen(s)))
+        .drop(Iters(s)).next(),
       Seq("side"))
   }
 

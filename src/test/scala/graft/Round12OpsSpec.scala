@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classify, LrTrain, MlEval}
+
+class Round12OpsSpec extends GraftSpec {
+
+  private def withRegistry[T](f: String => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model-registry").toString
+    try {
+      spark.conf.set("spark.graft.model.registry.dir", tmp)
+      f(tmp)
+    } finally {
+      spark.conf.unset("spark.graft.model.registry.dir")
+      LrTrain.clearModelCache() // leave no registry-era entries behind
+    }
+  }
+
+  test("persisted model registry: a cold session scores with ZERO training executions, bit-identical") {
+    withRegistry { root =>
+      // --- warm session: train every model once, persisting artifacts
+      LrTrain.clearModelCache() // force the thunks to run under the conf
+      val scored = Seq(
+        "q28" -> (() => Classify.q28ClassifyLr(spark, sfDir)),
+        "q104" -> (() => Classify.q104DualLr(spark, sfDir)),
+        "q133" -> (() => MlEval.q133HoldoutEval(spark, sfDir)),
+        "q134" -> (() => MlEval.q134PredictProba(spark, sfDir)),
+        "q136" -> (() => MlEval.q136SideProba(spark, sfDir)))
+      val warm = scored.map { case (n, q) => n -> q().collect().toSeq }.toMap
+      val persisted = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .count()
+      assert(persisted > 0, "no artifacts persisted")
+
+      // --- cold JVM simulation: empty in-memory cache, artifacts only
+      LrTrain.clearModelCache()
+      val t0 = LrTrain.trainCount.get()
+      val cold = scored.map { case (n, q) => n -> q().collect().toSeq }.toMap
+      val trained = LrTrain.trainCount.get() - t0
+      assert(trained == 0,
+        s"cold session ran $trained training executions instead of loading artifacts")
+      scored.foreach { case (n, _) =>
+        assert(cold(n) == warm(n), s"$n output diverged after artifact load")
+      }
+
+      // --- plan lock: artifact-served scoring is the same LocalTableScan
+      // broadcast shape as the in-memory registry (no GD stages)
+      LrTrain.clearModelCache()
+      val p28 = Classify.q28ClassifyLr(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p28.contains("LocalTableScan"), s"weights not a local artifact:\n$p28")
+      assert(!p28.contains("Checkpoint"), s"training stages in scoring plan:\n$p28")
+      assert(LrTrain.trainCount.get() - t0 == 0, "plan construction retrained")
+
+      // --- a re-dialed session must NOT be served the default-dial
+      // artifact: the dial is part of the artifact key
+      try {
+        spark.conf.set("spark.graft.lr.iters", "2")
+        LrTrain.clearModelCache()
+        val t1 = LrTrain.trainCount.get()
+        LrTrain.docWeights(spark, sfDir).count()
+        assert(LrTrain.trainCount.get() > t1,
+          "re-dialed session served another dial's persisted fit")
+      } finally spark.conf.unset("spark.graft.lr.iters")
+    }
+  }
+
+  test("persisted model registry: corpus rewrite invalidates the artifact (freshness in the key)") {
+    withRegistry { root =>
+      // copy the documents corpus into a private dir we can touch
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-reg-corpus")
+      try {
+        Tables.documents(spark, sfDir).write
+          .parquet(dataDir.resolve("documents.parquet").toString)
+        LrTrain.clearModelCache()
+        LrTrain.docWeights(spark, dataDir.toString).count() // train + persist
+        LrTrain.clearModelCache()
+        val t0 = LrTrain.trainCount.get()
+        LrTrain.docWeights(spark, dataDir.toString).count() // artifact hit
+        assert(LrTrain.trainCount.get() == t0, "fresh corpus did not load")
+        // rewrite the corpus: same rows, new files => new freshness token
+        Tables.documents(spark, sfDir).write.mode("overwrite")
+          .parquet(dataDir.resolve("documents.parquet").toString)
+        LrTrain.clearModelCache()
+        LrTrain.docWeights(spark, dataDir.toString).count()
+        assert(LrTrain.trainCount.get() > t0,
+          "rewritten corpus served the stale persisted fit")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dataDir.toFile)
+      }
+    }
+  }
+
+  test("persisted model registry: an unusable registry path degrades to in-memory, never fails a query") {
+    val file = java.nio.file.Files.createTempFile("graft-not-a-dir", ".txt")
+    try {
+      spark.conf.set("spark.graft.model.registry.dir", file.toString)
+      LrTrain.clearModelCache()
+      // save and load both fail silently; the query must still answer
+      val n = Classify.q28ClassifyLr(spark, sfDir).count()
+      assert(n > 0)
+    } finally {
+      spark.conf.unset("spark.graft.model.registry.dir")
+      LrTrain.clearModelCache()
+      java.nio.file.Files.deleteIfExists(file)
+    }
+  }
+}
