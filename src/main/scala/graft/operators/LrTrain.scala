@@ -395,15 +395,22 @@ object LrTrain {
        | SELECT w.cls, w.bucket, w.w - (g.g // ((SELECT n FROM nn) * $LrDen)) AS w
        | FROM bw${t - 1} w JOIN bg$t g USING (cls, bucket))""".stripMargin
 
-  def q135Sql: String =
-    s"""WITH ${docBaseCtesFor("SELECT * FROM documents")},
+  /** The full BALANCED training CTE block over an arbitrary documents
+    * slice — q135 passes the whole table, q137's held-out twin the 80%
+    * trainFilter slice. Ends at bw{Iters}.
+    */
+  private[graft] def docBalTrainCtesFor(src: String): String =
+    s"""${docBaseCtesFor(src)},
        |ntot AS (SELECT COUNT(*) AS n_total FROM lab),
        |ncls AS (
        | SELECT c.cls, COALESCE(x.c, 0) AS c
        | FROM classes c LEFT JOIN (
        |  SELECT y_cls AS cls, COUNT(*) AS c FROM lab GROUP BY 1) x USING (cls)),
        |bw0 AS (SELECT cls, bucket, w FROM w0),
-       |${(1 to Iters).map(docBalIterCte).mkString(",\n")}
+       |${(1 to Iters).map(docBalIterCte).mkString(",\n")}""".stripMargin
+
+  def q135Sql: String =
+    s"""WITH ${docBalTrainCtesFor("SELECT * FROM documents")}
        |SELECT cls, bucket, CAST(w AS BIGINT) AS w_micros,
        | ROUND(CAST(w AS DOUBLE)/1000000.0, 6) AS w
        |FROM bw$Iters ORDER BY cls, bucket""".stripMargin
@@ -572,6 +579,15 @@ object LrTrain {
   def docWeights80Wide(s: SparkSession, dir: String): DataFrame =
     cachedModel(s, dir, "documents", "doc_lr80_wide")(
       pivotWide(s, docWeights80(s, dir), Seq.empty))
+
+  /** The 80%-slice BALANCED model (q137's held-out evaluation). */
+  def docWeightsBalanced80(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_lr_bal80")(
+      trainedDocWeightsBalanced80(s, dir))
+
+  def docWeightsBalanced80Wide(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_lr_bal80_wide")(
+      pivotWide(s, docWeightsBalanced80(s, dir), Seq.empty))
 
   /** The cached artifacts pivoted to the wide (modelKey*, bucket, w0..)
     * form — the shape scoring wants: margins become sums of the packed

@@ -41,9 +41,15 @@ object MlEval {
     * aggregate keyed by doc — so it is linear in the corpus with a
     * single keyed shuffle; everything after `cells` operates on ≤ K²
     * rows (tiny literal grids and broadcast margins, the q99
-    * discipline). A doc whose tokens were ALL unseen in training drops
-    * out of the inner scoring join (q28's documented semantics); the
-    * oracle twin drops it identically.
+    * discipline). A doc whose tokens were ALL unseen in training gets
+    * the ZERO-feature-vector verdict — every head's margin is exactly
+    * 0, so the argmax tie-breaks to class 0 (r11 ADVICE: the previous
+    * inner-join form dropped such docs entirely, so support/recall
+    * diverged from sklearn's classification_report, which counts every
+    * held-out doc; this left-join form keeps support = all eval docs
+    * and scores the dropped docs exactly as the linear model does on a
+    * zero vector). One extra doc-keyed left join, co-partitioned with
+    * the scoring aggregate it joins.
     *
     * Metric quantization: precision = tp·1e6 ∕ (tp+fp), recall =
     * tp·1e6 ∕ (tp+fn), F1 = 2·tp·1e6 ∕ (2·tp+fp+fn) — all truncating
@@ -52,23 +58,44 @@ object MlEval {
     * classes never predicted / never present give NULL, as
     * classification_report's zero-division branch does.
     */
-  def q133HoldoutEval(s: SparkSession, dir: String): DataFrame = {
-    val w = LrTrain.docWeights80Wide(s, dir)
-    val ev = Tables.documents(s, dir).filter(!LrTrain.trainFilter)
-      .select(col("doc_id"), LrTrain.labelIdx(col("text")).cast(IntegerType).as("actual_cls"),
-        col("text"))
+  def q133HoldoutEval(s: SparkSession, dir: String): DataFrame =
+    holdoutEvalWith(s, LrTrain.docWeights80Wide(s, dir),
+      Tables.documents(s, dir).filter(!LrTrain.trainFilter))
+
+  /** q137: the same held-out evaluation over the 80%-slice
+    * CLASS-BALANCED fit — q135's accuracy gain proven out-of-sample
+    * (the r11 verdict's remaining evaluation gap: q133 evaluates the
+    * plain model, so the balanced model's generalization was only
+    * in-sample).
+    */
+  def q137HoldoutBalanced(s: SparkSession, dir: String): DataFrame =
+    holdoutEvalWith(s, LrTrain.docWeightsBalanced80Wide(s, dir),
+      Tables.documents(s, dir).filter(!LrTrain.trainFilter))
+
+  /** The shared evaluation body: score `ev` with the wide matrix `w`,
+    * emit the complete K×K confusion matrix + per-class report.
+    */
+  private def holdoutEvalWith(s: SparkSession, w: DataFrame,
+      ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("doc_id"),
+      LrTrain.labelIdx(col("text")).cast(IntegerType).as("actual_cls"),
+      col("text"))
     val tok = ev
-      .select(col("doc_id"), col("actual_cls"),
-        explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .select(col("doc_id"), col("actual_cls"),
+      .select(col("doc_id"),
         pmod(md5Long(col("token")), lit(LrTrain.Buckets)).as("bucket"))
     val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
-    val pred = tok.join(broadcast(w), Seq("bucket"))
-      .groupBy("doc_id", "actual_cls")
+    val scoredPred = tok.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id")
       .agg(mAggs.head, mAggs.tail: _*)
-      .select(col("actual_cls"),
-        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("pred_cls"))
+      .select(col("doc_id"),
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("scored_cls"))
+    // every eval doc gets a verdict: unscored docs carry the exact
+    // zero-margin argmax (class 0) instead of dropping out
+    val pred = ev.select("doc_id", "actual_cls")
+      .join(scoredPred, Seq("doc_id"), "left_outer")
+      .select(col("actual_cls"), coalesce(col("scored_cls"), lit(0)).as("pred_cls"))
     val cells = pred.groupBy("actual_cls", "pred_cls").agg(count(lit(1)).as("cnt"))
     // K×K literal grid so absent (actual, pred) cells surface as exact
     // zeros — the confusion matrix is COMPLETE even for classes the
@@ -115,28 +142,44 @@ object MlEval {
       .orderBy("actual_cls")
   }
 
-  def q133Sql: String = {
-    val it = LrTrain.Iters
+  def q133Sql: String = holdoutSqlWith(
+    LrTrain.docTrainCtesFor(
+      s"SELECT * FROM documents WHERE ${LrTrain.trainFilterSql}"),
+    s"w${LrTrain.Iters}")
+
+  def q137Sql: String = holdoutSqlWith(
+    LrTrain.docBalTrainCtesFor(
+      s"SELECT * FROM documents WHERE ${LrTrain.trainFilterSql}"),
+    s"bw${LrTrain.Iters}")
+
+  /** The eval-tail twin, parameterized by the training CTE block and
+    * the name of its final weight CTE (plain w{it} / balanced bw{it}).
+    * Unscored docs get COALESCE(…, 0) — the zero-margin argmax, same
+    * as the Spark side.
+    */
+  private def holdoutSqlWith(trainCtes: String, wCte: String): String = {
     val pSel = (0 until K).map(c =>
       s"CAST(SUM(CASE WHEN pred_cls = $c THEN cnt ELSE 0 END) AS BIGINT) AS p$c")
       .mkString(",\n   ")
-    s"""WITH ${LrTrain.docTrainCtesFor(
-         s"SELECT * FROM documents WHERE ${LrTrain.trainFilterSql}")},
+    s"""WITH $trainCtes,
        |ev AS (
        | SELECT doc_id, CAST(${LrTrain.labelIdxSql} AS INTEGER) AS actual_cls, text
        | FROM documents WHERE NOT (${LrTrain.trainFilterSql})),
        |etok AS (
-       | SELECT doc_id, actual_cls, (${md5LongSql("token")} % ${LrTrain.Buckets}) AS bucket
-       | FROM (SELECT doc_id, actual_cls, UNNEST(string_split(text, ' ')) AS token FROM ev)
+       | SELECT doc_id, (${md5LongSql("token")} % ${LrTrain.Buckets}) AS bucket
+       | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM ev)
        | WHERE LENGTH(token) > 0),
-       |epred AS (
-       | SELECT actual_cls, CAST(cls AS INTEGER) AS pred_cls FROM (
-       |  SELECT t.doc_id, t.actual_cls, w.cls,
+       |escored AS (
+       | SELECT doc_id, CAST(cls AS INTEGER) AS scored_cls FROM (
+       |  SELECT t.doc_id, w.cls,
        |   ROW_NUMBER() OVER (PARTITION BY t.doc_id
        |     ORDER BY SUM(w.w) DESC, w.cls ASC) AS rk
-       |  FROM etok t JOIN w$it w USING (bucket)
-       |  GROUP BY t.doc_id, t.actual_cls, w.cls)
+       |  FROM etok t JOIN $wCte w USING (bucket)
+       |  GROUP BY t.doc_id, w.cls)
        | WHERE rk = 1),
+       |epred AS (
+       | SELECT e.actual_cls, COALESCE(sc.scored_cls, 0) AS pred_cls
+       | FROM ev e LEFT JOIN escored sc USING (doc_id)),
        |cells AS (SELECT actual_cls, pred_cls, COUNT(*) AS cnt FROM epred GROUP BY 1, 2),
        |grid AS (
        | SELECT a.cls AS actual_cls, p.cls AS pred_cls

@@ -91,6 +91,42 @@ class Round12OpsSpec extends GraftSpec {
     }
   }
 
+  test("q137 balanced model generalizes: held-out accuracy beats the held-out prior") {
+    // accuracy and prior straight from the confusion matrix the registry
+    // row emits: acc = Σtp/Σsupport, prior = max(support)/Σsupport
+    def accAndPrior(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df.collect()
+      val K = Classify.NumClasses
+      val tp = rows.map(_.getLong(2 + K)).sum.toDouble
+      val supports = rows.map(_.getLong(1 + K))
+      (tp / supports.sum, supports.max.toDouble / supports.sum)
+    }
+    // the production dial where the balanced argmax learns the classes
+    // OUT of sample: held-out accuracy plateaus at 0.854 from 16
+    // iterations (0.816 at q135's in-sample pin of 12 — a real but
+    // modest generalization gap) vs the 0.796 held-out prior, while the
+    // plain fit sits exactly ON the prior. Default-3 oracle rows replay
+    // unchanged — this pins the claim r11 left in-sample-only.
+    try {
+      spark.conf.set("spark.graft.lr.iters", "16")
+      val (accBal, prior) = accAndPrior(MlEval.q137HoldoutBalanced(spark, sfDir))
+      val (accPlain, _) = accAndPrior(MlEval.q133HoldoutEval(spark, sfDir))
+      assert(accBal > prior + 0.05,
+        s"held-out balanced $accBal does not beat held-out prior $prior")
+      assert(accPlain <= prior + 0.01,
+        s"plain held-out $accPlain unexpectedly beats prior $prior")
+    } finally spark.conf.unset("spark.graft.lr.iters")
+    // support counts EVERY held-out doc on both rows (the r12 zero-
+    // margin fidelity rule), and the two registry rows share it
+    val evalDocs = Tables.documents(spark, sfDir)
+      .filter(!LrTrain.trainFilter).count()
+    Seq(MlEval.q133HoldoutEval(spark, sfDir),
+        MlEval.q137HoldoutBalanced(spark, sfDir)).foreach { df =>
+      val total = df.agg(sum("support")).head.getLong(0)
+      assert(total == evalDocs, s"support $total != eval slice $evalDocs")
+    }
+  }
+
   test("persisted model registry: an unusable registry path degrades to in-memory, never fails a query") {
     val file = java.nio.file.Files.createTempFile("graft-not-a-dir", ".txt")
     try {
