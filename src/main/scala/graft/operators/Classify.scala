@@ -145,7 +145,10 @@ object Classify {
     * block + per-(lid, cls) margin sums — q104's argmax and q136's
     * proba tails both consume it.
     */
-  private[graft] def sidedScoreCtes: String = {
+  /** Just the `sided` lines CTE — q138's k-fold twin slices it per
+    * fold, so it is factored out of the whole-corpus score block.
+    */
+  private[graft] def sidedCte: String = {
     val label = // the q103/q104 shared synthesized line label, by partkey
       s"""CASE (l_partkey) % 5 WHEN 0 THEN 'customer deposits held'
          | WHEN 1 THEN 'order receivables net'
@@ -163,7 +166,11 @@ object Classify {
        |    OVER (PARTITION BY l_orderkey) AS split_line
        |  FROM lineitem)
        | WHERE split_line IS NOT NULL
-       |),
+       |)""".stripMargin
+  }
+
+  private[graft] def sidedScoreCtes: String = {
+    s"""$sidedCte,
        |${LrTrain.sideTrainCtes},
        |sscore AS (
        | SELECT t.lid, w.cls, SUM(w.w) AS m

@@ -814,36 +814,46 @@ object LrTrain {
 
   // --- sided oracle CTEs (consumed by Classify.q104Sql) ----------------
 
-  private def sideIterCte(t: Int): String =
-    s"""sm$t AS (
+  private def sideIterCte(p: String, t: Int): String =
+    s"""${p}sm$t AS (
        | SELECT t.lid, t.side, w.cls, SUM(w.w) AS m
-       | FROM stok t JOIN sw${t - 1} w USING (side, bucket) GROUP BY 1, 2, 3),
-       |sr$t AS (
+       | FROM ${p}stok t JOIN ${p}sw${t - 1} w USING (side, bucket) GROUP BY 1, 2, 3),
+       |${p}sr$t AS (
        | SELECT m.lid, m.side, m.cls,
        |  CAST(ROUND((1.0/(1.0 + EXP(-(CAST(m.m AS DOUBLE)/1000000.0))) -
        |   CASE WHEN l.y_cls = m.cls THEN 1.0 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS r
-       | FROM sm$t m JOIN slab l USING (lid)),
-       |sg$t AS (
+       | FROM ${p}sm$t m JOIN ${p}slab l USING (lid)),
+       |${p}sg$t AS (
        | SELECT r.side, r.cls, x.bucket, SUM(r.r * x.x) AS g
-       | FROM sr$t r JOIN sxdb x USING (lid, side) GROUP BY 1, 2, 3),
-       |sw$t AS (
+       | FROM ${p}sr$t r JOIN ${p}sxdb x USING (lid, side) GROUP BY 1, 2, 3),
+       |${p}sw$t AS (
        | SELECT w.side, w.cls, w.bucket, w.w - (g.g // (n.n * $LrDen)) AS w
-       | FROM sw${t - 1} w JOIN sg$t g USING (side, cls, bucket)
-       |      JOIN snn n USING (side))""".stripMargin
+       | FROM ${p}sw${t - 1} w JOIN ${p}sg$t g USING (side, cls, bucket)
+       |      JOIN ${p}snn n USING (side))""".stripMargin
+
+  /** Training CTE block over a sided-lines slice `src` (columns lid,
+    * side, l_partkey, y_cls, label), every CTE name prefixed with `p` —
+    * the q138 k-fold twin emits one chain per fold, so the names must
+    * not collide. The un-prefixed whole-corpus form below keeps
+    * q104/q136's existing names.
+    */
+  private[graft] def sideTrainCtesP(p: String, src: String): String =
+    s"""${p}strn AS ($src),
+       |${p}stok AS (
+       | SELECT lid, side, (${md5LongSql("token")} % $Buckets) AS bucket
+       | FROM (SELECT lid, side, UNNEST(string_split(label, ' ')) AS token FROM ${p}strn)),
+       |${p}sxdb AS (SELECT lid, side, bucket, COUNT(*) AS x FROM ${p}stok GROUP BY 1, 2, 3),
+       |${p}slab AS (SELECT lid, CAST(l_partkey % 5 AS INTEGER) AS y_cls FROM ${p}strn),
+       |${p}sclasses AS (SELECT CAST(UNNEST(range(0, $Classes)) AS INTEGER) AS cls),
+       |${p}snn AS (SELECT side, COUNT(*) AS n FROM ${p}strn GROUP BY side),
+       |${p}sw0 AS (
+       | SELECT side, cls, bucket, CAST(0 AS BIGINT) AS w
+       | FROM ${p}sclasses CROSS JOIN (SELECT DISTINCT side, bucket FROM ${p}stok)),
+       |${(1 to Iters).map(sideIterCte(p, _)).mkString(",\n")}""".stripMargin
 
   /** Training CTE block over an existing `sided` CTE with columns
     * (lid, side, l_partkey, y_cls, label).
     */
   private[graft] def sideTrainCtes: String =
-    s"""stok AS (
-       | SELECT lid, side, (${md5LongSql("token")} % $Buckets) AS bucket
-       | FROM (SELECT lid, side, UNNEST(string_split(label, ' ')) AS token FROM sided)),
-       |sxdb AS (SELECT lid, side, bucket, COUNT(*) AS x FROM stok GROUP BY 1, 2, 3),
-       |slab AS (SELECT lid, CAST(l_partkey % 5 AS INTEGER) AS y_cls FROM sided),
-       |sclasses AS (SELECT CAST(UNNEST(range(0, $Classes)) AS INTEGER) AS cls),
-       |snn AS (SELECT side, COUNT(*) AS n FROM sided GROUP BY side),
-       |sw0 AS (
-       | SELECT side, cls, bucket, CAST(0 AS BIGINT) AS w
-       | FROM sclasses CROSS JOIN (SELECT DISTINCT side, bucket FROM stok)),
-       |${(1 to Iters).map(sideIterCte).mkString(",\n")}""".stripMargin
+    sideTrainCtesP("", "SELECT * FROM sided")
 }

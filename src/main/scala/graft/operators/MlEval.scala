@@ -386,35 +386,85 @@ object MlEval {
     */
   private[graft] def sidedCrossVal(s: SparkSession, dir: String, k: Int): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
-    val fold = pmod(col("lid"), lit(k.toLong))
+    // lid is a 60-bit non-negative md5 hash, so plain % is identical in
+    // both engines (no pmod/sign divergence)
+    val fold = col("lid") % k.toLong
     (0 until k).map { f =>
       val w = LrTrain.pivotWide(s,
         LrTrain.trainedSideWeightsFrom(s, dir, fold =!= f), Seq("side"))
       scoreSided(LrTrain.sidedLines(s, dir).filter(fold === f), w)
         .groupBy("side")
         .agg(count(lit(1)).as("n_eval"),
-          avg(when(col("pred") === col("y_cls"), 1.0).otherwise(0.0)).as("acc"))
-        .select(col("side"), lit(f).as("fold"), col("n_eval"), col("acc"))
+          sum(when(col("pred") === col("y_cls"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("side"), lit(f).as("fold"), col("n_eval"), col("n_correct"),
+          // truncated micros of exact counts — oracle-replayable (q138)
+          LrTrain.truncDivPos(col("n_correct") * lit(1000000L), col("n_eval"))
+            .as("acc_micros"))
     }.reduce(_ unionByName _)
   }
 
+  /** q138: the k-fold CV summary as an oracle-checked registry row
+    * (k = 3 — 2 sides × 3 folds; acc in truncated integer micros, so
+    * DuckDB replays the whole sweep: 3 complement-trained side-model
+    * chains + 3 fold scorings).
+    */
+  val CvFolds = 3
+
+  def q138SidedCrossval(s: SparkSession, dir: String): DataFrame =
+    sidedCrossVal(s, dir, CvFolds).orderBy("side", "fold")
+
+  def q138Sql: String = {
+    val it = LrTrain.Iters
+    def foldCtes(f: Int): String =
+      s"""${LrTrain.sideTrainCtesP(s"f$f", s"SELECT * FROM sided WHERE lid % $CvFolds <> $f")},
+         |e${f}tok AS (
+         | SELECT lid, side, CAST(l_partkey % 5 AS INTEGER) AS y_cls,
+         |  (${md5LongSql("token")} % ${LrTrain.Buckets}) AS bucket
+         | FROM (SELECT lid, side, l_partkey, UNNEST(string_split(label, ' ')) AS token
+         |       FROM sided WHERE lid % $CvFolds = $f)),
+         |e${f}m AS (
+         | SELECT t.lid, t.side, t.y_cls, w.cls, SUM(w.w) AS m
+         | FROM e${f}tok t JOIN f${f}sw$it w USING (side, bucket)
+         | GROUP BY 1, 2, 3, 4),
+         |e${f}p AS (
+         | SELECT side, y_cls, CAST(cls AS INTEGER) AS pred FROM (
+         |  SELECT side, y_cls, cls,
+         |   ROW_NUMBER() OVER (PARTITION BY lid ORDER BY m DESC, cls ASC) AS rk
+         |  FROM e${f}m)
+         | WHERE rk = 1),
+         |r$f AS (
+         | SELECT side, CAST($f AS INTEGER) AS fold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN pred = y_cls THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         | FROM e${f}p GROUP BY 1)""".stripMargin
+    s"""WITH ${Classify.sidedCte},
+       |${(0 until CvFolds).map(foldCtes).mkString(",\n")}
+       |SELECT side, fold, n_eval, n_correct,
+       | (n_correct * 1000000) // n_eval AS acc_micros
+       |FROM (${(0 until CvFolds).map(f => s"SELECT * FROM r$f").mkString(" UNION ALL ")})
+       |ORDER BY side, fold""".stripMargin
+  }
+
   /** GridSearchCV's shape: one CV sweep per hyperparameter point, one
-    * summary row (point, mean accuracy) each. The dial rides the same
-    * session conf the oracle twins read, so each point's training is
-    * the exact operator a production run with that dial would execute;
-    * conf is restored afterwards.
+    * summary row (point, mean accuracy) each. Each point runs in its
+    * OWN child session (s.newSession with the graft dials copied and
+    * the point's lrDen set) — nothing mutates the caller's conf, so a
+    * concurrent query on `s` can never train or serve under a
+    * transient dial (r11 ADVICE; the dial-keyed model cache then holds
+    * each point's fit under its own key).
     */
   private[graft] def sidedGridSearch(s: SparkSession, dir: String,
-      lrDens: Seq[Int], k: Int): Seq[(Int, Double)] = {
-    val key = "spark.graft.lr.lrDen"
-    val prev = s.conf.getOption(key)
-    try lrDens.map { den =>
-      s.conf.set(key, den.toString)
-      val mean = sidedCrossVal(s, dir, k)
-        .agg(avg("acc")).head.getDouble(0)
+      lrDens: Seq[Int], k: Int): Seq[(Int, Double)] =
+    lrDens.map { den =>
+      val s2 = s.newSession()
+      s.conf.getAll.filter(_._1.startsWith("spark.graft."))
+        .foreach { case (ck, cv) => s2.conf.set(ck, cv) }
+      s2.conf.set("spark.graft.lr.lrDen", den.toString)
+      val mean = sidedCrossVal(s2, dir, k)
+        .agg(avg(col("acc_micros").cast(DoubleType) / lit(1000000.0)))
+        .head.getDouble(0)
       den -> mean
-    } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
-  }
+    }
 
   def q134Sql: String = {
     val it = LrTrain.Iters

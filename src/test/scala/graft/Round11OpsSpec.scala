@@ -176,8 +176,13 @@ class Round11OpsSpec extends GraftSpec {
     assert(cv.length == 6, s"expected 2 sides × 3 folds, got ${cv.length}")
     assert(cv.map(r => (r.getString(0), r.getInt(1))).toSet ==
       (for (s <- Seq("assets", "liabilities"); f <- 0 until 3) yield (s, f)).toSet)
-    cv.foreach(r => assert(r.getDouble(3) > 0.9,
-      s"fold accuracy collapsed: $r"))
+    // r12: integer metrics (n_correct, acc in truncated micros) so the
+    // sweep is oracle-replayable as q138
+    cv.foreach { r =>
+      assert(r.getLong(4) > 900000L, s"fold accuracy collapsed: $r")
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2),
+        s"acc_micros is not the truncated count ratio: $r")
+    }
     // folds are disjoint + exhaustive: scored lines sum to the distinct
     // line universe (scoring groups physical dup rows by lid)
     val scored = cv.map(_.getLong(2)).sum
