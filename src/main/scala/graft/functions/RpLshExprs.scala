@@ -77,6 +77,20 @@ object RpLshKeysExpr {
     * to the declarative chain this replaces (and to the DuckDB twin).
     */
   def keys(emb: ArrayData, bits: Int, bands: Int, maxBits: Int): ArrayData = {
+    // rp_lsh_keys is a PUBLIC SQL function, so the value guards live
+    // here, not only in Dedup.q109EmbedLsh's conf validation (r11
+    // ADVICE: a direct caller with bands < 0 threw
+    // NegativeArraySizeException from generated code, and bits > 31
+    // silently wrapped the int shift into corrupt keys)
+    if (bits < 1 || bits > 31)
+      throw new IllegalArgumentException(
+        s"rp_lsh_keys: bits=$bits outside [1, 31]")
+    if (bands < 1 || bands > 64)
+      throw new IllegalArgumentException(
+        s"rp_lsh_keys: bands=$bands outside [1, 64]")
+    if (maxBits < bits || maxBits > 64)
+      throw new IllegalArgumentException(
+        s"rp_lsh_keys: maxBits=$maxBits outside [bits=$bits, 64]")
     val n = emb.numElements()
     val out = new Array[Int](bands)
     var b = 0

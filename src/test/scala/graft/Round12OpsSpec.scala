@@ -127,6 +127,59 @@ class Round12OpsSpec extends GraftSpec {
     }
   }
 
+  test("streaming scorer follows the session dial: a re-dialed session streams with the re-dialed model") {
+    // mirror of the batch dial-lockstep test (Round11OpsSpec): the
+    // stream's weight-map literal is built through the dial-keyed
+    // registry accessor, so a session that re-dials iters must score
+    // its STREAM with the re-dialed fit, not a stale default-dial map
+    val docs = Tables.documents(spark, sfDir)
+      .select(lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        col("doc_id"), col("text"))
+    def streamScores(): Map[Long, (Int, Double)] =
+      // score() is identical on a static frame (its documented contract,
+      // proven in-flight by StreamingSpec) — the dial question is about
+      // WHICH model the map literal carries, so the static form suffices
+      graft.streaming.ClassifyStream.score(spark, sfDir, docs)
+        .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getDouble(3))).toMap
+    val defaultScores = streamScores()
+    try {
+      spark.conf.set("spark.graft.lr.iters", "2")
+      val dialed = streamScores()
+      // 1) bit-identical to the BATCH scorer under the same dial for
+      //    every doc the batch covers
+      val batch = Classify.q28ClassifyLr(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+      batch.foreach { case (id, v) =>
+        assert(dialed(id) == v, s"doc $id: stream ${dialed(id)} vs batch $v")
+      }
+      // 2) genuinely the re-dialed model: the 2-iteration margins must
+      //    differ from the default-dial stream somewhere
+      assert(dialed != defaultScores,
+        "re-dialed stream scored with the default-dial map")
+    } finally spark.conf.unset("spark.graft.lr.iters")
+  }
+
+  test("rp_lsh_keys rejects out-of-range dials with a clear message at the SQL surface") {
+    def call(bits: Int, bands: Int, maxBits: Int) =
+      spark.range(1).select(call_function("rp_lsh_keys",
+        array(lit(1.0f), lit(-2.0f)), lit(bits), lit(bands), lit(maxBits)))
+        .collect()
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // r11 ADVICE: bands < 0 used to throw NegativeArraySizeException
+    // from generated code; bits > 31 silently wrapped the int shift
+    Seq((0, 4, 16, "bits=0"), (40, 4, 64, "bits=40"),
+        (8, -1, 16, "bands=-1"), (8, 0, 16, "bands=0"),
+        (8, 4, 4, "maxBits=4")).foreach { case (bits, bands, mx, frag) =>
+      val e = intercept[Throwable](call(bits, bands, mx))
+      assert(rootMsg(e).contains(frag),
+        s"($bits,$bands,$mx) raised without the dial in the message: ${rootMsg(e)}")
+    }
+    // the guarded range still evaluates
+    assert(call(8, 4, 16).head.getSeq[Int](0).length == 4)
+  }
+
   test("persisted model registry: an unusable registry path degrades to in-memory, never fails a query") {
     val file = java.nio.file.Files.createTempFile("graft-not-a-dir", ".txt")
     try {
