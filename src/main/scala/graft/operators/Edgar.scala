@@ -234,29 +234,76 @@ object Edgar {
         "substring(name2, length(name2) - (CAST(k2 % 5 AS INT) + 8) + 1," +
           " CAST(k2 % 5 AS INT) + 8)"))
       .withColumn("m", length(col("frag")))
-    // Sharper pigeonhole (r11, still lossless): the ≥90 gate bounds
-    // best_lev ≤ m/10, so fragments of length 8-9 admit NO edit at all
-    // — the whole fragment must appear verbatim, and blocking on the
-    // full fragment (a near-unique key) replaces their two weak halves.
-    // Only m ≥ 10 fragments (lev ≤ 1) still need the two-half split,
-    // whose halves are 5-6 chars — the weakly-selective 4-char keys the
-    // r10 advice flagged (shared 'Supplier#00…' prefix region) vanish
-    // from the key space entirely.
+    // Deletion-neighborhood blocking (r12, still lossless): the ≥90
+    // gate bounds best_lev ≤ ⌊m/10⌋ — 0 for m ≤ 9 (the whole fragment
+    // must appear verbatim; its full text is the block key), 1 for
+    // m ∈ [10, 12]. For the lev ≤ 1 family the r11 half-split keys
+    // were 5-6 chars, and the LEADING half of a suffix fragment lands
+    // in the corpus's shared-prefix region ('er#000…' occurs in every
+    // synthetic name), so those fragments still joined the whole
+    // nation block — the measured 30× exponent 0.9 (BENCH_R11_TAIL,
+    // r11 verdict item 3). Replace the pigeonhole halves with the
+    // symmetric-delete signature: lev(x, y) ≤ 1 ⟺ ({x} ∪ 1-deletions
+    // of x) ∩ ({y} ∪ 1-deletions of y) ≠ ∅ (a substitution meets at
+    // the both-sides deletion, an indel at the longer side's deletion)
+    // — so joining the fragment's deletion neighborhood against the
+    // deletion neighborhoods of every m-length window of the name is
+    // exactly as lossless as the half split, but every key is m or
+    // m−1 ≥ 9 chars of near-full fragment text: the weakly-selective
+    // short-key space vanishes instead of merely shrinking. Cost
+    // shape: keys per name grow ~6× (windows × (m+1) deletions, all
+    // map-side generated before one distinct), but posting lists drop
+    // from block-sized to O(1), so the candidate join output — the
+    // term that was quadratic per block — collapses to the true-pair
+    // neighborhood. array_distinct folds the zero-run deletions
+    // ('0000' loses the same string whichever zero is deleted) before
+    // the explode.
+    // The neighborhood is generated by a codegen'd explode-of-sequence
+    // + string projection, NOT a transform(...) HOF: higher-order
+    // functions evaluate as interpreted lambdas outside whole-stage
+    // codegen (the q109 rp_lsh lesson — measured here: the HOF form
+    // spent up to 25 s/pass in GC on 8 tasks at gen-sf1). Deletion
+    // index 0 = the string itself. Duplicate keys from zero-run
+    // deletions ('0000' loses the same string whichever zero goes) are
+    // folded by the existing distincts.
+    def delKey(strCol: org.apache.spark.sql.Column,
+        lenCol: org.apache.spark.sql.Column,
+        di: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(di === 0, strCol).otherwise(
+        concat(strCol.substr(lit(1), di - lit(1)),
+          strCol.substr(di + lit(1), lenCol)))
     val halves = bFrag.select(col("k2"), col("frag"), col("m"), col("nk"),
-        explode(when(col("m") <= 9, array(col("frag")))
-          .otherwise(array(
-            expr("substring(frag, 1, CAST(ceil(m / 2.0) AS INT))"),
-            expr("substring(frag, CAST(ceil(m / 2.0) AS INT) + 1, m)")))).as("key"))
+        explode(when(col("m") <= 9, array(lit(0)))
+          .otherwise(sequence(lit(0), col("m")))).as("di"))
+      .select(col("k2"), col("frag"), col("m"), col("nk"),
+        delKey(col("frag"), col("m"), col("di")).as("key"))
+      .distinct()
+    // spread the key generation across the full core count first: the
+    // supplier scan arrives in a handful of file partitions, and ~300
+    // generated keys per row on 8 tasks serialized the map side
     val subs = a
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("k1"), col("name1"), col("nk"),
-        explode(array(lit(5), lit(6), lit(8), lit(9))).as("len"))
+        explode(array(lit(8), lit(9), lit(10), lit(11), lit(12))).as("len"))
       .filter(col("len") <= length(col("name1")))
       .select(col("k1"), col("name1"), col("nk"), col("len"),
         explode(sequence(lit(1), length(col("name1")) - col("len") + 1)).as("p"))
+      .select(col("k1"), col("name1"), col("nk"), col("len"),
+        expr("substring(name1, p, len)").as("w"))
+      .select(col("k1"), col("name1"), col("nk"), col("len"), col("w"),
+        explode(when(col("len") <= 9, array(lit(0)))
+          .otherwise(sequence(lit(0), col("len")))).as("di"))
       .select(col("k1"), col("name1"), col("nk"),
-        expr("substring(name1, p, len)").as("key"))
+        delKey(col("w"), col("len"), col("di")).as("key"))
       .distinct()
-    val pairs = halves.join(subs, Seq("nk", "key"))
+    // SHUFFLE_HASH, not broadcast: the deletion neighborhood makes the
+    // fragment side ~13 keys/row, and Catalyst's estimate still
+    // broadcast-planned it — a multi-million-entry string-keyed hash
+    // relation rebuilt per execution (measured: 2.5-29 s pass-to-pass
+    // swings at gen-sf1/3 from its build + GC). Both key streams
+    // shuffle-partition cleanly on (nk, key) at any scale — the shape a
+    // corpus-sized fragment table needs anyway.
+    val pairs = halves.hint("SHUFFLE_HASH").join(subs, Seq("nk", "key"))
       .select("k1", "k2", "name1", "frag", "m").distinct()
       .withColumn("n", length(col("name1")))
       .filter(col("m") <= col("n"))
