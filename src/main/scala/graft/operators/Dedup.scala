@@ -669,39 +669,56 @@ object Dedup {
     // expression computes every band key in one fused codegen'd pass
     // with the identical IEEE sequence (spec-proven bit-for-bit, and
     // the DuckDB twin below is unchanged).
-    val sigs = withBits.select(col("vec_id"),
+    val sigs = withBits.select(col("vec_id"), col("embedding"), col("nrm"),
       call_function("rp_lsh_keys", col("embedding"), col("bits"),
         lit(nBands), lit(RpMaxBits)).as("keys"))
-    // the band shuffle carries only (band, key, vec_id) — no payload.
-    // repartition with an EXPLICIT count: the bucket-id frame is tiny
-    // (ids only), so AQE coalesced the pre-join exchange to 2
-    // partitions and the quadratic pair materialization then ran on 2
-    // of 32 cores (measured: the sf3 pair stage wrote 307 MB through 2
-    // tasks). A user-specified partition count is exempt from
-    // coalescing, and the join's (band, key) requirement is satisfied
-    // by this exchange, so no extra shuffle appears.
+    // The band shuffle CARRIES THE PAYLOAD (embedding + norm): bands ×
+    // one embedding per vector is strictly linear (~1.2 KB/vector at
+    // bands=4), and it means exact-cosine verification runs INLINE in
+    // the bucket self-join's output stream — filter and project
+    // immediately after the join, inside codegen, so the quadratic
+    // pair space is never exchanged, never sorted, never spilled. The
+    // r11 form shuffled id-only buckets and re-attached embeddings to
+    // the PAIR list afterwards; those two attach joins sorted
+    // (pair × embedding) rows — ~90 KB/vector at target occupancy vs
+    // this plan's 1.2 KB/vector — and at gen-sf30 (600k vectors) the
+    // attach sort spilled past 70 GB of disk and killed the job.
+    // repartition with an EXPLICIT count (unchanged r11 lesson): AQE
+    // coalesced the pre-join exchange to 2 partitions and serialized
+    // the pair materialization; a user-specified count is exempt, and
+    // the join's (band, key) requirement is satisfied by this exchange
+    // so no extra shuffle appears. The same exchange subtree feeds
+    // both join sides (ReuseExchange), so the payload shuffles once.
     val buckets = sigs
-      .select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("band"), col("key"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "key"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-    // exact verification FIRST, dedup AFTER the gate (r11): the old
-    // distinct-before-verify order hashed the FULL candidate pair
-    // space through its own exchange — at gen2-sf10 that partial
-    // aggregate spilled 20 GB sorting ~20M pairs. Verification is a
-    // cheap codegen'd vec_dot per pair, the multi-band duplicate
-    // factor on random candidates is ~1 (only true near-dups collide
-    // in several bands), and the ≥τ gate leaves survivors measured in
-    // thousands — so deduping survivors costs nothing and the pair
-    // space is never exchanged. Same result set: cos is a pure
-    // function of the pair, so distinct-on-(v1,v2,cos) ≡ the old
-    // distinct-on-pairs.
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    cand.join(a, Seq("v1")).join(b, Seq("v2"))
+    val x = buckets.select(col("band"), col("key"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"), col("keys").as("ka"))
+    val y = buckets.select(col("band"), col("key"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"), col("keys").as("kb"))
+    // FIRST-COLLIDING-BAND gate, before any per-pair arithmetic: a
+    // dense cluster lands in one cell in EVERY band, so its quadratic
+    // pair block would be enumerated and cosine-verified bands× times.
+    // Both sides carry their full key arrays (bands ints), and a pair
+    // matched in band b is kept only if no band b' < b also collides —
+    // a codegen'd AND-chain of element_at comparisons, no extra
+    // shuffle, and the final distinct already made multi-band emission
+    // order-invariant, so the result set is bit-identical.
+    val firstBand = (0 until nBands - 1).map { bp =>
+      (col("band") <= bp) ||
+        (element_at(col("ka"), bp + 1) =!= element_at(col("kb"), bp + 1))
+    }.foldLeft(lit(true))(_ && _)
+    // exact verification FIRST, dedup AFTER the gate (r11): the ≥τ
+    // gate leaves survivors measured in thousands, so the distinct
+    // costs nothing. Same result set: cos is a pure function of the
+    // pair, so distinct-on-(v1,v2,cos) ≡ distinct-on-pairs.
+    // SHUFFLE_HASH: both sides are the same linear payload frame; the
+    // per-partition build is ~20 MB and a hash probe emits the pair
+    // stream without sorting either side.
+    x.join(y, Seq("band", "key"))
+      .filter(col("v1") < col("v2") && firstBand)
       .withColumn("cos",
         round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
       .filter(col("cos") >= 0.35)
