@@ -80,22 +80,27 @@ object MlEval {
     val ev = ev0.select(col("doc_id"),
       LrTrain.labelIdx(col("text")).cast(IntegerType).as("actual_cls"),
       col("text"))
+    // ONE corpus scan end to end (the plan lock): explode_outer over
+    // the array-filtered token list keeps a doc with NO usable tokens
+    // as a single null-token row, and the weight join is LEFT OUTER,
+    // so an all-unseen doc reaches the scoring aggregate with null
+    // weights and coalesces to the exact zero-margin verdict (argmax
+    // ties to class 0) — every held-out doc counted,
+    // classification_report-style, without a second scan or a
+    // join-back of the doc universe. A doc with a mix of seen and
+    // unseen tokens is unchanged: sum() skips the unseen rows' nulls.
     val tok = ev
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("actual_cls"),
+        explode_outer(filter(split(col("text"), " "), t => length(t) > 0))
+          .as("token"))
+      .select(col("doc_id"), col("actual_cls"),
         pmod(md5Long(col("token")), lit(LrTrain.Buckets)).as("bucket"))
-    val mAggs = (0 until K).map(c => sum(col(s"w$c")).as(s"m$c"))
-    val scoredPred = tok.join(broadcast(w), Seq("bucket"))
-      .groupBy("doc_id")
+    val mAggs = (0 until K).map(c => coalesce(sum(col(s"w$c")), lit(0L)).as(s"m$c"))
+    val pred = tok.join(broadcast(w), Seq("bucket"), "left_outer")
+      .groupBy("doc_id", "actual_cls")
       .agg(mAggs.head, mAggs.tail: _*)
-      .select(col("doc_id"),
-        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("scored_cls"))
-    // every eval doc gets a verdict: unscored docs carry the exact
-    // zero-margin argmax (class 0) instead of dropping out
-    val pred = ev.select("doc_id", "actual_cls")
-      .join(scoredPred, Seq("doc_id"), "left_outer")
-      .select(col("actual_cls"), coalesce(col("scored_cls"), lit(0)).as("pred_cls"))
+      .select(col("actual_cls"),
+        (-Classify.bestOfWide("m").getField("negc")).cast(IntegerType).as("pred_cls"))
     val cells = pred.groupBy("actual_cls", "pred_cls").agg(count(lit(1)).as("cnt"))
     // K×K literal grid so absent (actual, pred) cells surface as exact
     // zeros — the confusion matrix is COMPLETE even for classes the
