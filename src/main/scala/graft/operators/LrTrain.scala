@@ -783,6 +783,15 @@ object LrTrain {
       .select(col("lid"), col("side"),
         pmod(md5Long(col("token")), lit(Buckets)).as("bucket"))
 
+  /** Tokenized bucket counts (lid, side, bucket, x) for a sided-lines
+    * frame. Row-wise tokenize + a groupBy keyed on lid, so any
+    * lid-predicate slice commutes with it: filtering THIS frame on a
+    * fold is bit-identical to tokenizing the filtered corpus — the
+    * property the k-fold harness uses to prep the corpus once.
+    */
+  private[graft] def sideXdb(sided: DataFrame): DataFrame =
+    sideTok(sided).groupBy("lid", "side", "bucket").agg(count(lit(1)).as("x"))
+
   /** Train the two side matrices: (side, cls, bucket, w_micros). */
   private[graft] def trainedSideWeights(s: SparkSession, dir: String): DataFrame =
     trainedSideWeightsFrom(s, dir, lit(true))
@@ -797,9 +806,20 @@ object LrTrain {
     // here because sidedLines carries a window over l_orderkey that
     // would otherwise be re-shuffled by every frame of every iteration.
     val sided = sidedLines(s, dir).filter(keep).localCheckpoint()
-    val xdb = sideTok(sided)
-      .groupBy("lid", "side", "bucket").agg(count(lit(1)).as("x"))
-      .localCheckpoint()
+    val xdb = sideXdb(sided).localCheckpoint()
+    trainedSideWeightsOn(s, sided, xdb)
+  }
+
+  /** The sided GD loop over PRE-MATERIALIZED corpus frames: `sided` is
+    * a (checkpointed) sidedLines slice and `xdb` its matching sideXdb
+    * bucket counts. The k-fold harness preps the full corpus once and
+    * hands each fold a filter of the two checkpoints (r12 verdict: the
+    * per-fold re-run of the sidedLines window + tokenize was 3
+    * redundant corpus scans per CV on top of the inherent k× training
+    * cost); at 100 TB the CV costs k fits over one shared scan.
+    */
+  private[graft] def trainedSideWeightsOn(s: SparkSession, sided: DataFrame,
+      xdb: DataFrame): DataFrame = {
     val labels = sided.select("lid", "y_cls")
     val nDf = sided.groupBy("side").agg(count(lit(1)).as("n"))
     val w0 = asLocal(xdb.select("side", "bucket").distinct()

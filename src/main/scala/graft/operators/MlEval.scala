@@ -394,18 +394,46 @@ object MlEval {
     // lid is a 60-bit non-negative md5 hash, so plain % is identical in
     // both engines (no pmod/sign divergence)
     val fold = col("lid") % k.toLong
-    (0 until k).map { f =>
-      val w = LrTrain.pivotWide(s,
-        LrTrain.trainedSideWeightsFrom(s, dir, fold =!= f), Seq("side"))
-      scoreSided(LrTrain.sidedLines(s, dir).filter(fold === f), w)
-        .groupBy("side")
-        .agg(count(lit(1)).as("n_eval"),
-          sum(when(col("pred") === col("y_cls"), 1L).otherwise(0L)).as("n_correct"))
-        .select(col("side"), lit(f).as("fold"), col("n_eval"), col("n_correct"),
-          // truncated micros of exact counts — oracle-replayable (q138)
-          LrTrain.truncDivPos(col("n_correct") * lit(1000000L), col("n_eval"))
-            .as("acc_micros"))
-    }.reduce(_ unionByName _)
+    // ONE shared corpus prep for all k folds: the sidedLines window and
+    // the tokenize→bucket-count aggregate each run exactly once; every
+    // fold (train complement AND eval slice) is a cheap lid-filter over
+    // the two checkpoints. Sound because fold membership is a pure
+    // function of lid, which both frames carry, and sideXdb's groupBy
+    // is keyed on lid, so the filter commutes with it (bit-identical to
+    // tokenizing the filtered corpus — the form the oracle replays).
+    val sidedAll = LrTrain.sidedLines(s, dir).localCheckpoint()
+    val xdbAll = LrTrain.sideXdb(sidedAll).localCheckpoint()
+    // The k complement fits are INDEPENDENT, and each one serializes at
+    // the driver between iterations (the parameter-server asLocal
+    // collect), leaving the cluster idle while the driver folds the
+    // KB-sized weight matrix. Train them on k concurrent threads —
+    // Spark's scheduler interleaves the per-iteration jobs, so the
+    // cluster stays busy across the driver barriers; the fits read only
+    // the two shared checkpoints and thread nothing mutable (explicit
+    // sessions end to end, r11 discipline). Results are awaited in fold
+    // order, so the output frame — and the oracle row — is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val perFold = (0 until k).map { f => scala.concurrent.Future {
+        val w = LrTrain.pivotWide(s,
+          LrTrain.trainedSideWeightsOn(s, sidedAll.filter(fold =!= f),
+            xdbAll.filter(fold =!= f)), Seq("side"))
+        scoreSided(sidedAll.filter(fold === f), w)
+          .groupBy("side")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("pred") === col("y_cls"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("side"), lit(f).as("fold"), col("n_eval"), col("n_correct"),
+            // truncated micros of exact counts — oracle-replayable (q138)
+            LrTrain.truncDivPos(col("n_correct") * lit(1000000L), col("n_eval"))
+              .as("acc_micros"))
+      } }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(perFold),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** q138: the k-fold CV summary as an oracle-checked registry row
