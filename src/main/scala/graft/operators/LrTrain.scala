@@ -448,13 +448,26 @@ object LrTrain {
   //    dial + an algorithm-version tag), so a rewritten corpus, a
   //    re-dialed session, or a changed training algorithm falls through
   //    to retrain instead of serving a stale fit;
-  //  - writes go to a temp dir then an ATOMIC rename — a crashed writer
-  //    leaves no half-artifact, and a concurrent winner is accepted
+  //  - ALL I/O goes through the Hadoop FileSystem of the CONFIGURED
+  //    path (the freshnessToken discipline) — on a cluster the registry
+  //    lives on shared storage (hdfs://, s3a://, file:// on NFS), where
+  //    java.nio.file would split the artifact between the driver's
+  //    local disk (sidecars) and the cluster FS (parquet data), a
+  //    'valid' artifact with an empty data dir (r12 ADVICE);
+  //  - writes go to a staging dir then one rename. On HDFS/local the
+  //    rename is atomic; object stores rename by copy, and the load
+  //    protocol does not NEED rename atomicity: MODEL_KEY is written
+  //    LAST inside the staging dir, and a load only trusts an artifact
+  //    whose key matches exactly AND whose data round-trips to the
+  //    DATA_SUM row-count + content digest — any partially-visible
+  //    artifact reads as absent and falls back to retrain (spec-pinned
+  //    with a hand-torn artifact). A concurrent winner is accepted
   //    (fits are pure functions of the key, so either copy is
-  //    bit-identical);
-  //  - any load failure (missing, torn, foreign key) falls back to
-  //    retrain-and-rewrite — persistence is an optimization and can
-  //    never fail or corrupt a query;
+  //    bit-identical); an existing dir that fails validation is
+  //    replaced, so one torn write can't force retraining forever;
+  //  - any load failure (missing, torn, foreign key, digest mismatch)
+  //    falls back to retrain-and-rewrite — persistence is an
+  //    optimization and can never fail or corrupt a query;
   //  - the sidecar stores the EXACT schema (parquet round-trips widen
   //    nullability), so a loaded matrix is indistinguishable from a
   //    fresh fit down to the StructType.
@@ -479,29 +492,62 @@ object LrTrain {
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  private def hfsOf(s: SparkSession, p: HPath): HFs =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def readSidecar(fs: HFs, p: HPath): String = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1 << 20), s"sidecar $p unreasonably large ($len B)")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    new String(bytes, Utf8)
+  }
+
+  private def writeSidecar(fs: HFs, p: HPath, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(Utf8)) finally out.close()
+  }
+
+  /** Order-invariant content digest of the artifact rows: each row's
+    * fields stringified + the lines sorted, so the digest is a pure
+    * function of the row SET — parquet split/read order can't matter.
+    * Together with the row count it makes a partially-copied data dir
+    * (the object-store torn-rename case) unservable.
+    */
+  private def rowsDigest(rows: Array[org.apache.spark.sql.Row]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
+        .mkString(""))
+      .sorted.foreach(line => md.update((line + "\n").getBytes(Utf8)))
+    md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
   private def loadArtifact(s: SparkSession, root: String, name: String,
       key: String): Option[(StructType, Array[org.apache.spark.sql.Row])] =
     try {
-      val dir = java.nio.file.Paths.get(root, s"$name-${keyHash(key)}")
-      val keyFile = dir.resolve("MODEL_KEY")
-      if (!java.nio.file.Files.exists(keyFile)) None
-      else if (new String(java.nio.file.Files.readAllBytes(keyFile),
-          java.nio.charset.StandardCharsets.UTF_8) != key) None
+      val rootP = new HPath(root)
+      val fs = hfsOf(s, rootP)
+      val dir = new HPath(rootP, s"$name-${keyHash(key)}")
+      val keyFile = new HPath(dir, "MODEL_KEY")
+      if (!fs.exists(keyFile) || readSidecar(fs, keyFile) != key) None
       else {
-        val schema = DataType.fromJson(new String(
-          java.nio.file.Files.readAllBytes(dir.resolve("SCHEMA")),
-          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+        val schema = DataType.fromJson(readSidecar(fs, new HPath(dir, "SCHEMA")))
+          .asInstanceOf[StructType]
+        val sum = readSidecar(fs, new HPath(dir, "DATA_SUM")).split("\n", 2)
         val rows = s.read.schema(schema)
-          .parquet(dir.resolve("data").toString).collect()
-        Some((schema, rows))
+          .parquet(new HPath(dir, "data").toString).collect()
+        // reject an artifact whose data does not round-trip to the
+        // recorded count + digest (r12 ADVICE: an empty or partial data
+        // dir must silently retrain, never serve an empty weight matrix)
+        if (rows.length == sum(0).trim.toInt && rowsDigest(rows) == sum(1).trim)
+          Some((schema, rows))
+        else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -509,24 +555,100 @@ object LrTrain {
       key: String, schema: StructType,
       rows: Array[org.apache.spark.sql.Row]): Unit =
     try {
-      val dir = java.nio.file.Paths.get(root, s"$name-${keyHash(key)}")
-      if (!java.nio.file.Files.exists(dir)) {
-        val tmp = java.nio.file.Paths.get(root,
+      val rootP = new HPath(root)
+      val fs = hfsOf(s, rootP)
+      val dir = new HPath(rootP, s"$name-${keyHash(key)}")
+      // an existing VALID artifact wins (concurrent writer — the fit is
+      // a pure function of the key, so either copy is bit-identical);
+      // an existing INVALID one (torn copy, superseded sidecar layout)
+      // is replaced, so cold sessions stop paying retrain forever
+      if (loadArtifact(s, root, name, key).isEmpty) {
+        val tmp = new HPath(rootP,
           s".tmp-$name-${keyHash(key)}-${java.util.UUID.randomUUID}")
-        java.nio.file.Files.createDirectories(tmp)
+        fs.mkdirs(tmp)
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
           .coalesce(1).write.mode("overwrite")
-          .parquet(tmp.resolve("data").toString)
-        java.nio.file.Files.write(tmp.resolve("SCHEMA"),
-          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // MODEL_KEY last: a load only trusts a dir whose key file exists
-        java.nio.file.Files.write(tmp.resolve("MODEL_KEY"),
-          key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try java.nio.file.Files.move(tmp, dir,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException => deleteRec(tmp) }
+          .parquet(new HPath(tmp, "data").toString)
+        writeSidecar(fs, new HPath(tmp, "SCHEMA"), schema.json)
+        writeSidecar(fs, new HPath(tmp, "DATA_SUM"),
+          s"${rows.length}\n${rowsDigest(rows)}")
+        // MODEL_KEY last: a load only trusts a dir whose key validates
+        writeSidecar(fs, new HPath(tmp, "MODEL_KEY"), key)
+        fs.delete(dir, true) // replace invalid leftovers; no-op if absent
+        if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // concurrent winner
       }
+      sweepStaleTmp(fs, rootP)
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Best-effort GC of crashed writers' staging dirs (r12 ADVICE: a
+    * crashed save leaked its .tmp-* dir permanently). One hour of age is
+    * far beyond any live writer — a save holds its staging dir only for
+    * the seconds a KB-sized parquet write takes.
+    */
+  private def sweepStaleTmp(fs: HFs, rootP: HPath): Unit =
+    try fs.listStatus(rootP).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          System.currentTimeMillis - st.getModificationTime > 3600000L)
+        fs.delete(st.getPath, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  // --- registry inspection / GC (r12 verdict item 7) --------------------
+
+  /** One registry entry: artifact dir name, whether its MODEL_KEY
+    * sidecar is present (an in-flight or torn dir shows complete=false),
+    * the stored key (empty when incomplete), and the dir's mod time.
+    */
+  final case class ArtifactInfo(dirName: String, complete: Boolean,
+      key: String, modifiedMs: Long)
+
+  /** Inventory of the configured registry dir — pure FS metadata, no
+    * data reads, no query-path effect. Empty when no registry is
+    * configured or the path is unusable.
+    */
+  def listArtifacts(s: SparkSession): Seq[ArtifactInfo] =
+    registryRoot(s).toSeq.flatMap { root =>
+      try {
+        val rootP = new HPath(root)
+        val fs = hfsOf(s, rootP)
+        fs.listStatus(rootP).toSeq.filter(_.isDirectory).map { st =>
+          val keyFile = new HPath(st.getPath, "MODEL_KEY")
+          val key = try {
+            if (fs.exists(keyFile)) Some(readSidecar(fs, keyFile)) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+          ArtifactInfo(st.getPath.getName, key.isDefined, key.getOrElse(""),
+            st.getModificationTime)
+        }.sortBy(_.dirName)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+
+  /** The cache keys the CURRENT session would use for every model the
+    * registry serves over `dir` — the keep-set for pruneArtifacts
+    * (anything else is a superseded corpus, dial, or algorithm version).
+    */
+  def currentKeys(s: SparkSession, dir: String): Set[String] =
+    Seq("doc_lr" -> "documents", "doc_lr_wide" -> "documents",
+      "doc_lr80" -> "documents", "doc_lr80_wide" -> "documents",
+      "doc_lr_bal80" -> "documents", "doc_lr_bal80_wide" -> "documents",
+      "side_lr" -> "lineitem", "side_lr_wide" -> "lineitem")
+      .map { case (name, table) => modelKey(s, dir, table, name) }.toSet
+
+  /** GC the registry: delete every complete artifact whose stored key is
+    * NOT in `keepKeys` (superseded corpus/dial/algo fits — the registry
+    * otherwise accretes one dir per historical key forever, r12 ADVICE)
+    * plus stale staging dirs; incomplete non-staging dirs are left (they
+    * may be a concurrent writer's rename mid-copy on an object store).
+    * Returns the deleted dir names. Pure FS ops — no query-path change.
+    */
+  def pruneArtifacts(s: SparkSession, keepKeys: Set[String]): Seq[String] =
+    registryRoot(s).toSeq.flatMap { root =>
+      try {
+        val rootP = new HPath(root)
+        val fs = hfsOf(s, rootP)
+        sweepStaleTmp(fs, rootP)
+        listArtifacts(s).filter(a => a.complete && !keepKeys.contains(a.key))
+          .map { a => fs.delete(new HPath(rootP, a.dirName), true); a.dirName }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
 
   /** Test hook: drop every cached fit so a spec can drive the
     * cold-start path (e.g. a wide accessor as the registry's very
@@ -534,13 +656,21 @@ object LrTrain {
     */
   private[graft] def clearModelCache(): Unit = modelCache.clear()
 
+  /** The full model identity: algorithm version, model name, corpus dir
+    * + freshness token, and the session's dials — shared by the cache,
+    * the persisted artifacts, and pruneArtifacts' keep-set.
+    */
+  private def modelKey(s: SparkSession, dir: String, table: String,
+      name: String): String =
+    s"$AlgoVersion|$name|$dir|it=${Iters(s)}|den=${LrDen(s)}|" +
+      graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
+
   private def cachedModel(s: SparkSession, dir: String, table: String,
       name: String)(train: => DataFrame): DataFrame = {
     // hyperparameters are part of the model identity: a session that
     // re-dials iters/lrDen must retrain, not reuse another dial's fit
     // (resolved from the EXPLICIT session — r11 ADVICE)
-    val key = s"$AlgoVersion|$name|$dir|it=${Iters(s)}|den=${LrDen(s)}|" +
-      graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
+    val key = modelKey(s, dir, table, name)
     // get + putIfAbsent, NOT computeIfAbsent: the wide-pivot entries
     // train their long artifact inside the thunk, i.e. a nested cache
     // insert — ConcurrentHashMap throws "Recursive update" whenever the
