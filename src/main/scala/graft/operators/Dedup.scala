@@ -644,7 +644,35 @@ object Dedup {
   private[graft] def rpDerivedBitsFor(n: Long): Int =
     math.max(1, (0 until RpMaxBits).count(k => n > (RpTargetOcc << k)))
 
-  def q109EmbedLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Optional per-cell occupancy cap (r12 verdict item 4): the auto
+    * dial holds the MEDIAN cell at target occupancy, but un-splittable
+    * dense clusters (vectors that agree on every hyperplane no matter
+    * how many bits) give the tail p99/max occupancies orders of
+    * magnitude higher, and their Θ(cell²) pair blocks dominate candidate
+    * work. With the cap set, cells over it are excluded from pair
+    * enumeration ENTIRELY (a cluster dense enough to blow one band's
+    * cell collides in every band, so partial exclusion would be
+    * noise) and REPORTED through q109OverflowCells — the T30 df-cap
+    * discipline with no silent truncation: a 100 TB operator routes the
+    * reported cells to the q55/q81 representative path instead of
+    * enumerating their quadratic pair mass. Default OFF — the oracle
+    * row and the default plan are untouched.
+    */
+  private[graft] def rpMaxOcc(s: SparkSession): Option[Long] =
+    s.conf.getOption("spark.graft.rplsh.maxOcc").map(_.trim.toLong)
+
+  def q109EmbedLsh(s: SparkSession, dir: String): DataFrame =
+    q109Core(s, dir)._1
+
+  /** The over-cap cell report (band, key, occ): empty when the cap is
+    * off or nothing exceeds it. Cell count is bounded by n/cap, so the
+    * report — and its broadcast in the exclusion anti-join — stays tiny
+    * for any sane cap.
+    */
+  def q109OverflowCells(s: SparkSession, dir: String): DataFrame =
+    q109Core(s, dir)._2
+
+  private def q109Core(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
@@ -689,9 +717,26 @@ object Dedup {
     // the join's (band, key) requirement is satisfied by this exchange
     // so no extra shuffle appears. The same exchange subtree feeds
     // both join sides (ReuseExchange), so the payload shuffles once.
-    val buckets = sigs
+    val exploded = sigs
       .select(col("vec_id"), col("embedding"), col("nrm"), col("keys"),
         posexplode(col("keys")).as(Seq("band", "key")))
+    // occupancy census on an ID-FREE projection (two ints per row — the
+    // payload is never aggregated); drives the cap filter and the
+    // overflow report. With the cap off it folds to an empty relation
+    // and the pair plan below is EXACTLY the uncapped plan (spec-pinned)
+    val occ = sigs.select(posexplode(col("keys")).as(Seq("band", "key")))
+      .groupBy("band", "key").agg(count(lit(1)).as("occ"))
+    val (inCap, over) = rpMaxOcc(s) match {
+      case None => (exploded, occ.filter(lit(false)))
+      case Some(cap) =>
+        require(cap >= 1, s"spark.graft.rplsh.maxOcc=$cap must be >= 1")
+        val o = occ.filter(col("occ") > cap)
+        // broadcast anti-join BEFORE the band shuffle, so an excluded
+        // cell's payload rows are never exchanged at all
+        (exploded.join(broadcast(o.select("band", "key")),
+          Seq("band", "key"), "left_anti"), o.orderBy("band", "key"))
+    }
+    val buckets = inCap
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("band"), col("key"))
     val x = buckets.select(col("band"), col("key"), col("vec_id").as("v1"),
@@ -714,10 +759,16 @@ object Dedup {
     // gate leaves survivors measured in thousands, so the distinct
     // costs nothing. Same result set: cos is a pure function of the
     // pair, so distinct-on-(v1,v2,cos) ≡ distinct-on-pairs.
-    // SHUFFLE_HASH: both sides are the same linear payload frame; the
-    // per-partition build is ~20 MB and a hash probe emits the pair
-    // stream without sorting either side.
-    x.join(y, Seq("band", "key"))
+    // Join strategy: SORT-MERGE, deliberately. SHUFFLE_HASH was tried
+    // and MEASURED SLOWER here (19.1 vs 13.9 s at gen-sf10,
+    // BENCH_R12_Q109.json): both sides are the same payload-carrying
+    // exchange, which ReuseExchange shares only once; the in-partition
+    // sort runs on target-occupancy cells (tiny runs over an already
+    // clustered stream) while a hash build would copy the ~20 MB
+    // per-partition payload into a hash table before probing. PlanSpec
+    // pins the executed shape: one reused exchange, SMJ on (band, key),
+    // no broadcast-nested-loop or cartesian anywhere.
+    val pairs = x.join(y, Seq("band", "key"))
       .filter(col("v1") < col("v2") && firstBand)
       .withColumn("cos",
         round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
@@ -725,6 +776,7 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos"))
       .distinct()
       .orderBy("v1", "v2")
+    (pairs, over)
   }
 
   val q109Sql: String = {

@@ -40,6 +40,32 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q109 bucket self-join: sort-merge on (band, key), one exchange reused by both sides") {
+    // the MEASURED decision (BENCH_R12_Q109.json): SMJ beat SHUFFLE_HASH
+    // (13.9 vs 19.1 s at gen-sf10) because both sides are one reused
+    // payload exchange and the in-partition sort runs on tiny clustered
+    // cells — pin it so a silent strategy flip is caught. Auto-broadcast
+    // is disabled for the assertion: at sf0.001 stats would broadcast
+    // the whole bucket side, which is exactly the strategy a 100 TB run
+    // can never take; the pinned shape is the at-scale one. (The
+    // remaining BroadcastNestedLoopJoin in the plan is the audited
+    // one-ROW scalar-dial crossJoin, not pair generation.)
+    // exchange reuse is an AQE RUNTIME decision, so the query must
+    // execute before the final plan shows it
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    val p = try {
+      spark.conf.set(thresholdKey, "-1")
+      val df = Dedup.q109EmbedLsh(spark, sfDir)
+      df.collect()
+      planOf(df)
+    } finally spark.conf.set(thresholdKey, saved)
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("SortMergeJoin [band"), p)
+    assert(p.contains("ReusedExchange"), "both join sides must share ONE exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ANN brute force uses broadcast nested loop (bounded probe side)") {
     val p = planOf(Similarity.q45AnnTopk(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.LrTrain
+import graft.operators.{Dedup, LrTrain}
 
 /** Round-13 hardening specs: the persisted model registry's Hadoop-FS
   * port (r12 verdict item 3 / ADVICE medium) — scheme'd paths, torn
@@ -124,5 +124,35 @@ class Round13OpsSpec extends GraftSpec {
       LrTrain.docWeightsWide(spark, sfDir).count()
       assert(LrTrain.trainCount.get() == t0, "pruning broke the kept artifacts")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("q109 occupancy cap: off == today's result, on == subset with a loud overflow report") {
+    def pairs(): Set[(Long, Long)] =
+      Dedup.q109EmbedLsh(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap OFF: the overflow report is empty and the result is the
+    // committed oracle-green default
+    val dflt = pairs()
+    assert(Dedup.q109OverflowCells(spark, sfDir).count() == 0)
+    assert(dflt.nonEmpty)
+    try {
+      // a cap below the densest cell: that cell must vanish from pair
+      // enumeration and surface — loudly — in the report
+      spark.conf.set("spark.graft.rplsh.maxOcc", "8")
+      val capped = pairs()
+      val over = Dedup.q109OverflowCells(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      assert(over.nonEmpty, "cap=8 dropped nothing at sf0.001 — dial the spec")
+      assert(over.forall(_._3 > 8), s"reported cells must exceed the cap: ${over.toSeq}")
+      assert(capped.subsetOf(dflt),
+        "capped output must be a subset of the uncapped pairs")
+      assert(capped != dflt,
+        "cap=8 changed nothing — the report would be vacuous")
+      // a generous cap reproduces the default exactly (no off-by-one at
+      // the boundary: only cells STRICTLY over the cap are excluded)
+      spark.conf.set("spark.graft.rplsh.maxOcc", "1000000")
+      assert(pairs() == dflt)
+      assert(Dedup.q109OverflowCells(spark, sfDir).count() == 0)
+    } finally spark.conf.unset("spark.graft.rplsh.maxOcc")
   }
 }
