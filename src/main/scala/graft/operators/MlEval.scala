@@ -478,26 +478,60 @@ object MlEval {
        |ORDER BY side, fold""".stripMargin
   }
 
+  /** One grid point's isolated child session: the parent's ENTIRE
+    * modifiable runtime conf is copied (r12 ADVICE: copying only
+    * spark.graft.* silently reverted any other per-session tuning —
+    * e.g. spark.sql.shuffle.partitions — to context defaults inside
+    * the sweep), then the point's dial is set. Nothing mutates the
+    * caller's conf, so a concurrent query on `s` can never train or
+    * serve under a transient dial (r11 ADVICE; the dial-keyed model
+    * cache then holds each point's fit under its own key).
+    */
+  private[graft] def gridChildSession(s: SparkSession, lrDen: Int): SparkSession = {
+    val s2 = s.newSession()
+    // graft dials are unregistered custom keys (isModifiable = false
+    // for those), so they're copied by prefix; everything else by the
+    // runtime-modifiability test, which excludes static/context conf
+    s.conf.getAll.foreach { case (ck, cv) =>
+      if (ck.startsWith("spark.graft.") || s2.conf.isModifiable(ck))
+        s2.conf.set(ck, cv)
+    }
+    s2.conf.set("spark.graft.lr.lrDen", lrDen.toString)
+    s2
+  }
+
   /** GridSearchCV's shape: one CV sweep per hyperparameter point, one
-    * summary row (point, mean accuracy) each. Each point runs in its
-    * OWN child session (s.newSession with the graft dials copied and
-    * the point's lrDen set) — nothing mutates the caller's conf, so a
-    * concurrent query on `s` can never train or serve under a
-    * transient dial (r11 ADVICE; the dial-keyed model cache then holds
-    * each point's fit under its own key).
+    * summary row (point, mean accuracy) each, points submitted
+    * CONCURRENTLY (r12 verdict item 6): the child sessions and the
+    * dial-keyed cache already isolate the points completely, and each
+    * point — like the fold fits inside it — spends much of its wall
+    * time at driver-side parameter-server barriers, so overlapping
+    * points keeps the cluster busy. Results return in grid order.
+    *
+    * Session lifetime contract: Spark offers no way to dispose a child
+    * session's SessionState short of stopping the context, so each
+    * point's session lives for the JVM. The pool caps CONCURRENCY at 4
+    * points, not session count — an unbounded grid should chunk its
+    * dials across JVMs (a grid big enough for that to matter retrains
+    * thousands of models and has far larger concerns than SessionState).
     */
   private[graft] def sidedGridSearch(s: SparkSession, dir: String,
-      lrDens: Seq[Int], k: Int): Seq[(Int, Double)] =
-    lrDens.map { den =>
-      val s2 = s.newSession()
-      s.conf.getAll.filter(_._1.startsWith("spark.graft."))
-        .foreach { case (ck, cv) => s2.conf.set(ck, cv) }
-      s2.conf.set("spark.graft.lr.lrDen", den.toString)
-      val mean = sidedCrossVal(s2, dir, k)
-        .agg(avg(col("acc_micros").cast(DoubleType) / lit(1000000.0)))
-        .head.getDouble(0)
-      den -> mean
-    }
+      lrDens: Seq[Int], k: Int): Seq[(Int, Double)] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(lrDens.size, 4)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(lrDens.map { den =>
+        scala.concurrent.Future {
+          val mean = sidedCrossVal(gridChildSession(s, den), dir, k)
+            .agg(avg(col("acc_micros").cast(DoubleType) / lit(1000000.0)))
+            .head.getDouble(0)
+          den -> mean
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+  }
 
   def q134Sql: String = {
     val it = LrTrain.Iters

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, LrTrain}
+import graft.operators.{Dedup, LrTrain, MlEval}
 
 /** Round-13 hardening specs: the persisted model registry's Hadoop-FS
   * port (r12 verdict item 3 / ADVICE medium) — scheme'd paths, torn
@@ -124,6 +124,23 @@ class Round13OpsSpec extends GraftSpec {
       LrTrain.docWeightsWide(spark, sfDir).count()
       assert(LrTrain.trainCount.get() == t0, "pruning broke the kept artifacts")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("grid child sessions inherit the parent's FULL runtime conf, not just graft dials") {
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.conf.set("spark.graft.lr.iters", "2")
+      val child = MlEval.gridChildSession(spark, 64)
+      assert(child.conf.get("spark.sql.shuffle.partitions") == "7",
+        "non-graft runtime tuning reverted to context defaults in the sweep")
+      assert(child.conf.get("spark.graft.lr.iters") == "2")
+      assert(child.conf.get("spark.graft.lr.lrDen") == "64")
+      // isolation is one-way: the point's dial never leaks to the parent
+      assert(spark.conf.getOption("spark.graft.lr.lrDen").isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.unset("spark.graft.lr.iters")
+    }
   }
 
   test("q109 occupancy cap: off == today's result, on == subset with a loud overflow report") {
