@@ -182,6 +182,24 @@ object LrTrain {
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Deterministically release a `localCheckpoint`'s blocks. Every GD
+    * iteration ends in asLocal (a driver collect), so the corpus
+    * checkpoints are DEAD the moment a training function returns its
+    * local weight matrix — but their MEMORY_AND_DISK blocks otherwise
+    * survive until a driver GC lets the ContextCleaner notice the
+    * dropped reference: a long-lived serving session that trains many
+    * (corpus, dial) registry keys would carry every dead training
+    * corpus in storage memory indefinitely. Call ONLY on frames whose
+    * consumers have all been collected — an unpersisted localCheckpoint
+    * cannot be recomputed (its lineage is truncated), which is exactly
+    * why the k-fold harness does NOT free its shared checkpoints (the
+    * returned CV frame still scores the eval slices from them lazily).
+    */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   // --- wide (packed-class) training loop --------------------------------
   // The class count is a FIXED small constant, so the class axis lives
   // in COLUMNS (w0..w4 / m0..m4 / r0..r4 / g0..g4), not rows:
@@ -265,9 +283,12 @@ object LrTrain {
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
     val sess = docs.sparkSession
-    Iterator.iterate(w0)(w =>
+    val path = Iterator.iterate(w0)(w =>
         gdStep(xdb, labels, nDf, w, Seq("doc_id"), Seq.empty, LrDen(sess)))
       .take(Iters(sess) + 1).toSeq.map(toLong(_, Seq.empty))
+    // the trajectory is all local relations now — release the corpus
+    freeCheckpoint(xdb); freeCheckpoint(labels)
+    path
   }
 
   private[graft] def docWeightPath(s: SparkSession, dir: String): Seq[DataFrame] =
@@ -349,11 +370,13 @@ object LrTrain {
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
     val sess = docs.sparkSession
-    toLong(
+    val w = toLong(
       Iterator.iterate(w0)(w =>
           gdStepBalanced(xdb, labels, nDf, ncDf, w, LrDen(sess)))
         .drop(Iters(sess)).next(),
       Seq.empty)
+    freeCheckpoint(xdb); freeCheckpoint(labels)
+    w
   }
 
   private[graft] def trainedDocWeightsBalanced(s: SparkSession, dir: String): DataFrame =
@@ -937,7 +960,9 @@ object LrTrain {
     // would otherwise be re-shuffled by every frame of every iteration.
     val sided = sidedLines(s, dir).filter(keep).localCheckpoint()
     val xdb = sideXdb(sided).localCheckpoint()
-    trainedSideWeightsOn(s, sided, xdb)
+    val w = trainedSideWeightsOn(s, sided, xdb)
+    freeCheckpoint(sided); freeCheckpoint(xdb)
+    w
   }
 
   /** The sided GD loop over PRE-MATERIALIZED corpus frames: `sided` is

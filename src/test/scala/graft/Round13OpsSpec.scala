@@ -172,4 +172,27 @@ class Round13OpsSpec extends GraftSpec {
       assert(Dedup.q109OverflowCells(spark, sfDir).count() == 0)
     } finally spark.conf.unset("spark.graft.rplsh.maxOcc")
   }
+
+  test("training releases its corpus checkpoints; the weights survive the release") {
+    // The GD loop collects every iterate to a local relation, so the
+    // checkpointed corpus frames are dead when training returns — and a
+    // long-lived serving session must not carry one dead corpus per
+    // trained (corpus, dial) key until a driver GC runs. Persistent-RDD
+    // ids are compared as sets (other suites share this session; the
+    // ContextCleaner may remove entries concurrently, so we assert no
+    // ADDITIONS rather than equality).
+    LrTrain.clearModelCache()
+    def persisted: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persisted
+    val plain = LrTrain.docWeights(spark, sfDir).collect().toSeq
+    val sided = LrTrain.trainedSideWeights(spark, sfDir).collect().toSeq
+    val diff = persisted -- before
+    assert(diff.isEmpty,
+      s"training left persisted RDDs behind: ids $diff")
+    // the returned matrices are self-contained local relations: they
+    // collect identically after the corpus blocks are gone
+    assert(LrTrain.docWeights(spark, sfDir).collect().toSeq == plain)
+    assert(LrTrain.trainedSideWeights(spark, sfDir).collect().toSeq == sided)
+  }
 }
