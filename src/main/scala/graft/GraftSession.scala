@@ -32,6 +32,17 @@ object GraftSession {
       // Tables.events branches on the file's actual logical type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // The default 100-entry codegen class cache (STATIC conf — JVM-wide,
+      // set at first-session build) thrashes on this engine: one DAG-shaped
+      // query (q108's TF-IDF→k-means chain) generates ~56 classes, so a
+      // session serving the 138-query registry evicts and RE-Janino-compiles
+      // byte-identical sources on every repeated execution (~85 recompiles
+      // per q108 run, measured r13), and each fresh class re-enters HotSpot
+      // cold — feeding the C2 compile/deopt churn the r13 gen-sf1 sweep
+      // diagnosed. 10k entries ≈ tens of MB of class metadata on the driver,
+      // priced against recompiling the working set all day on a long-lived
+      // serving session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
