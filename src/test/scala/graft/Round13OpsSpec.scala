@@ -173,6 +173,16 @@ class Round13OpsSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.rplsh.maxOcc")
   }
 
+  test("the session carries the enlarged codegen class cache (static conf)") {
+    // spark.sql.codegen.cache.maxEntries is STATIC: it only takes effect
+    // when the JVM's FIRST session is built, and silently no-ops if set
+    // later — a refactor that moves it out of GraftSession's builder (or
+    // builds any session before it) would quietly reinstate the
+    // 100-entry LRU thrash of BENCH_R13_CODEGEN_CACHE.json. Reading it
+    // off the live shared session proves the builder path applied it.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "10000")
+  }
+
   test("training releases its corpus checkpoints; the weights survive the release") {
     // The GD loop collects every iterate to a local relation, so the
     // checkpointed corpus frames are dead when training returns — and a
