@@ -177,7 +177,7 @@ object LrTrain {
     * frame (measured: 270-380 s cold side-model fits at gen-sf1;
     * ~40 s after this fix).
     */
-  private def asLocal(df: DataFrame): DataFrame = {
+  private[graft] def asLocal(df: DataFrame): DataFrame = {
     val rows = df.collect()
     df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
@@ -191,9 +191,9 @@ object LrTrain {
     * (corpus, dial) registry keys would carry every dead training
     * corpus in storage memory indefinitely. Call ONLY on frames whose
     * consumers have all been collected — an unpersisted localCheckpoint
-    * cannot be recomputed (its lineage is truncated), which is exactly
-    * why the k-fold harness does NOT free its shared checkpoints (the
-    * returned CV frame still scores the eval slices from them lazily).
+    * cannot be recomputed (its lineage is truncated), which is why the
+    * k-fold harness materializes its tiny CV summary via asLocal
+    * BEFORE freeing its shared corpus checkpoints (r13 verdict item 5).
     */
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
@@ -507,6 +507,15 @@ object LrTrain {
     */
   private[graft] val trainCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Deterministic-interleave seam for the concurrent-writer spec:
+    * invoked inside saveArtifact after the staging dir is fully
+    * written, immediately before the commit (delete-if-invalid +
+    * rename). A spec plants a competing save here to drive the
+    * two-writers-same-key race on an exact schedule; production code
+    * never sets it.
+    */
+  @volatile private[graft] var raceHook: () => Unit = () => ()
+
   private def registryRoot(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.model.registry.dir").map(_.trim).filter(_.nonEmpty)
 
@@ -541,17 +550,23 @@ object LrTrain {
     * fields stringified + the lines sorted, so the digest is a pure
     * function of the row SET — parquet split/read order can't matter.
     * Together with the row count it makes a partially-copied data dir
-    * (the object-store torn-rename case) unservable.
+    * (the object-store torn-rename case) unservable. Fields are
+    * LENGTH-PREFIXED (r13 ADVICE asked for an unambiguous encoding:
+    * the prior control-byte separator was ambiguous only for fields
+    * that CONTAIN that byte, but length-prefixing closes even that
+    * corner); artifacts digested under the old format fail validation
+    * once and retrain — the digest implicitly versions the sidecar.
     */
-  private def rowsDigest(rows: Array[org.apache.spark.sql.Row]): String = {
+  private[graft] def rowsDigest(rows: Array[org.apache.spark.sql.Row]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    rows.map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
-        .mkString(""))
+    rows.map(r => (0 until r.length).map { i =>
+        val v = String.valueOf(r.get(i)); s"${v.length}:$v"
+      }.mkString)
       .sorted.foreach(line => md.update((line + "\n").getBytes(Utf8)))
     md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
-  private def loadArtifact(s: SparkSession, root: String, name: String,
+  private[graft] def loadArtifact(s: SparkSession, root: String, name: String,
       key: String): Option[(StructType, Array[org.apache.spark.sql.Row])] =
     try {
       val rootP = new HPath(root)
@@ -574,7 +589,7 @@ object LrTrain {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def saveArtifact(s: SparkSession, root: String, name: String,
+  private[graft] def saveArtifact(s: SparkSession, root: String, name: String,
       key: String, schema: StructType,
       rows: Array[org.apache.spark.sql.Row]): Unit =
     try {
@@ -586,6 +601,14 @@ object LrTrain {
       // an existing INVALID one (torn copy, superseded sidecar layout)
       // is replaced, so cold sessions stop paying retrain forever
       if (loadArtifact(s, root, name, key).isEmpty) {
+        // remember NOW whether the pre-check saw a (necessarily
+        // invalid) dir: only that case may delete before rename. The
+        // r13 form deleted unconditionally, so a racing writer could
+        // transiently remove a JUST-committed valid artifact (readers
+        // in the gap retrained) — now a fresh write never deletes, and
+        // losing the rename race means a valid winner exists (r13
+        // ADVICE)
+        val presentInvalid = fs.exists(dir)
         val tmp = new HPath(rootP,
           s".tmp-$name-${keyHash(key)}-${java.util.UUID.randomUUID}")
         fs.mkdirs(tmp)
@@ -597,8 +620,19 @@ object LrTrain {
           s"${rows.length}\n${rowsDigest(rows)}")
         // MODEL_KEY last: a load only trusts a dir whose key validates
         writeSidecar(fs, new HPath(tmp, "MODEL_KEY"), key)
-        fs.delete(dir, true) // replace invalid leftovers; no-op if absent
+        raceHook() // deterministic-interleave test seam; no-op in prod
+        if (presentInvalid) fs.delete(dir, true) // replace torn leftovers
         if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // concurrent winner
+        else {
+          // Hadoop FileSystem.rename onto an EXISTING dst dir moves src
+          // INSIDE it (HDFS mv semantics) and returns true — a rename
+          // loser would otherwise leave its whole staging dir nested in
+          // the winner's artifact where the root-level sweep never
+          // looks. Detect and drop the stray; the winner's sidecars and
+          // data are untouched either way.
+          val stray = new HPath(dir, tmp.getName)
+          if (fs.exists(stray)) fs.delete(stray, true)
+        }
       }
       sweepStaleTmp(fs, rootP)
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -606,13 +640,25 @@ object LrTrain {
   /** Best-effort GC of crashed writers' staging dirs (r12 ADVICE: a
     * crashed save leaked its .tmp-* dir permanently). One hour of age is
     * far beyond any live writer — a save holds its staging dir only for
-    * the seconds a KB-sized parquet write takes.
+    * the seconds a KB-sized parquet write takes. Also sweeps ONE level
+    * inside each artifact dir: a rename loser that crashed between the
+    * moved-inside rename and its stray-cleanup leaves its staging dir
+    * NESTED in the winner's artifact (r13 ADVICE), invisible to a
+    * root-only listing. Registry roots hold tens of dirs, so the extra
+    * level is a handful of metadata calls.
     */
   private def sweepStaleTmp(fs: HFs, rootP: HPath): Unit =
-    try fs.listStatus(rootP).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-") &&
-          System.currentTimeMillis - st.getModificationTime > 3600000L)
-        fs.delete(st.getPath, true)
+    try {
+      def staleTmp(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        st.getPath.getName.startsWith(".tmp-") &&
+          System.currentTimeMillis - st.getModificationTime > 3600000L
+      fs.listStatus(rootP).foreach { st =>
+        if (staleTmp(st)) fs.delete(st.getPath, true)
+        else if (st.isDirectory)
+          fs.listStatus(st.getPath).foreach { c =>
+            if (staleTmp(c)) fs.delete(c.getPath, true)
+          }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   // --- registry inspection / GC (r12 verdict item 7) --------------------
@@ -644,16 +690,29 @@ object LrTrain {
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }
 
+  /** The registry's model inventory — the ONE source of truth for
+    * (model name → corpus table). `cachedModel` REFUSES an
+    * unregistered name, so an accessor added without an inventory row
+    * fails its very first call (any test, any query); `currentKeys`
+    * derives the prune keep-set from the same map, so the two can
+    * never drift (r13 ADVICE: the hand-maintained keep-set omitted
+    * doc_lr_bal, and pruneArtifacts GC'd the CURRENT balanced-doc
+    * artifact — every prune + cold session silently retrained q135).
+    */
+  private[graft] val ModelInventory: Map[String, String] = Map(
+    "doc_lr" -> "documents", "doc_lr_wide" -> "documents",
+    "doc_lr80" -> "documents", "doc_lr80_wide" -> "documents",
+    "doc_lr_bal" -> "documents",
+    "doc_lr_bal80" -> "documents", "doc_lr_bal80_wide" -> "documents",
+    "side_lr" -> "lineitem", "side_lr_wide" -> "lineitem")
+
   /** The cache keys the CURRENT session would use for every model the
     * registry serves over `dir` — the keep-set for pruneArtifacts
-    * (anything else is a superseded corpus, dial, or algorithm version).
+    * (anything else is a superseded corpus, dial, or algorithm
+    * version). Derived from ModelInventory, never hand-listed.
     */
   def currentKeys(s: SparkSession, dir: String): Set[String] =
-    Seq("doc_lr" -> "documents", "doc_lr_wide" -> "documents",
-      "doc_lr80" -> "documents", "doc_lr80_wide" -> "documents",
-      "doc_lr_bal80" -> "documents", "doc_lr_bal80_wide" -> "documents",
-      "side_lr" -> "lineitem", "side_lr_wide" -> "lineitem")
-      .map { case (name, table) => modelKey(s, dir, table, name) }.toSet
+    ModelInventory.map { case (name, table) => modelKey(s, dir, table, name) }.toSet
 
   /** GC the registry: delete every complete artifact whose stored key is
     * NOT in `keepKeys` (superseded corpus/dial/algo fits — the registry
@@ -688,8 +747,14 @@ object LrTrain {
     s"$AlgoVersion|$name|$dir|it=${Iters(s)}|den=${LrDen(s)}|" +
       graft.Tables.freshnessToken(s, s"$dir/$table.parquet")
 
-  private def cachedModel(s: SparkSession, dir: String, table: String,
+  private[graft] def cachedModel(s: SparkSession, dir: String, table: String,
       name: String)(train: => DataFrame): DataFrame = {
+    // inventory gate: an accessor whose (name, table) is not registered
+    // would train fine but have its artifact GC'd by pruneArtifacts —
+    // fail fast instead, at the first call, in every test
+    require(ModelInventory.get(name).contains(table),
+      s"model '$name' over '$table' is not in LrTrain.ModelInventory — " +
+        "register it there or pruneArtifacts will GC its artifact")
     // hyperparameters are part of the model identity: a session that
     // re-dials iters/lrDen must retrain, not reuse another dial's fit
     // (resolved from the EXPLICIT session — r11 ADVICE)
@@ -974,7 +1039,18 @@ object LrTrain {
     * cost); at 100 TB the CV costs k fits over one shared scan.
     */
   private[graft] def trainedSideWeightsOn(s: SparkSession, sided: DataFrame,
-      xdb: DataFrame): DataFrame = {
+      xdb: DataFrame): DataFrame =
+    trainedSideWeightsOn(s, sided, xdb, Iters(s), LrDen(s))
+
+  /** The dial-explicit form: `iters`/`lrDen` are plain VALUES, so a
+    * harness that runs several fits as one logical unit (the k-fold
+    * CV) snapshots the session dials ONCE at entry and every fit
+    * provably trains under that snapshot — a concurrent re-dial of the
+    * session mid-flight can no longer split the folds across
+    * hyperparameters (r13 verdict item 3).
+    */
+  private[graft] def trainedSideWeightsOn(s: SparkSession, sided: DataFrame,
+      xdb: DataFrame, iters: Int, lrDen: Long): DataFrame = {
     val labels = sided.select("lid", "y_cls")
     val nDf = sided.groupBy("side").agg(count(lit(1)).as("n"))
     val w0 = asLocal(xdb.select("side", "bucket").distinct()
@@ -982,8 +1058,8 @@ object LrTrain {
         (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
     toLong(
       Iterator.iterate(w0)(w =>
-          gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("side"), LrDen(s)))
-        .drop(Iters(s)).next(),
+          gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("side"), lrDen))
+        .drop(iters).next(),
       Seq("side"))
   }
 
