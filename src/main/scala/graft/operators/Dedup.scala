@@ -661,6 +661,17 @@ object Dedup {
   private[graft] def rpMaxOcc(s: SparkSession): Option[Long] =
     s.conf.getOption("spark.graft.rplsh.maxOcc").map(_.trim.toLong)
 
+  /** q139's occupancy cap: unlike q109's optional maxOcc it is ALWAYS
+    * on (the routed operator exists precisely to handle the cells a cap
+    * excludes), defaulting to the target occupancy the auto-dial holds
+    * the median cell at — anything above it is the dense tail.
+    */
+  val RouteCapDefault: Long = RpTargetOcc
+
+  private[graft] def routeCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.rplsh.routeCap").map(_.trim.toLong)
+      .getOrElse(RouteCapDefault)
+
   def q109EmbedLsh(s: SparkSession, dir: String): DataFrame =
     q109Core(s, dir)._1
 
@@ -672,7 +683,33 @@ object Dedup {
   def q109OverflowCells(s: SparkSession, dir: String): DataFrame =
     q109Core(s, dir)._2
 
+  /** The overflow report at an EXPLICIT cap (spec/probe convenience —
+    * q139's routing spec checks verdict coverage against it).
+    */
+  private[graft] def q109OverflowCellsAt(s: SparkSession, dir: String,
+      cap: Long): DataFrame =
+    rpLshParts(s, dir, Some(cap)).over
+
   private def q109Core(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = rpLshParts(s, dir, rpMaxOcc(s))
+    (p.pairs, p.over)
+  }
+
+  /** The LSH pipeline's three shareable frames: the verified pair set,
+    * the over-cap cell report, and the exploded (band, key, vector)
+    * rows BEFORE cap exclusion — q139's routing pass draws its
+    * dense-cell membership from the last, so the representative
+    * verdicts cover exactly the rows the cap removed from pair
+    * enumeration.
+    */
+  private final case class RpLshParts(pairs: DataFrame, over: DataFrame,
+      exploded: DataFrame)
+
+  /** The signature frame shared by q109 and q139: filtered corpus with
+    * norms, the auto-sized (or pinned) bit dial, and the per-band key
+    * array from the native RpLshKeysExpr. Returns (sigs, nBands).
+    */
+  private def rpSigs(s: SparkSession, dir: String): (DataFrame, Int) = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
@@ -697,9 +734,25 @@ object Dedup {
     // expression computes every band key in one fused codegen'd pass
     // with the identical IEEE sequence (spec-proven bit-for-bit, and
     // the DuckDB twin below is unchanged).
-    val sigs = withBits.select(col("vec_id"), col("embedding"), col("nrm"),
+    (withBits.select(col("vec_id"), col("embedding"), col("nrm"),
       call_function("rp_lsh_keys", col("embedding"), col("bits"),
-        lit(nBands), lit(RpMaxBits)).as("keys"))
+        lit(nBands), lit(RpMaxBits)).as("keys")), nBands)
+  }
+
+  /** First-colliding-band gate over both sides' full key arrays: a pair
+    * matched in band b is kept only if no band b' < b also collides —
+    * a codegen'd AND-chain, no extra shuffle; with the final distinct
+    * it makes multi-band emission order-invariant.
+    */
+  private def rpFirstBandGate(nBands: Int): Column =
+    (0 until nBands - 1).map { bp =>
+      (col("band") <= bp) ||
+        (element_at(col("ka"), bp + 1) =!= element_at(col("kb"), bp + 1))
+    }.foldLeft(lit(true))(_ && _)
+
+  private def rpLshParts(s: SparkSession, dir: String,
+      capOpt: Option[Long]): RpLshParts = {
+    val (sigs, nBands) = rpSigs(s, dir)
     // The band shuffle CARRIES THE PAYLOAD (embedding + norm): bands ×
     // one embedding per vector is strictly linear (~1.2 KB/vector at
     // bands=4), and it means exact-cosine verification runs INLINE in
@@ -726,10 +779,10 @@ object Dedup {
     // and the pair plan below is EXACTLY the uncapped plan (spec-pinned)
     val occ = sigs.select(posexplode(col("keys")).as(Seq("band", "key")))
       .groupBy("band", "key").agg(count(lit(1)).as("occ"))
-    val (inCap, over) = rpMaxOcc(s) match {
+    val (inCap, over) = capOpt match {
       case None => (exploded, occ.filter(lit(false)))
       case Some(cap) =>
-        require(cap >= 1, s"spark.graft.rplsh.maxOcc=$cap must be >= 1")
+        require(cap >= 1, s"the rp-LSH occupancy cap $cap must be >= 1")
         val o = occ.filter(col("occ") > cap)
         // broadcast anti-join BEFORE the band shuffle, so an excluded
         // cell's payload rows are never exchanged at all
@@ -745,16 +798,9 @@ object Dedup {
       col("embedding").as("e2"), col("nrm").as("n2"), col("keys").as("kb"))
     // FIRST-COLLIDING-BAND gate, before any per-pair arithmetic: a
     // dense cluster lands in one cell in EVERY band, so its quadratic
-    // pair block would be enumerated and cosine-verified bands× times.
-    // Both sides carry their full key arrays (bands ints), and a pair
-    // matched in band b is kept only if no band b' < b also collides —
-    // a codegen'd AND-chain of element_at comparisons, no extra
-    // shuffle, and the final distinct already made multi-band emission
-    // order-invariant, so the result set is bit-identical.
-    val firstBand = (0 until nBands - 1).map { bp =>
-      (col("band") <= bp) ||
-        (element_at(col("ka"), bp + 1) =!= element_at(col("kb"), bp + 1))
-    }.foldLeft(lit(true))(_ && _)
+    // pair block would be enumerated and cosine-verified bands× times
+    // (rpFirstBandGate — shared with q139).
+    val firstBand = rpFirstBandGate(nBands)
     // exact verification FIRST, dedup AFTER the gate (r11): the ≥τ
     // gate leaves survivors measured in thousands, so the distinct
     // costs nothing. Same result set: cos is a pure function of the
@@ -776,10 +822,16 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos"))
       .distinct()
       .orderBy("v1", "v2")
-    (pairs, over)
+    RpLshParts(pairs, over, exploded)
   }
 
-  val q109Sql: String = {
+  /** Shared CTE prefix of the rp-LSH twins (q109 / q139): filtered
+    * corpus `nz`, auto-sized bit dial `nb`, per-band signatures `sig`,
+    * and the unrolled `buckets` union — byte-identical to what q109Sql
+    * always emitted, just factored so q139Sql replays the exact same
+    * signature pipeline.
+    */
+  private[graft] val rpLshCommonCteSql: String = {
     def planeSql(h: Int) =
       s"(CAST((1103515245 * ($h * 1000003 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
     def bitSql(h: Int) =
@@ -800,7 +852,6 @@ object Dedup {
     val bucketUnion = (0 until RpBands)
       .map(b => s"SELECT vec_id, $b AS band, band$b AS key FROM sig")
       .mkString("\n UNION ALL ")
-    val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
     val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
     s"""WITH nz AS (
        | SELECT * FROM (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings) WHERE nrm > 0
@@ -812,7 +863,12 @@ object Dedup {
        | FROM nz CROSS JOIN nb
        |), buckets AS (
        | $bucketUnion
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  val q109Sql: String = {
+    val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
+    rpLshCommonCteSql + s""", cand AS (
        | SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
        | FROM buckets x JOIN buckets y USING (band, key)
        | WHERE x.vec_id < y.vec_id
@@ -822,6 +878,171 @@ object Dedup {
        | FROM cand c JOIN nz a ON c.v1 = a.vec_id JOIN nz b ON c.v2 = b.vec_id)
        |WHERE cos >= 0.35
        |ORDER BY v1, v2""".stripMargin
+  }
+
+  // T5b capstone (round 14, r13 verdict item 1): the dense-cell routing
+  // made EXECUTABLE. q109's occupancy cap excludes over-cap cells from
+  // pair enumeration and reports them; until now "route those cells to
+  // the q55/q81 representative path" was prose a 100 TB operator had to
+  // hand-compose. q139 is that composition as ONE oracle-checked
+  // operator:
+  //   - in-cap cells: exactly the capped q109 pair set (bit-for-bit —
+  //     spec-pinned against q109 under maxOcc = the same cap);
+  //   - over-cap cells: a q81-style keeper pass WITHIN each reported
+  //     cell. Each over-cap member is assigned to its FIRST reported
+  //     cell (min (band, key) — one verdict per member, even when a
+  //     dense cluster blows cells in several bands), the cell's
+  //     representative is its smallest assigned vec_id, and every
+  //     member gets (rep_id, cos-to-rep, kept = is-rep or cos < τ).
+  // Scale shape: the members join is a broadcast of the tiny over-cell
+  // report against the already-computed exploded rows; the assignment
+  // and representative passes are two windows over ONLY the dense-cell
+  // members (the 727k-of-2.4M rows at gen-sf30, never the corpus); the
+  // rep re-attach broadcasts one row per cell. Work replaced: the
+  // Θ(cell²) pair mass of the dense tail — 77% of all pairs at sf30 —
+  // becomes ONE linear cosine pass per member, which is exactly the
+  // SemDeDup argument for why representatives suffice there.
+  //
+  // Pair-part semantics under the cap (also what the DuckDB twin
+  // replays): a pair survives iff its FIRST colliding band's cell is
+  // in-cap — the plan's first-colliding-band gate evaluates on the full
+  // key arrays, so a pair whose first shared cell was excluded is never
+  // emitted from a later band. With the cap off this degenerates to
+  // q109's plain DISTINCT (every pair's first cell is present).
+  def q139RoutedDedup(s: SparkSession, dir: String): DataFrame = {
+    val cap = routeCap(s)
+    require(cap >= 1, s"spark.graft.rplsh.routeCap=$cap must be >= 1")
+    val (sigs, nBands) = rpSigs(s, dir)
+    // ONE payload exchange feeds the whole operator: unlike q109 (which
+    // anti-joins over-cap cells away BEFORE its shuffle, because capped
+    // q109 never looks at them again), q139 CONSUMES the over-cap rows
+    // — they are the verdict pass's input — so excluding them from the
+    // exchange would just force a second corpus scan + signature pass
+    // to fetch them back. Repartitioning the full exploded rows once by
+    // (band, key) lets the pair join's two sides AND the member slice
+    // read the same reused exchange: one scan, one signature pass, one
+    // linear payload shuffle for the entire routed operator.
+    val exploded = sigs
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("key"))
+    // occupancy as a WINDOW over the exchange (cells are co-located, so
+    // the count is in-partition — no separate id-free census subtree,
+    // no broadcast): the same occ > cap split q109's anti-join encodes
+    val withOcc = exploded.withColumn("occ",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val inCap = withOcc.filter(col("occ") <= cap)
+    // --- in-cap cells: exactly the capped q109 pair plan --------------
+    val x = inCap.select(col("band"), col("key"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"), col("keys").as("ka"))
+    val y = inCap.select(col("band"), col("key"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"), col("keys").as("kb"))
+    val pairs = x.join(y, Seq("band", "key"))
+      .filter(col("v1") < col("v2") && rpFirstBandGate(nBands))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("v1"), col("v2"), col("cos"))
+      .distinct()
+    // --- over-cap cells: the q81-style keeper pass --------------------
+    // Everything below operates on the dense-cell members ONLY (the
+    // n/cap-bounded tail — 727k of 2.4M exploded rows at gen-sf30),
+    // never the corpus: one small shuffle to assign each member its
+    // first reported cell, one tiny aggregate for the per-cell
+    // representative, one broadcast re-attach for the cosine.
+    val members = withOcc.filter(col("occ") > cap)
+      .select("band", "key", "vec_id", "embedding", "nrm")
+    val assigned = members
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("band", "key")))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy("band", "key")))
+    // one row per reported cell (≤ n/cap rows) — broadcast re-attach
+    val reps = assigned.filter(col("vec_id") === col("rep_id"))
+      .select(col("band"), col("key"),
+        col("embedding").as("rep_vec"), col("nrm").as("rep_nrm"))
+    val verdicts = assigned.join(broadcast(reps), Seq("band", "key"))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("embedding"), col("rep_vec")) /
+          (col("nrm") * col("rep_nrm")), 6))
+      .select(lit("overcap").as("kind"), col("band"), col("key"),
+        col("vec_id").as("v1"), col("rep_id").as("v2"), col("cos"),
+        (col("vec_id") === col("rep_id") || col("cos") < 0.35).as("kept"))
+    val pairsPart = pairs.select(lit("pair").as("kind"),
+      lit(null).cast(IntegerType).as("band"),
+      lit(null).cast(IntegerType).as("key"),
+      col("v1"), col("v2"), col("cos"),
+      lit(null).cast(BooleanType).as("kept"))
+    pairsPart.unionByName(verdicts)
+      .orderBy("kind", "band", "key", "v1", "v2")
+  }
+
+  /** The DuckDB twin replays the WHOLE routed operator from the same
+    * parquet: auto-sized bits, band keys, occupancy census, cap
+    * exclusion under first-colliding-band semantics, per-cell
+    * assignment + representative selection, and both cosine passes.
+    * The cap mirrors the session default (the driver gate runs
+    * defaults; a re-dialed session regenerates the twin through the
+    * ambient conf, the q138 pattern).
+    */
+  def q139Sql: String = {
+    val cap = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(routeCap).getOrElse(RouteCapDefault)
+    val dot = VectorFunctions.dotSql("a.embedding", "b.embedding")
+    val repDot = VectorFunctions.dotSql("va.embedding", "vr.embedding")
+    s"""$rpLshCommonCteSql,
+       |occ AS (
+       | SELECT band, key, COUNT(*) AS occ FROM buckets GROUP BY 1, 2
+       |), over AS (
+       | SELECT band, key FROM occ WHERE occ > $cap
+       |), colls AS (
+       | SELECT x.vec_id AS v1, y.vec_id AS v2, band, key
+       | FROM buckets x JOIN buckets y USING (band, key)
+       | WHERE x.vec_id < y.vec_id
+       |), fc AS (
+       | SELECT v1, v2, MIN(band) AS fb FROM colls GROUP BY 1, 2
+       |), cand AS (
+       | SELECT DISTINCT c.v1, c.v2
+       | FROM colls c
+       | JOIN fc ON c.v1 = fc.v1 AND c.v2 = fc.v2 AND c.band = fc.fb
+       | LEFT JOIN over o ON c.band = o.band AND c.key = o.key
+       | WHERE o.band IS NULL
+       |), pairs AS (
+       | SELECT v1, v2, cos FROM (
+       |  SELECT c.v1, c.v2, ROUND($dot / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand c JOIN nz a ON c.v1 = a.vec_id JOIN nz b ON c.v2 = b.vec_id)
+       | WHERE cos >= 0.35
+       |), mem AS (
+       | SELECT b.band, b.key, b.vec_id
+       | FROM buckets b JOIN over o USING (band, key)
+       |), asn AS (
+       | SELECT band, key, vec_id FROM (
+       |  SELECT band, key, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY band, key) AS rn
+       |  FROM mem)
+       | WHERE rn = 1
+       |), rep AS (
+       | SELECT band, key, MIN(vec_id) AS rep_id FROM asn GROUP BY 1, 2
+       |), verd AS (
+       | SELECT a.band, a.key, a.vec_id, r.rep_id,
+       |  ROUND($repDot / (va.nrm * vr.nrm), 6) AS cos
+       | FROM asn a
+       | JOIN rep r USING (band, key)
+       | JOIN nz va ON a.vec_id = va.vec_id
+       | JOIN nz vr ON r.rep_id = vr.vec_id
+       |)
+       |SELECT 'pair' AS kind, CAST(NULL AS INTEGER) AS band,
+       | CAST(NULL AS INTEGER) AS key, v1, v2, cos,
+       | CAST(NULL AS BOOLEAN) AS kept
+       |FROM pairs
+       |UNION ALL
+       |SELECT 'overcap', CAST(band AS INTEGER), CAST(key AS INTEGER),
+       | vec_id, rep_id, cos, (vec_id = rep_id OR cos < 0.35)
+       |FROM verd
+       |ORDER BY kind, band, key, v1, v2""".stripMargin
   }
 
   val q44Sql: String = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.operators.{LrTrain, MlEval}
+import graft.operators.{Dedup, LrTrain, MlEval}
 
 /** Round-14 hardening specs: the registry's single-source model
   * inventory (r13 ADVICE medium: a hand-maintained keep-set omitted
@@ -212,6 +212,63 @@ class Round14OpsSpec extends GraftSpec {
     }
     assert(out == expected,
       "a mid-CV re-dial leaked into the fold fits — folds split across dials")
+  }
+
+  // --- q139: the dense-cell routing made executable ---------------------
+
+  test("q139: every over-cap member gets exactly ONE verdict; reps keep themselves") {
+    val out = Dedup.q139RoutedDedup(spark, sfDir).collect()
+    val verd = out.filter(_.getString(0) == "overcap")
+    val pairs = out.filter(_.getString(0) == "pair")
+    assert(verd.nonEmpty, "no over-cap cells at the default cap — dial the spec")
+    assert(pairs.nonEmpty, "no in-cap pairs — dial the spec")
+    // exactly one verdict per over-cap member: the verdict v1s are
+    // unique AND cover precisely the distinct membership of the
+    // reported cells
+    val v1s = verd.map(_.getLong(3))
+    assert(v1s.distinct.length == v1s.length,
+      "a member got multiple verdicts (assignment window leaked)")
+    val reported = Dedup.q109OverflowCellsAt(spark, sfDir, Dedup.RouteCapDefault)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(reported.nonEmpty)
+    // the verdicts' (band, key) cells are all reported cells
+    assert(verd.forall(r => reported.contains((r.getInt(1), r.getInt(2)))))
+    // every rep keeps itself with cos exactly 1.0
+    val reps = verd.filter(r => r.getLong(3) == r.getLong(4))
+    assert(reps.nonEmpty)
+    assert(reps.forall(r => r.getBoolean(6) && r.getDouble(5) == 1.0))
+    // non-rep verdicts: kept <=> cos below tau
+    assert(verd.forall { r =>
+      r.getLong(3) == r.getLong(4) || (r.getBoolean(6) == (r.getDouble(5) < 0.35))
+    })
+    // each reported-and-assigned cell's rep is its smallest assigned id
+    val byCell = verd.groupBy(r => (r.getInt(1), r.getInt(2)))
+    assert(byCell.forall { case (_, rs) =>
+      rs.map(_.getLong(4)).distinct.length == 1 &&
+        rs.head.getLong(4) == rs.map(_.getLong(3)).min
+    })
+  }
+
+  test("q139's pair part is BIT-IDENTICAL to q109 under the same occupancy cap") {
+    val routed = Dedup.q139RoutedDedup(spark, sfDir).collect()
+      .filter(_.getString(0) == "pair")
+      .map(r => (r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val capped = try {
+      spark.conf.set("spark.graft.rplsh.maxOcc", Dedup.RouteCapDefault.toString)
+      Dedup.q109EmbedLsh(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally spark.conf.unset("spark.graft.rplsh.maxOcc")
+    assert(routed == capped,
+      s"in-cap pairs diverged from capped q109: ${(routed diff capped).take(3)} / ${(capped diff routed).take(3)}")
+    // and a cap above every cell degenerates to plain q109 + zero verdicts
+    val all = try {
+      spark.conf.set("spark.graft.rplsh.routeCap", "1000000")
+      Dedup.q139RoutedDedup(spark, sfDir).collect()
+    } finally spark.conf.unset("spark.graft.rplsh.routeCap")
+    assert(all.forall(_.getString(0) == "pair"))
+    val dflt = Dedup.q109EmbedLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all.map(r => (r.getLong(3), r.getLong(4), r.getDouble(5))).toSet == dflt)
   }
 
   test("q138 releases its shared corpus checkpoints when it returns") {
