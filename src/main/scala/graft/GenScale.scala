@@ -272,13 +272,21 @@ object GenScale {
     * cross-scale series keep their anchor point.
     */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || args.length == 3,
-      "usage: GenScale <outDir> <sf> [heaps|v1]")
+    require(args.length >= 2 && args.length <= 4,
+      "usage: GenScale <outDir> <sf> [heaps|v1] [table,table,...]")
     val outDir = args(0)
     val sf = args(1).toDouble
     require(args.length == 2 || args(2) == "heaps" || args(2) == "v1",
       s"unknown documents profile '${args(2)}' (expected heaps or v1)")
     val heaps = args.length == 2 || args(2) == "heaps"
+    // optional table filter for deep-ladder rungs where one operator's
+    // input suffices (e.g. an sf100 embeddings-only rung for q109/q139
+    // — writing 100x of nine unused tables would cost ~20 GB for
+    // nothing). Per-table output is a pure function of (sf, profile),
+    // so a filtered dir's tables are bit-identical to a full dir's.
+    val wanted: Option[Set[String]] =
+      if (args.length == 4) Some(args(3).split(",").map(_.trim).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val s = GraftSession(s"local[$cpus]", cpus)
     def n(perSf1: Long): Long = math.max(1L, math.round(perSf1 * sf))
@@ -293,7 +301,10 @@ object GenScale {
       "part" -> part(s, n(200000L)),
       "region" -> region(s),
       "nation" -> nation(s))
-    tables.foreach { case (name, df) =>
+    wanted.foreach(w => w.diff(tables.map(_._1).toSet).foreach(t =>
+      sys.error(s"[gen] unknown table in filter: $t")))
+    tables.filter { case (name, _) => wanted.forall(_.contains(name)) }
+      .foreach { case (name, df) =>
       // a handful of files per table so downstream scans start parallel
       // (the real sf0.1 data is one file; q103 pins its own repartition
       // precisely so input layout can't serialize it — keep that story
