@@ -1310,7 +1310,18 @@ object Dedup {
   // string ops, no UDF), one uniform md5 shuffle; the variant union
   // reads the same scan twice at test scale and is absent in production
   // (real corpora arrive with their variants).
-  def normalizeText(t: Column): Column =
+  /** CCNet-style normalization, as the native single-pass `norm_text`
+    * expression (r14 — the regex chain was q119's entire cost at the
+    * sf10/sf30 dedup rungs, ~1.2 ms/row of map CPU; see NormTextExpr's
+    * parity argument). The declarative twin below stays as the spec's
+    * parity reference and the oracle keeps the regex SQL.
+    */
+  def normalizeText(t: Column): Column = call_function("norm_text", t)
+
+  /** The pre-r14 declarative chain — NormTextSpec proves `norm_text`
+    * bit-equal to it on adversarial inputs and the generated corpus.
+    */
+  private[graft] def normalizeTextDeclarative(t: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         translate(lower(t), "123456789", "000000000"),
