@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, SparseDotExpr}
+import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -71,6 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 4,
           s"rp_lsh_keys expects exactly 4 arguments, got ${children.length}")
         RpLshKeysExpr(children(0), children(1), children(2), children(3))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHashExpr].getName, "shingle_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"shingle_hash expects exactly 2 arguments, got ${children.length}")
+        ShingleHashExpr(children(0), children(1))
       }
     ))
     ext.injectFunction((

@@ -37,6 +37,14 @@ object TextFunctions {
     * carries 8-byte longs instead of n-gram strings.
     */
   def hashedShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n, call_function("shingle_hash", toks, lit(n)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** The pre-r14 interpreted-HOF form — ShingleHashSpec proves the
+    * native `shingle_hash` bit-equal to it (see ShingleHashExpr for why
+    * the HOF ran interpreted and what that cost at the sf30 rung).
+    */
+  private[graft] def hashedShinglesFromTokensHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),

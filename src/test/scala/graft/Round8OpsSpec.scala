@@ -263,10 +263,13 @@ class Round8OpsSpec extends GraftSpec {
     val nEx119 = p119.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(nEx119 <= 2, s"q119 has $nEx119 exchanges (hash agg + order expected):\n" +
       p119.linesIterator.filter(_.trim.startsWith("Exchange")).mkString("\n"))
-    // q120: the gram exchange must carry hashed LONG ids, not gram strings
+    // q120: the gram exchange must carry hashed LONG ids, not gram
+    // strings (r14: the projection is the native shingle_hash fusion,
+    // bit-equal to the previous xxhash64 HOF — ShingleHashSpec)
     val p120 = TextOps.q120GopherRules(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p120.contains("xxhash64"), "q120 lost its hashed-gram projection")
+    assert(p120.contains("shingle_hash") || p120.contains("xxhash64"),
+      "q120 lost its hashed-gram projection")
   }
 
   test("q116 count-min never undercounts and ranks the true heavy hitters") {
