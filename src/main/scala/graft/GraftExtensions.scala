@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CleanNumericExpr, DotProductExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr}
+import graft.functions.{CleanNumericExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -71,6 +71,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 4,
           s"rp_lsh_keys expects exactly 4 arguments, got ${children.length}")
         RpLshKeysExpr(children(0), children(1), children(2), children(3))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5LongExpr].getName, "md5_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"md5_long expects exactly 1 argument, got ${children.length}")
+        Md5LongExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long_ngrams"),
+      new ExpressionInfo(classOf[Md5LongNgramsExpr].getName, "md5_long_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"md5_long_ngrams expects exactly 2 arguments, got ${children.length}")
+        Md5LongNgramsExpr(children(0), children(1))
       }
     ))
     ext.injectFunction((

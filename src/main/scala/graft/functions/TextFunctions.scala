@@ -61,7 +61,23 @@ object TextFunctions {
     * class as q40's md5 dedup at 100 TB.
     */
   def md5Long(c: Column): Column =
+    call_function("md5_long", c.cast("string"))
+
+  /** The pre-r14 declarative chain — Md5LongSpec proves the native
+    * `md5_long` bit-equal to it (hex render + NumberConverter re-parse
+    * vs a direct byte fold; see Md5LongExprs).
+    */
+  private[graft] def md5LongDeclarative(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Fused md5Long over every n-token window (concat_ws(" ") byte
+    * semantics, no shingle string materialized) — the minhash family's
+    * map stage. Md5LongSpec pins parity with
+    * `md5Long(concat_ws(" ", window))` per element.
+    */
+  def md5LongNgramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n, call_function("md5_long_ngrams", toks, lit(n)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** DuckDB twin of [[md5Long]]. */
   def md5LongSql(e: String): String =

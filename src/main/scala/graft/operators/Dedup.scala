@@ -135,11 +135,15 @@ object Dedup {
     // partial mins — one small shuffle keyed by doc_id, nothing else.
     // ONE md5 per shingle occurrence; the 32 permutations are cheap
     // affine arithmetic on the shared base.
+    // r14: fused md5_long_ngrams — the shingle string is never
+    // materialized (the transform-HOF built it interpreted, then the
+    // hex chain re-parsed it; see Md5LongExprs). Ids bit-identical, so
+    // the oracle twin's ||-joined shingles replay unchanged.
     val sh = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
-      .withColumn("base", TextFunctions.md5Long(col("shingle")) % MhMod)
+        explode(TextFunctions.md5LongNgramsFromTokens(col("toks"), 3)).as("h"))
+      .withColumn("base", col("h") % MhMod)
     val minCols = (0 until MinhashK).map(i =>
       min((lit(mhA(i)) * col("base") + lit(mhB(i))) % MhMod).as(s"mh_$i"))
     val rowsPerBand = MinhashK / LshBands
@@ -1191,8 +1195,8 @@ object Dedup {
     val sh = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 3)).as("shingle"))
-      .withColumn("base", TextFunctions.md5Long(col("shingle")) % MhMod)
+        explode(TextFunctions.md5LongNgramsFromTokens(col("toks"), 3)).as("h"))
+      .withColumn("base", col("h") % MhMod)
     val minCols = (0 until MinhashK).map(i =>
       min((lit(mhA(i)) * col("base") + lit(mhB(i))) % MhMod).as(s"mh_$i"))
     val rowsPerBand = MinhashK / LshBands
