@@ -1145,12 +1145,14 @@ object Dedup {
     val d = Tables.documents(s, dir)
     val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
+    // r14: fused md5_long_ngrams — per-window slice + array_join + hex
+    // chain replaced by one codegen'd digest pass (Md5LongExprs);
+    // posexplode supplies the same 0-based pos, values bit-identical
+    // (array_join " " == concat_ws " " byte stream)
     val sh = toks
-      .withColumn("pos",
-        explode(when(col("n") >= SpanK, sequence(lit(0), col("n") - SpanK)).otherwise(array())))
-      .select(col("doc_id"), col("pos"),
-        TextFunctions.md5Long(
-          array_join(slice(col("toks"), col("pos") + 1, lit(SpanK)), " ")).as("h"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.md5LongNgramsFromTokens(col("toks"), SpanK))
+          .as(Seq("pos", "h")))
     // posting list per hash (single corpus evaluation — the self-join
     // form would tokenize+hash the corpus twice); cap bounds the pair
     // blow-up exactly like T3's banded buckets
