@@ -17,7 +17,14 @@ package graft
 object RouteProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val cap = args(1)
+    // parse up front (r14 advice): the raw string was interpolated
+    // unquoted into the emitted JSON line, so a malformed arg produced
+    // invalid JSON for the harness instead of a usage error here
+    val cap: Long =
+      try args(1).toLong
+      catch { case _: NumberFormatException =>
+        sys.error(s"usage: RouteProbe <sfDir> <cap:long> [reps] — got cap='${args(1)}'")
+      }
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession(s"local[$cpus]", cpus)
@@ -56,7 +63,7 @@ object RouteProbe {
     val extra = pairSet.except(q109).count()
     val missing = q109.except(pairSet).count()
     val report = graft.operators.Dedup
-      .q109OverflowCellsAt(spark, dir, cap.toLong)
+      .q109OverflowCellsAt(spark, dir, cap)
     val nCellsReported = report.count()
 
     println("=====ROUTEPROBE=====")

@@ -36,10 +36,17 @@ case class Md5LongExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"md5_long requires a string argument, got ${child.dataType.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case s: StringType =>
+      // r14 advice: the bare == StringType test rejected collated
+      // strings with a message that never mentioned collation
+      TypeCheckResult.TypeCheckFailure(
+        "md5_long digests UTF8_BINARY strings only (its hex-prefix parity " +
+          s"argument assumes binary collation); got ${s.catalogString}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_long requires a string argument, got ${other.catalogString}")
+  }
   override def prettyName: String = "md5_long"
 
   override protected def withNewChildInternal(newChild: Expression): Md5LongExpr =
@@ -60,7 +67,17 @@ case class Md5LongNgramsExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.dataType == IntegerType && right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // r14 advice: reject n <= 0 / null here, not only in the Column
+      // wrapper's when(size>=n) guard — raw SQL reaches this directly
+      right.eval() match {
+        case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"md5_long_ngrams requires n >= 1, got ${Option(other).getOrElse("null")}")
+      }
+    case ArrayType(e: StringType, _) if e != StringType =>
+      TypeCheckResult.TypeCheckFailure(
+        "md5_long_ngrams digests UTF8_BINARY strings only (its hex-prefix " +
+          s"parity argument assumes binary collation); got array<${e.catalogString}>")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"md5_long_ngrams requires (array<string>, foldable int), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")

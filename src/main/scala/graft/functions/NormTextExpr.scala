@@ -41,10 +41,18 @@ case class NormTextExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"norm_text requires a string argument, got ${child.dataType.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case s: StringType =>
+      // r14 advice: rejecting collated strings is correct (the byte-wise
+      // parity argument above holds for UTF8_BINARY only), but the old
+      // generic message never said why a "string" column was rejected
+      TypeCheckResult.TypeCheckFailure(
+        "norm_text normalizes UTF8_BINARY strings only (its byte-wise parity " +
+          s"with the regex chain assumes binary collation); got ${s.catalogString}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_text requires a string argument, got ${other.catalogString}")
+  }
   override def prettyName: String = "norm_text"
 
   override protected def withNewChildInternal(newChild: Expression): NormTextExpr =

@@ -36,7 +36,18 @@ case class ShingleHashExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(StringType, _) if right.dataType == IntegerType && right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // r14 advice: via raw SQL a foldable n <= 0 (or null) silently
+      // yielded m-n+1 degenerate seed-only windows — the when(size>=n)
+      // guard lives only in the Column wrappers, so reject it here
+      right.eval() match {
+        case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash requires n >= 1, got ${Option(other).getOrElse("null")}")
+      }
+    case ArrayType(e: StringType, _) if e != StringType =>
+      TypeCheckResult.TypeCheckFailure(
+        "shingle_hash hashes UTF8_BINARY strings only (its xxhash64 parity " +
+          s"argument assumes binary collation); got array<${e.catalogString}>")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"shingle_hash requires (array<string>, foldable int), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")

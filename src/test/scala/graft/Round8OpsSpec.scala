@@ -268,8 +268,11 @@ class Round8OpsSpec extends GraftSpec {
     // bit-equal to the previous xxhash64 HOF — ShingleHashSpec)
     val p120 = TextOps.q120GopherRules(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p120.contains("shingle_hash") || p120.contains("xxhash64"),
-      "q120 lost its hashed-gram projection")
+    // r14 advice: every consumer emits shingle_hash now, so the old
+    // `|| xxhash64` escape hatch would mask a silent regression back to
+    // the interpreted HOF — assert the native fusion specifically
+    assert(p120.contains("shingle_hash"),
+      "q120 lost its native shingle_hash projection (interpreted-HOF regression?)")
   }
 
   test("q116 count-min never undercounts and ranks the true heavy hitters") {
