@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CleanNumericExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr}
+import graft.functions.{BpeCountExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr, TokenPairsExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -107,6 +107,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"norm_text expects exactly 1 argument, got ${children.length}")
         NormTextExpr(children.head)
+      }
+    ))
+    // BPE family (SURVEY §2.3 T42/T43): bpe_count/bpe_tokens apply the
+    // frozen merges table; codepoints/token_pairs are the trainer's
+    // native per-word primitives
+    Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression, Class[_])](
+      ("bpe_count", cs => BpeCountExpr(cs.head), classOf[BpeCountExpr]),
+      ("bpe_tokens", cs => BpeTokensExpr(cs.head), classOf[BpeTokensExpr]),
+      ("codepoints", cs => CodepointsExpr(cs.head), classOf[CodepointsExpr]),
+      ("token_pairs", cs => TokenPairsExpr(cs.head), classOf[TokenPairsExpr])
+    ).foreach { case (name, build, cls) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.length == 1,
+            s"$name expects exactly 1 argument, got ${children.length}")
+          build(children)
+        }
+      ))
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("merge_pair"),
+      new ExpressionInfo(classOf[MergePairExpr].getName, "merge_pair"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"merge_pair expects exactly 3 arguments, got ${children.length}")
+        MergePairExpr(children(0), children(1), children(2))
       }
     ))
     ext.injectFunction((

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.BpeCodec
+
+/** BPE tokenization as engine operations (SURVEY §2.3 T42-T44; round-14
+  * verdict next-round #1): T9 (q49) estimates tokens by whitespace
+  * split, so every downstream budget operator billed in estimated
+  * tokens. A production LLM-data pipeline packs shards and samples
+  * mixtures in TOKENIZER tokens — these operators close that gap.
+  *
+  *   - q140 APPLY: real token counts under the frozen merges table
+  *     ([[BpeCodec.Merges]]), per (source, lang), beside the whitespace
+  *     estimate. Map-only + one small hash aggregate: the scan applies
+  *     `bpe_count` (native, codegen'd, word-cached) per document — no
+  *     shuffle carries text, exactly the q119/q40 cost class at 100 TB.
+  *   - q141 TRAIN: learn a merges table FROM the corpus — one
+  *     word-frequency aggregate, then per merge round one keyed
+  *     pair-count aggregate + a one-row argmax collect (bounded model
+  *     state, the LrTrain convention) + a map-side state update. The
+  *     per-round agg over the distinct-word table is the textbook
+  *     distributed BPE trainer: at 100 TB the word table is large but
+  *     the round cost is one partial-agg shuffle of (pair, count),
+  *     never a pass over raw text (that happens once, in the word
+  *     count).
+  *   - q142 PACK: q80's shard packing billed in real BPE tokens (the
+  *     "variant consuming real token counts" the r14 verdict asked
+  *     for) — same two-phase per-source prefix sum, budget 1024
+  *     tokenizer tokens.
+  *
+  * Oracle posture: DuckDB replays the APPLY loop step-for-step with a
+  * recursive CTE over DISTINCT words (merge the leftmost occurrence of
+  * the lowest-rank pair present, one merge per recursion step — the
+  * exact engine semantics, see BpeCodec's scaladoc), then joins counts
+  * back through per-(doc, word) multiplicities. TRAIN unrolls its
+  * rounds as chained CTEs over a \u0001-bounded string form of the
+  * token state, where non-overlapping left-to-right `replace` IS
+  * merge-all-occurrences (each token carries its own boundary markers,
+  * so a replaced window never consumes its neighbor's separator).
+  */
+object Bpe {
+
+  /** q141's merge-round count: enough rounds that multi-char merges
+    * chain (the sf0.01 corpus yields 3+-char tokens), small enough
+    * that the unrolled oracle stays readable.
+    */
+  val TrainRounds = 12
+
+  private val ShardBudget = 1024L
+
+  // ---------------------------------------------------------------
+  // T42 / q140: real-token counting under the frozen merges table
+  // ---------------------------------------------------------------
+
+  def q140BpeCount(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        coalesce(call_function("bpe_count", col("text")), lit(0L)).as("bpe"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .orderBy("source", "lang")
+  }
+
+  /** Merges table as a DuckDB MAP literal keyed lhs||chr(1)||rhs.
+    * Tokens are embedded verbatim into SQL quotes, so the frozen table
+    * must stay in the SQL-safe class — guarded here, not assumed.
+    */
+  private def mergesMapSql: String = {
+    BpeCodec.Merges.foreach { case (l, r) =>
+      require((l + r).matches("[a-z0-9]+"),
+        s"frozen merge ('$l','$r') outside the SQL-safe token class")
+    }
+    BpeCodec.Merges.zipWithIndex
+      .map { case ((l, r), i) => s"'$l'||chr(1)||'$r': $i" }
+      .mkString("map {", ", ", "}")
+  }
+
+  /** The shared APPLY oracle: given a CTE `uw(word)` of distinct words,
+    * produce `wlen(word, bpe_len)` by replaying the engine's
+    * leftmost-lowest-rank merge loop — one single-pair merge per
+    * recursion step, encoded (rank*1e6 + position) so list_min picks
+    * rank first, leftmost position second. Terminal states are the
+    * rows where no pair is in the table.
+    */
+  private def applyCtes: String =
+    s"""mp AS (SELECT $mergesMapSql AS m),
+       |init AS (SELECT word,
+       |  [substr(word, i, 1) for i in range(1, length(word) + 1)] AS toks FROM uw),
+       |state(word, toks) AS (
+       |  SELECT word, toks FROM init
+       |  UNION ALL
+  SELECT word,
+    toks[1:(best % 1000000) - 1] ||
+      [toks[best % 1000000] || toks[best % 1000000 + 1]] ||
+      toks[best % 1000000 + 2:] AS toks
+       |  FROM (
+       |    SELECT word, toks,
+       |      list_min([CAST(map_extract(mp.m, toks[i] || chr(1) || toks[i+1])[1] AS BIGINT) * 1000000 + i
+       |                for i in range(1, len(toks))
+       |                if map_extract(mp.m, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL]) AS best
+       |    FROM state, mp
+       |  ) WHERE best IS NOT NULL
+       |),
+       |wlen AS (
+       |  SELECT word, len(toks) AS bpe_len FROM (
+       |    SELECT word, toks,
+       |      list_min([1 for i in range(1, len(toks))
+       |                if map_extract(mp.m, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL]) AS more
+       |    FROM state, mp
+       |  ) WHERE more IS NULL
+       |)""".stripMargin
+
+  def q140Sql: String =
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, source, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+       |  [w for w in string_split(text, ' ') if w <> ''] AS wlist
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(wlist) AS word FROM docs),
+       |dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM dw GROUP BY doc_id, word),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |$applyCtes,
+       |perdoc AS (SELECT doc_id, SUM(c * bpe_len) AS bpe
+       |  FROM dwc JOIN wlen USING (word) GROUP BY doc_id)
+       |SELECT source, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(COALESCE(p.bpe, 0)) AS BIGINT) AS bpe_tokens
+       |FROM docs LEFT JOIN perdoc p USING (doc_id)
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // T43 / q141: distributed BPE training
+  // ---------------------------------------------------------------
+
+  def q141BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    // ONE pass over raw text: the word-frequency table. Everything
+    // after iterates over distinct words — at 100 TB that is the whole
+    // design (Sennrich's trainer, keyed-agg form).
+    var state = d
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(call_function("codepoints", col("word")).as("toks"), col("freq"))
+      .cache()
+    state.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < TrainRounds && !exhausted) {
+      // winner = (count DESC, pairKey ASC); pairKey byte-order equals
+      // (lhs, rhs) order because \u0001 sorts below every corpus byte
+      val top = state
+        .select(explode(call_function("token_pairs", col("toks"))).as("pk"), col("freq"))
+        .groupBy("pk").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("pk"))
+        .limit(1).collect() // bounded model state: one row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val pk = top(0).getString(0)
+        val cut = pk.indexOf(BpeCodec.Sep.toInt)
+        val (lhs, rhs) = (pk.substring(0, cut), pk.substring(cut + 1))
+        merges += ((r, lhs, rhs, lhs + rhs))
+        val next = state.select(
+          call_function("merge_pair", col("toks"), lit(lhs), lit(rhs)).as("toks"),
+          col("freq")).cache()
+        next.count()
+        state.unpersist()
+        state = next
+        r += 1
+      }
+    }
+    state.unpersist()
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged").orderBy("rank")
+  }
+
+  /** Unrolled train oracle: w0 holds each word as a \u0001-bounded
+    * token string (chr(1) t chr(1)chr(1) t chr(1) — every token keeps
+    * its OWN boundary pair, so the per-round
+    * `replace(s, chr(1)||lhs||chr(1)||chr(1)||rhs||chr(1),
+    * chr(1)||lhs+rhs||chr(1))` merges all occurrences left-to-right
+    * without consuming a neighbor's separator). Each round: pair-count
+    * aggregate, (cnt DESC, pk ASC) argmax, state update — the engine
+    * loop, verbatim.
+    */
+  def q141Sql: String = {
+    val rounds = (1 to TrainRounds).map { k =>
+      s"""p$k AS (SELECT pk, SUM(freq) AS cnt FROM (
+         |  SELECT unnest([toks[i] || chr(1) || toks[i+1] for i in range(1, len(toks))]) AS pk, freq
+         |  FROM (SELECT string_split(trim(s, chr(1)), chr(1) || chr(1)) AS toks, freq FROM w${k - 1})
+         | ) GROUP BY pk),
+         |b$k AS (SELECT pk,
+         |  string_split(pk, chr(1))[1] AS lhs, string_split(pk, chr(1))[2] AS rhs
+         |  FROM p$k ORDER BY cnt DESC, pk LIMIT 1),
+         |w$k AS (SELECT
+         |  replace(s, chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
+         |             chr(1) || lhs || rhs || chr(1)) AS s, freq
+         |  FROM w${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to TrainRounds)
+      .map(k => s"SELECT ${k - 1} AS rank, lhs, rhs, lhs || rhs AS merged FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH
+       |w0 AS (SELECT
+       |  chr(1) || array_to_string(
+       |    [substr(word, i, 1) for i in range(1, length(word) + 1)],
+       |    chr(1) || chr(1)) || chr(1) AS s,
+       |  freq
+       |  FROM (SELECT w AS word, COUNT(*) AS freq
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE w <> '' GROUP BY w)),
+       |$rounds
+       |SELECT * FROM ($union)
+       |ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // T44 / q142: shard packing billed in real tokens (q80's twin)
+  // ---------------------------------------------------------------
+
+  def q142ShardPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("source"), col("doc_id"),
+        coalesce(call_function("bpe_count", col("text")), lit(0L)).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $ShardBudget"))
+      .groupBy("source", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
+  def q142Sql: String =
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, source,
+       |  [w for w in string_split(text, ' ') if w <> ''] AS wlist
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(wlist) AS word FROM docs),
+       |dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM dw GROUP BY doc_id, word),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |$applyCtes,
+       |perdoc AS (SELECT doc_id, SUM(c * bpe_len) AS n_tok
+       |  FROM dwc JOIN wlen USING (word) GROUP BY doc_id),
+       |base AS (SELECT d.source, d.doc_id,
+       |  CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM docs d LEFT JOIN perdoc p USING (doc_id))
+       |SELECT source, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardBudget AS BIGINT) AS shard
+       |  FROM base)
+       |GROUP BY source, shard ORDER BY source, shard""".stripMargin
+}

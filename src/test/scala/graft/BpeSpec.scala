@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeCodec
+import graft.operators.Bpe
+
+/** BPE family (T42-T44, r14 verdict next-round #1).
+  *
+  * The frozen merges table and the reference tokenizations below are
+  * PINNED LITERALS, independently derived (hand-replayed trainer over
+  * the fixture vocabulary): a drift in trainLocal/encode semantics
+  * fails here instead of silently re-freezing the table. The oracle
+  * gate (q140-q142 vs DuckDB's recursive-CTE replay) proves the
+  * cross-engine claim; this spec proves the in-engine semantics.
+  */
+class BpeSpec extends GraftSpec {
+
+  test("frozen merges table is exactly the pinned fixture-trained literal") {
+    val expected = Seq(
+      ("e", "r"), ("i", "n"), ("o", "r"), ("o", "w"),
+      ("s", "t"), ("a", "l"), ("a", "r"), ("a", "t"),
+      ("m", "er"), ("p", "ar"), ("u", "p"), ("a", "b"),
+      ("a", "g"), ("a", "m"), ("a", "n"), ("a", "s"))
+    assert(BpeCodec.Merges == expected,
+      s"frozen table drifted: ${BpeCodec.Merges}")
+  }
+
+  test("encode matches reference tokenizations on fixture words") {
+    val expected = Map(
+      "spark" -> Seq("s", "par", "k"),
+      "customer" -> Seq("c", "u", "st", "o", "mer"),
+      "window" -> Seq("w", "in", "d", "ow"),
+      "stream" -> Seq("st", "r", "e", "am"),
+      "the" -> Seq("t", "h", "e"),
+      "a" -> Seq("a"),
+      "batch" -> Seq("b", "at", "c", "h"),
+      "query" -> Seq("q", "u", "er", "y"),
+      "vector" -> Seq("v", "e", "c", "t", "or"),
+      "value" -> Seq("v", "al", "u", "e"))
+    expected.foreach { case (w, toks) =>
+      assert(BpeCodec.encode(w).toSeq == toks,
+        s"encode($w) = ${BpeCodec.encode(w).toSeq}, expected $toks")
+    }
+  }
+
+  test("encode round-trips and the SQL surface agrees with the Scala loop") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "spark", "a", "", "sstt", "erer", "ererer", "stream", "परीक्षा",
+      "año", "straße", "日本", "x", "aaaa", "minmin", "partpart",
+      "😀ok", "e😀r") // surrogate pairs must not shear
+    val df = adversarial.toDF("w")
+      .select(col("w"),
+        call_function("bpe_tokens", col("w")).as("toks"),
+        call_function("codepoints", col("w")).as("cps"))
+      .collect()
+    df.foreach { r =>
+      val w = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks == BpeCodec.encode(w).toSeq, s"SQL/Scala drift on '$w'")
+      assert(toks.mkString == w, s"tokens of '$w' do not concatenate back")
+      val cps = r.getSeq[String](2)
+      assert(cps.mkString == w &&
+        cps.forall(c => c.codePointCount(0, c.length) == 1),
+        s"codepoints('$w') wrong: $cps")
+    }
+  }
+
+  test("bpe_count equals the exploded per-word sum on the corpus") {
+    val d = Tables.documents(spark, sfDir)
+    val direct = d.select(
+      sum(call_function("bpe_count", col("text"))).as("n")).collect()(0).getLong(0)
+    val exploded = d
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(sum(size(call_function("bpe_tokens", col("w")))).as("n"))
+      .collect()(0).getLong(0)
+    assert(direct == exploded, s"bpe_count=$direct vs exploded=$exploded")
+    assert(direct > 0)
+  }
+
+  test("bpe_count handles doubled/leading/trailing spaces like the oracle split") {
+    import spark.implicits._
+    val rows = Seq("the  spark", " the spark ", "", " ", "the")
+      .toDF("text")
+      .select(call_function("bpe_count", col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // the=3 tokens, spark=3 tokens; empty segments contribute nothing
+    assert(rows == Seq(6L, 6L, 0L, 0L, 3L), s"got $rows")
+  }
+
+  test("distributed q141 trainer equals the local reference trainer") {
+    val distributed = Bpe.q141BpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    // local twin over the SAME word-frequency table
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val local = BpeCodec.trainLocal(wf, Bpe.TrainRounds)
+      .zipWithIndex.map { case ((l, r), i) => (i, l, r, l + r) }
+    assert(distributed == local,
+      s"distributed=$distributed\nlocal=$local")
+  }
+
+  test("q140 plans the native bpe_count (no interpreted HOF on the scan)") {
+    val plan = Bpe.q140BpeCount(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_count"), "q140 lost the native bpe_count projection")
+    val rows = Bpe.q140BpeCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // real tokenization always refines the whitespace estimate upward
+      assert(r.getLong(4) >= r.getLong(3),
+        s"bpe_tokens < ws_tokens in $r")
+    }
+  }
+
+  test("merge_pair / token_pairs reject wrong arities and types") {
+    import spark.implicits._
+    val df = Seq("x").toDF("w")
+    intercept[Exception] {
+      df.select(call_function("bpe_count", lit(1))).collect()
+    }
+    intercept[Exception] {
+      df.select(call_function("merge_pair", col("w"), lit("a"), lit("b"))).collect()
+    }
+  }
+}
