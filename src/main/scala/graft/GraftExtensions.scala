@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeCountExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SparseDotExpr, TokenPairsExpr}
+import graft.functions.{BpeCountExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SigAgreeExpr, SparseDotExpr, SplitWordsExpr, TokenHitsExpr, TokenPairsExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -129,6 +129,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       ))
     }
+    // fact-scan fusions flagged by InterpretedGuardSpec (r15)
+    ext.injectFunction((
+      new FunctionIdentifier("token_hits"),
+      new ExpressionInfo(classOf[TokenHitsExpr].getName, "token_hits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"token_hits expects exactly 2 arguments, got ${children.length}")
+        TokenHitsExpr(children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("split_words"),
+      new ExpressionInfo(classOf[SplitWordsExpr].getName, "split_words"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"split_words expects exactly 1 argument, got ${children.length}")
+        SplitWordsExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeExpr].getName, "sig_agree"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"sig_agree expects exactly 2 arguments, got ${children.length}")
+        SigAgreeExpr(children(0), children(1))
+      }
+    ))
     ext.injectFunction((
       new FunctionIdentifier("merge_pair"),
       new ExpressionInfo(classOf[MergePairExpr].getName, "merge_pair"),

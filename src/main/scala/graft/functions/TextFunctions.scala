@@ -102,8 +102,20 @@ object TextFunctions {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Count of tokens hitting a language's stopword list. */
+  /** Count of tokens hitting a language's stopword list — native
+    * `token_hits` (one byte scan + one hash probe per token; the
+    * declarative filter-HOF this replaces ran interpreted on every
+    * documents scan, flagged by InterpretedGuardSpec r15).
+    */
   def stopwordHits(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    call_function("token_hits", text, array(words.map(lit): _*))
+  }
+
+  /** The pre-r15 declarative form — spec-pinned equal to the native
+    * expression (InterpretedGuardSpec).
+    */
+  private[graft] def stopwordHitsHof(text: Column, lang: String): Column = {
     val words = stopwords.toMap.apply(lang)
     size(filter(split(text, " "), t => words.map(w => t === w).reduce(_ || _)))
   }

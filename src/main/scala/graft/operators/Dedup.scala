@@ -175,7 +175,9 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        // native sig_agree: one fused loop per candidate pair (the
+        // zip_with+filter HOF stack ran interpreted — guard-spec r15)
+        round(call_function("sig_agree", col("sig1"), col("sig2"))
           .cast(DoubleType) / MinhashK, 4))
       .filter(col("est_jaccard") >= 0.5)
       .select("d1", "d2", "est_jaccard")
@@ -1225,7 +1227,9 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig1")), Seq("new_id"))
       .join(sigs.select(col("doc_id").as("idx_id"), col("sig").as("sig2")), Seq("idx_id"))
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        // native sig_agree: one fused loop per candidate pair (the
+        // zip_with+filter HOF stack ran interpreted — guard-spec r15)
+        round(call_function("sig_agree", col("sig1"), col("sig2"))
           .cast(DoubleType) / MinhashK, 4))
       .filter(col("est_jaccard") >= 0.5)
       .select("new_id", "idx_id", "est_jaccard")

@@ -91,7 +91,10 @@ object MlEval {
     // unseen tokens is unchanged: sum() skips the unseen rows' nulls.
     val tok = ev
       .select(col("doc_id"), col("actual_cls"),
-        explode_outer(filter(split(col("text"), " "), t => length(t) > 0))
+        // native split_words (fused filter(split(...), length>0) — the
+        // HOF ran interpreted on the held-out scan; guard-spec r15).
+        // explode_outer still sees an EMPTY array for all-space docs.
+        explode_outer(call_function("split_words", col("text")))
           .as("token"))
       .select(col("doc_id"), col("actual_cls"),
         pmod(md5Long(col("token")), lit(LrTrain.Buckets)).as("bucket"))

