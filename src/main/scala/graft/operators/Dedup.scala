@@ -640,7 +640,7 @@ object Dedup {
     * n/occ)), 1, RpMaxBits) for n > occ — integer comparisons only, so
     * Spark and DuckDB agree on every n including exact powers of two.
     */
-  private def rpDerivedBits(n: Column): Column =
+  private[graft] def rpDerivedBits(n: Column): Column =
     greatest(lit(1), (0 until RpMaxBits).map(k =>
       when(n > lit(RpTargetOcc << k), 1).otherwise(0)).reduce(_ + _))
 
@@ -715,7 +715,7 @@ object Dedup {
     * norms, the auto-sized (or pinned) bit dial, and the per-band key
     * array from the native RpLshKeysExpr. Returns (sigs, nBands).
     */
-  private def rpSigs(s: SparkSession, dir: String): (DataFrame, Int) = {
+  private[graft] def rpSigs(s: SparkSession, dir: String): (DataFrame, Int) = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
       .filter(col("nrm") > 0)
@@ -750,7 +750,7 @@ object Dedup {
     * a codegen'd AND-chain, no extra shuffle; with the final distinct
     * it makes multi-band emission order-invariant.
     */
-  private def rpFirstBandGate(nBands: Int): Column =
+  private[graft] def rpFirstBandGate(nBands: Int): Column =
     (0 until nBands - 1).map { bp =>
       (col("band") <= bp) ||
         (element_at(col("ka"), bp + 1) =!= element_at(col("kb"), bp + 1))

@@ -83,6 +83,21 @@ object LrTrain {
   def Iters(s: SparkSession): Int  = confInt(s, "spark.graft.lr.iters", 3)
   def LrDen(s: SparkSession): Long = confInt(s, "spark.graft.lr.lrDen", 16).toLong
 
+  /** The r14 negative result as a DIAL (r14 verdict next-round #5):
+    * co-partitioned training checkpoints (xdb + labels hash-partitioned
+    * on doc_id, so every GD iteration's margin aggregate, label join
+    * and gradient join run exchange-free) LOSE to AQE's runtime
+    * broadcasts while the per-doc frames fit broadcast (~10s of MB) —
+    * measured 2x slower at gen-sf1 — and WIN once they outgrow it.
+    * Default stays the measured-best small-corpus shape; FlipProbe
+    * measures both settings at a rung and records the crossover.
+    */
+  def CoPartition(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.lr.coPartition").exists(_.trim.toBoolean)
+
+  private def maybeCoPartition(df: DataFrame): DataFrame =
+    if (CoPartition(df.sparkSession)) df.repartition(col("doc_id")) else df
+
   /** Ambient resolution — the oracleSql boundary only (see above). */
   private def ambient: Option[SparkSession] =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -271,14 +286,14 @@ object LrTrain {
     // later w so iteration 1's broadcast sees its actual KB size (see
     // asLocal's note — its origin estimate is an aggregate-derived
     // product).
-    val xdb = docTokFrom(docs)
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+    val xdb = maybeCoPartition(docTokFrom(docs)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
       .localCheckpoint()
     // the label frame is joined EVERY iteration — checkpoint it once
     // (r11: the lazy form re-scanned the documents parquet per
     // iteration; at 100 TB that is Iters extra corpus scans for a
     // 2-column frame)
-    val labels = docLabelsFrom(docs).localCheckpoint()
+    val labels = maybeCoPartition(docLabelsFrom(docs)).localCheckpoint()
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
@@ -357,12 +372,12 @@ object LrTrain {
     * docWeightPathFrom).
     */
   private[graft] def trainedDocWeightsBalancedFrom(docs: DataFrame): DataFrame = {
-    val xdb = docTokFrom(docs)
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+    val xdb = maybeCoPartition(docTokFrom(docs)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
       .localCheckpoint()
     // checkpointed for the same per-iteration reason as the plain path
     // — doubly so here, because the class-count frame derives from it
-    val labels = docLabelsFrom(docs).localCheckpoint()
+    val labels = maybeCoPartition(docLabelsFrom(docs)).localCheckpoint()
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val ncAggs = (0 until Classes).map(c =>
       sum(when(col("y_cls") === c, 1L).otherwise(0L)).as(s"nc$c"))

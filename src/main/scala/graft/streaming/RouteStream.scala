@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+
+/** q139's SERVING twin (r14 verdict next-round #6): the batch routed
+  * dedup has no in-flight form — a production ingest wants each
+  * arriving vector's verdict against the published corpus index, not a
+  * nightly re-run. This is the q117 stream-static shape applied to the
+  * routed operator:
+  *
+  *   - the INDEX is built batch-side from the corpus (one job, the
+  *     exact q139 prefix): in-cap cell members for pair probing, and
+  *     per-over-cap-cell representatives for the dense tail;
+  *   - an ARRIVING vector signs with the index's pinned dial (bits is
+  *     frozen at publish time — a serving index must not re-derive it
+  *     per batch), explodes to its band cells, and
+  *       - in-cap collisions emit exact-cosine pairs under the same
+  *         first-colliding-band gate as batch (each unordered pair
+  *         emitted exactly ONCE across the stream: when its larger id
+  *         arrives and probes the smaller, already-indexed one);
+  *       - dense-cell arrivals take ONE KeeperStream-style verdict
+  *         against the representative of their first over-cap cell —
+  *         a watermark-bounded min(struct) aggregate, exactly batch's
+  *         rn=1 assignment.
+  *
+  * Streamed-equals-batch contract (RouteStreamSpec): streaming the
+  * corpus itself through both paths reproduces batch q139's pair set
+  * and verdict rows bit-for-bit.
+  *
+  * Scale shape: the pair probe never shuffles arriving payloads beyond
+  * the (band, key) join — at serving scale the in-cap member index is
+  * a bucketed published table co-partitioned on (band, key), so the
+  * probe is a map-side lookup; the rep index is n/cap rows and rides
+  * as a broadcast. Aggregate state is one min-struct per arriving
+  * vector inside the watermark horizon.
+  */
+object RouteStream {
+
+  /** The published index: everything an arrival needs, with the dial
+    * values pinned at build time.
+    */
+  final case class RoutedIndex(inCap: DataFrame, overCapReps: DataFrame,
+      bits: Int, nBands: Int, cap: Long)
+
+  /** Build (and cache) the index from the corpus — the q139 prefix:
+    * one signature pass, one (band, key) exchange, occupancy as an
+    * in-partition window.
+    */
+  def buildIndex(s: SparkSession, dir: String): RoutedIndex = {
+    val cap = Dedup.routeCap(s)
+    require(cap >= 1, s"spark.graft.rplsh.routeCap=$cap must be >= 1")
+    val (sigs, nBands) = Dedup.rpSigs(s, dir)
+    // pin the dial for arrivals: same derivation as rpSigs, one scalar
+    val bits = Dedup.rpConf(s)._2.getOrElse(
+      Dedup.rpDerivedBitsFor(
+        graft.Tables.embeddings(s, dir)
+          .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+          .filter(col("nrm") > 0).count()))
+    val exploded = sigs
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("key"))
+    val withOcc = exploded.withColumn("occ",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val inCap = withOcc.filter(col("occ") <= cap)
+      .select(col("band"), col("key"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"), col("keys").as("ka"))
+      .cache()
+    // batch's rep rule, replicated exactly: members are first ASSIGNED
+    // to their min-(band, key) over-cap cell, and a cell's rep is the
+    // min vec_id among its ASSIGNED members (not all its members — a
+    // member assigned to an earlier cell is not rep-eligible here).
+    // Every assigned cell has >= 1 assigned member, so an arrival's
+    // first over-cap cell always has a rep row to land on.
+    val reps = withOcc.filter(col("occ") > cap)
+      .select("band", "key", "vec_id", "embedding", "nrm")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("band", "key")))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("rep_id",
+        min(col("vec_id")).over(Window.partitionBy("band", "key")))
+      .filter(col("vec_id") === col("rep_id"))
+      .select(col("band"), col("key"), col("rep_id"),
+        col("embedding").as("rep_vec"), col("nrm").as("rep_nrm"))
+      .cache()
+    RoutedIndex(inCap, reps, bits, nBands, cap)
+  }
+
+  /** Sign an arrivals stream (ts, vec_id, embedding) with the index's
+    * pinned dial. Zero-norm arrivals drop, as in batch.
+    */
+  private def keyed(arrivals: DataFrame, idx: RoutedIndex): DataFrame =
+    arrivals
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
+      .withColumn("keys", call_function("rp_lsh_keys", col("embedding"),
+        lit(idx.bits), lit(idx.nBands), lit(Dedup.RpMaxBits)))
+
+  /** In-cap pair emissions: (v1, v2, cos) with v1 < v2 — batch q139's
+    * `kind = pair` rows, emitted as the larger member arrives.
+    * Stateless stream-static join: no watermark, no state.
+    */
+  def pairs(arrivals: DataFrame, idx: RoutedIndex): DataFrame =
+    keyed(arrivals, idx)
+      .select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), col("keys").as("kb"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+      .join(idx.inCap, Seq("band", "key"))
+      .filter(col("v1") < col("v2") && Dedup.rpFirstBandGate(idx.nBands))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("v1"), col("v2"), col("cos"))
+
+  /** Dense-tail verdicts: one row per arriving vector that lands in
+    * any over-cap cell — assigned to its FIRST such cell (min (band,
+    * key), batch's rn=1 rule) via a watermark-bounded min(struct)
+    * aggregate against the broadcast rep index.
+    */
+  def verdicts(arrivals: DataFrame, idx: RoutedIndex): DataFrame =
+    keyed(arrivals, idx)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+      .join(broadcast(idx.overCapReps), Seq("band", "key"))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("embedding"), col("rep_vec")) /
+          (col("nrm") * col("rep_nrm")), 6))
+      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .agg(min(struct(col("band"), col("key"), col("rep_id"), col("cos"))).as("a"))
+      .select(col("a.band").as("band"), col("a.key").as("key"),
+        col("vec_id").as("v1"), col("a.rep_id").as("v2"), col("a.cos").as("cos"),
+        (col("vec_id") === col("a.rep_id") || col("a.cos") < 0.35).as("kept"))
+}

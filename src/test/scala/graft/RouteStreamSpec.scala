@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.RouteStream
+
+/** q139's serving twin: streaming the corpus through the published
+  * index must reproduce batch q139 exactly — the pair set (in-cap
+  * cells, first-colliding-band gate, emitted once as the larger member
+  * arrives) and the dense-tail verdict rows (first over-cap cell's
+  * representative, kept = is-rep or cos < 0.35).
+  *
+  * The cap is dialed down (sf0.01's 200-vector corpus never exceeds
+  * the default 2000) so BOTH routes carry real rows; batch and index
+  * read the same ambient conf, the q138/q139 convention.
+  */
+class RouteStreamSpec extends GraftSpec {
+
+  case class Arrival(ts: Timestamp, vec_id: Long, embedding: Seq[Float])
+
+  test("streamed routed-dedup pairs and verdicts equal batch q139") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.01"
+
+    spark.conf.set("spark.graft.rplsh.routeCap", "30")
+    try {
+      val batch = Dedup.q139RoutedDedup(spark, dir).cache()
+      val batchPairs = batch.filter(col("kind") === "pair")
+        .select("v1", "v2", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batchVerdicts = batch.filter(col("kind") === "overcap")
+        .select("band", "key", "v1", "v2", "cos", "kept").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).toSet
+      // the dialed cap must exercise BOTH routes, or this proves nothing
+      assert(batchPairs.nonEmpty, "cap dial left no in-cap pairs")
+      assert(batchVerdicts.nonEmpty, "cap dial left no over-cap verdicts")
+
+      val idx = RouteStream.buildIndex(spark, dir)
+      val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
+      val corpus = Tables.embeddings(spark, dir).collect()
+        .map(r => Arrival(t0, r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (b1, b2) = corpus.partition(_.vec_id % 2 == 0)
+
+      val stream = MemoryStream[Arrival]
+      val qp = RouteStream.pairs(stream.toDF(), idx)
+        .writeStream.format("memory").queryName("route_pairs")
+        .outputMode("append").start()
+      val qv = RouteStream.verdicts(stream.toDF(), idx)
+        .writeStream.format("memory").queryName("route_verdicts")
+        .outputMode("update").start()
+      try {
+        stream.addData(b1: _*)
+        qp.processAllAvailable(); qv.processAllAvailable()
+        stream.addData(b2: _*)
+        qp.processAllAvailable(); qv.processAllAvailable()
+
+        val gotPairs = sp.sql("SELECT v1, v2, cos FROM route_pairs")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(gotPairs == batchPairs,
+          s"pair drift: stream-only=${(gotPairs -- batchPairs).take(5)} " +
+            s"batch-only=${(batchPairs -- gotPairs).take(5)}")
+
+        val gotVerdicts = sp.sql(
+          "SELECT band, key, v1, v2, cos, kept FROM route_verdicts")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSet
+        assert(gotVerdicts == batchVerdicts,
+          s"verdict drift: stream-only=${(gotVerdicts -- batchVerdicts).take(5)} " +
+            s"batch-only=${(batchVerdicts -- gotVerdicts).take(5)}")
+        // every unordered pair emitted exactly once across the stream
+        assert(sp.sql("SELECT v1, v2 FROM route_pairs").count() == batchPairs.size)
+      } finally { qp.stop(); qv.stop() }
+    } finally spark.conf.unset("spark.graft.rplsh.routeCap")
+  }
+}
