@@ -269,4 +269,84 @@ object Bpe {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardBudget AS BIGINT) AS shard
        |  FROM base)
        |GROUP BY source, shard ORDER BY source, shard""".stripMargin
+
+  // ---------------------------------------------------------------
+  // T45 / q143: budget mixture sampling billed in real tokens
+  // (q113's twin — the last whitespace-billed budget operator)
+  // ---------------------------------------------------------------
+
+  /** q113's sqrt-weighted budget mixture sampler with every token
+    * figure — stratum totals, per-stratum budgets, per-doc costs, the
+    * hkey-ordered cumulative cut — billed in BPE tokens instead of the
+    * whitespace estimate. Same scale shape as q113: one map-only scan
+    * computes (n_tokens, hkey) per doc (bpe_count is native and
+    * word-cached, so this is the q140 cost class), one small keyed agg
+    * builds the stratum table, budgets derive from a broadcast-size
+    * frame, and the selection is one per-stratum window — no shuffle
+    * ever carries text.
+    */
+  def q143BudgetSampleBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val docs = d.select(col("doc_id"), col("source"), col("lang"),
+      coalesce(call_function("bpe_count", col("text")), lit(0L)).as("n_tokens"),
+      graft.functions.TextFunctions.md5Long(col("doc_id")).as("hkey"))
+    val strata = docs.groupBy("source", "lang").agg(sum("n_tokens").as("tok"))
+      .withColumn("sq", sqrt(col("tok").cast(DoubleType)).cast(DecimalType(28, 10)))
+    val wAll = Window.partitionBy()
+    val budgets = strata
+      .withColumn("sq_total", sum(col("sq")).over(wAll))
+      .withColumn("tok_total", sum(col("tok")).over(wAll))
+      .select(col("source"), col("lang"),
+        floor(lit(Curation.BudgetFrac) * col("tok_total").cast(DoubleType) *
+          (col("sq").cast(DoubleType) / col("sq_total").cast(DoubleType)))
+          .cast(LongType).as("budget_tokens"))
+    val w = Window.partitionBy("source", "lang").orderBy("hkey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(budgets, Seq("source", "lang"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def q143Sql: String = {
+    val hkey = graft.functions.TextFunctions.md5LongSql("d.doc_id")
+    s"""WITH RECURSIVE
+       |docs0 AS (SELECT doc_id, source, lang,
+       |  [w for w in string_split(text, ' ') if w <> ''] AS wlist
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(wlist) AS word FROM docs0),
+       |dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM dw GROUP BY doc_id, word),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |$applyCtes,
+       |perdoc AS (SELECT doc_id, SUM(c * bpe_len) AS n_tok
+       |  FROM dwc JOIN wlen USING (word) GROUP BY doc_id),
+       |docs AS (SELECT d.doc_id, d.source, d.lang,
+       |  CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tokens,
+       |  $hkey AS hkey
+       |  FROM docs0 d LEFT JOIN perdoc p USING (doc_id)),
+       |strata AS (
+       |  SELECT source, lang, CAST(SUM(n_tokens) AS BIGINT) AS tok
+       |  FROM docs GROUP BY 1, 2),
+       |sq AS (
+       |  SELECT *, CAST(SQRT(CAST(tok AS DOUBLE)) AS DECIMAL(28,10)) AS sq
+       |  FROM strata),
+       |budgets AS (
+       |  SELECT source, lang,
+       |   CAST(FLOOR(CAST(${Curation.BudgetFrac} AS DOUBLE)
+       |     * CAST(SUM(tok) OVER () AS DOUBLE)
+       |     * (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE))) AS BIGINT)
+       |    AS budget_tokens
+       |  FROM sq),
+       |cum AS (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_tokens, b.budget_tokens,
+       |   CAST(SUM(d.n_tokens) OVER (PARTITION BY d.source, d.lang
+       |     ORDER BY d.hkey, d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum_tokens
+       |  FROM docs d JOIN budgets b USING (source, lang))
+       |SELECT doc_id, source, lang, n_tokens, cum_tokens, budget_tokens
+       |FROM cum WHERE cum_tokens - n_tokens < budget_tokens
+       |ORDER BY doc_id""".stripMargin
+  }
 }

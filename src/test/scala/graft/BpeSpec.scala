@@ -117,6 +117,41 @@ class BpeSpec extends GraftSpec {
     }
   }
 
+  test("q143 selects the budgeted hkey-ordered prefix billed in real tokens") {
+    val plan = Bpe.q143BudgetSampleBpe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_count"), "q143 lost the native bpe_count scan")
+
+    val sel = Bpe.q143BudgetSampleBpe(spark, sfDir).collect()
+    assert(sel.nonEmpty)
+    sel.foreach { r =>
+      assert(r.getLong(4) - r.getLong(3) < r.getLong(5),
+        s"budget cut violated in $r")
+    }
+    // per stratum the selection is exactly the (hkey, doc_id)-ordered
+    // prefix under the stratum's budget — recomputed here from the raw
+    // corpus with an independent driver-side loop (sf0.001 is tiny)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        call_function("bpe_count", col("text")).as("n"),
+        graft.functions.TextFunctions.md5Long(col("doc_id")).as("hkey"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    val selected = sel.map(_.getLong(0)).toSet
+    val budgets = sel.map(r => ((r.getString(1), r.getString(2)), r.getLong(5))).toMap
+    docs.groupBy(t => (t._1, t._2)).foreach { case (stratum, rows) =>
+      budgets.get(stratum).foreach { budget =>
+        var cum = 0L
+        rows.sortBy(t => (t._5, t._3)).foreach { t =>
+          val take = cum < budget
+          cum += t._4
+          assert(selected.contains(t._3) == take,
+            s"doc ${t._3} in $stratum: selected=${selected.contains(t._3)}, prefix-rule=$take")
+        }
+      }
+    }
+  }
+
   test("merge_pair / token_pairs reject wrong arities and types") {
     import spark.implicits._
     val df = Seq("x").toDF("w")
