@@ -91,6 +91,17 @@ object LrTrain {
     * measured 2x slower at gen-sf1 — and WIN once they outgrow it.
     * Default stays the measured-best small-corpus shape; FlipProbe
     * measures both settings at a rung and records the crossover.
+    *
+    * MEASURED r15 (BENCH_R15_FLIP.json): the crossover is real and
+    * sits between 500k docs (xdb 24M rows — a statistical wash) and
+    * 1.5M docs (xdb 75M rows — co-partitioned q129 wins 2.1x, steady
+    * 25.0 s vs 53.3 baseline). Guidance: set
+    * `spark.graft.lr.coPartition=true` once the per-doc token frame
+    * passes ~50M rows (≈1M docs at this corpus shape); below that,
+    * leave the default — AQE's runtime broadcasts are faster. q135's
+    * balanced variant flips later (its extra per-class reweight passes
+    * amortize the broadcast differently; still marginally baseline at
+    * 1.5M docs).
     */
   def CoPartition(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.lr.coPartition").exists(_.trim.toBoolean)
