@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeCountExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SigAgreeExpr, SparseDotExpr, SplitWordsExpr, TokenHitsExpr, TokenPairsExpr}
+import graft.functions.{BpeCountExpr, BpeCountWithExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SigAgreeExpr, SparseDotExpr, SplitWordsExpr, TokenHitsExpr, TokenPairsExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -155,6 +155,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"sig_agree expects exactly 2 arguments, got ${children.length}")
         SigAgreeExpr(children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_count_with"),
+      new ExpressionInfo(classOf[BpeCountWithExpr].getName, "bpe_count_with"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"bpe_count_with expects exactly 2 arguments, got ${children.length}")
+        BpeCountWithExpr(children(0), children(1))
       }
     ))
     ext.injectFunction((

@@ -133,78 +133,22 @@ object BpeCodec {
     */
   val Merges: Seq[(String, String)] = trainLocal(FixtureWords, FrozenRounds)
 
-  private val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](Merges.size * 2)
-    Merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + Sep + r, Integer.valueOf(i)) }
-    m
-  }
+  /** The frozen table as a [[BpeTable]] — the apply loop and the
+    * per-word cache live there so `bpe_count_with` (q144's dynamic,
+    * corpus-trained table) shares the exact same semantics and hot
+    * path instead of a second copy of the loop.
+    */
+  val frozen: BpeTable = new BpeTable(Merges)
 
   /** APPLY under the frozen table: leftmost occurrence of the
     * lowest-rank pair, until none present.
     */
-  def encode(word: String): Array[String] = {
-    var toks = codepoints(word)
-    var done = toks.length < 2
-    while (!done) {
-      var bestRank = Int.MaxValue
-      var bestI = -1
-      var i = 0
-      while (i < toks.length - 1) {
-        val r = ranks.get(toks(i) + Sep + toks(i + 1))
-        if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestI = i }
-        i += 1
-      }
-      if (bestI < 0) done = true
-      else {
-        val nt = new Array[String](toks.length - 1)
-        System.arraycopy(toks, 0, nt, 0, bestI)
-        nt(bestI) = toks(bestI) + toks(bestI + 1)
-        System.arraycopy(toks, bestI + 2, nt, bestI + 1, toks.length - bestI - 2)
-        toks = nt
-        done = toks.length < 2
-      }
-    }
-    toks
-  }
+  def encode(word: String): Array[String] = frozen.encode(word)
 
-  // Per-word token-count cache. The table is frozen, so one global
-  // (thread-safe) cache is sound; capped so an adversarial corpus of
-  // unique words cannot grow it unboundedly — misses just re-encode.
-  private val CacheCap = 1 << 16
-  private val countCache = new ConcurrentHashMap[String, java.lang.Long](4096)
-
-  private def countWord(w: String): Long = {
-    val hit = countCache.get(w)
-    if (hit != null) hit.longValue
-    else {
-      val n = encode(w).length.toLong
-      if (countCache.size < CacheCap) countCache.put(w, java.lang.Long.valueOf(n))
-      n
-    }
-  }
-
-  /** Whole-document token count: split on single 0x20 bytes (byte-safe
-    * in UTF-8 — 0x20 never occurs as a continuation byte), skip empty
-    * segments, sum cached per-word BPE lengths. One byte scan plus one
-    * String per word; the BPE loop itself amortizes through the cache
-    * (a 31-word-vocabulary corpus hits ~100%).
+  /** Whole-document token count under the frozen table (see
+    * [[BpeTable.countTokens]]).
     */
-  def countTokens(text: UTF8String): Long = {
-    val bytes = text.getBytes
-    var total = 0L
-    var start = 0
-    var i = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        if (i > start) {
-          total += countWord(new String(bytes, start, i - start, StandardCharsets.UTF_8))
-        }
-        start = i + 1
-      }
-      i += 1
-    }
-    total
-  }
+  def countTokens(text: UTF8String): Long = frozen.countTokens(text)
 
   def tokensAsArrayData(word: UTF8String): ArrayData =
     ArrayData.toArrayData(encode(word.toString).map(UTF8String.fromString))
@@ -254,6 +198,85 @@ object BpeCodec {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires a string argument, got ${other.catalogString}")
     }
+}
+
+/** A merges table with the reference apply semantics (leftmost
+  * occurrence of the lowest-rank pair until none present) and a
+  * bounded per-word count cache. One instance per table: the frozen
+  * fixture table is [[BpeCodec.frozen]]; q144 builds one from its
+  * corpus-trained merges and ships it to tasks as a codegen reference
+  * object. The cache is capped so an adversarial corpus of unique
+  * words cannot grow it unboundedly — misses just re-encode.
+  */
+final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  import BpeCodec.Sep
+
+  private val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](math.max(4, merges.size * 2))
+    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + Sep + r, Integer.valueOf(i)) }
+    m
+  }
+
+  def encode(word: String): Array[String] = {
+    var toks = BpeCodec.codepoints(word)
+    var done = toks.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.get(toks(i) + Sep + toks(i + 1))
+        if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        val nt = new Array[String](toks.length - 1)
+        System.arraycopy(toks, 0, nt, 0, bestI)
+        nt(bestI) = toks(bestI) + toks(bestI + 1)
+        System.arraycopy(toks, bestI + 2, nt, bestI + 1, toks.length - bestI - 2)
+        toks = nt
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  private val CacheCap = 1 << 16
+  @transient private lazy val countCache = new ConcurrentHashMap[String, java.lang.Long](4096)
+
+  private def countWord(w: String): Long = {
+    val hit = countCache.get(w)
+    if (hit != null) hit.longValue
+    else {
+      val n = encode(w).length.toLong
+      if (countCache.size < CacheCap) countCache.put(w, java.lang.Long.valueOf(n))
+      n
+    }
+  }
+
+  /** Whole-document token count: split on single 0x20 bytes (byte-safe
+    * in UTF-8 — 0x20 never occurs as a continuation byte), skip empty
+    * segments, sum cached per-word BPE lengths. One byte scan plus one
+    * String per word; the BPE loop itself amortizes through the cache
+    * (a Heaps-vocabulary corpus hits ~100%).
+    */
+  def countTokens(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var total = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          total += countWord(new String(bytes, start, i - start, StandardCharsets.UTF_8))
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    total
+  }
 }
 
 /** BPE token count of a whole document under the frozen merges table —
@@ -359,4 +382,55 @@ case class MergePairExpr(first: Expression, second: Expression, third: Expressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, l, r) =>
       s"${ev.value} = graft.functions.BpeCodec.mergePair($t, $l, $r);")
+}
+
+/** BPE token count under a DYNAMIC merges table — the q144 apply side
+  * of the train→apply chain. The table rides as a foldable
+  * array<string> of rank-ordered pair keys (lhs + U+0001 + rhs), is folded
+  * ONCE at plan time into a [[BpeTable]], and ships to tasks as a
+  * codegen reference object — so per-row cost is identical to the
+  * frozen `bpe_count` (cached word lookups inside whole-stage codegen),
+  * and the trained table never re-parses per row.
+  */
+case class BpeCountWithExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val textOk = BpeCodec.binaryStringCheck("bpe_count_with", left.dataType)
+    if (textOk != TypeCheckResult.TypeCheckSuccess) textOk
+    else right.dataType match {
+      case ArrayType(StringType, _) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        "bpe_count_with requires a FOLDABLE merges array (the table is " +
+          "built once at plan time, not per row)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_count_with requires array<string> merges (rank-ordered " +
+          s"lhs\\u0001rhs pair keys), got ${other.catalogString}")
+    }
+  }
+  override def prettyName: String = "bpe_count_with"
+
+  @transient private lazy val table: BpeTable = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    require(arr != null, "bpe_count_with merges array must not be null")
+    val merges = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"bpe_count_with merges[$i] is null")
+      val pk = arr.getUTF8String(i).toString
+      val cut = pk.indexOf(BpeCodec.Sep.toInt)
+      require(cut > 0 && pk.indexOf(BpeCodec.Sep.toInt, cut + 1) < 0,
+        s"bpe_count_with merges[$i] must be lhs\\u0001rhs with non-empty lhs, got '$pk'")
+      (pk.substring(0, cut), pk.substring(cut + 1))
+    }
+    new BpeTable(merges)
+  }
+
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    table.countTokens(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $tableRef.countTokens($t);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeCountWithExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -92,7 +92,14 @@ object Bpe {
     * rows where no pair is in the table.
     */
   private def applyCtes: String =
-    s"""mp AS (SELECT $mergesMapSql AS m),
+    applyCtesWithMp(s"mp AS (SELECT $mergesMapSql AS m)")
+
+  /** Same apply replay, but over a caller-supplied `mp(m)` CTE — q144
+    * builds its map FROM the trained CTE chain instead of the frozen
+    * literal.
+    */
+  private def applyCtesWithMp(mpDef: String): String =
+    s"""$mpDef,
        |init AS (SELECT word,
        |  [substr(word, i, 1) for i in range(1, length(word) + 1)] AS toks FROM uw),
        |state(word, toks) AS (
@@ -194,25 +201,30 @@ object Bpe {
     * aggregate, (cnt DESC, pk ASC) argmax, state update — the engine
     * loop, verbatim.
     */
-  def q141Sql: String = {
+  /** w0 + the unrolled train rounds (p_k, b_k, w_k) — shared by q141's
+    * oracle and q144's chained train→apply oracle.
+    *
+    * b_k and w_k are MATERIALIZED: each w_k is referenced twice (by
+    * p_{k+1} and w_{k+1}) and each b_k twice (by w_k and the final
+    * union), so plain CTE inlining duplicates the chain exponentially —
+    * 2^rounds copies of w0, measured 321 s at sf0.01 vs ~1 s
+    * materialized.
+    */
+  private def trainCtes: String = {
     val rounds = (1 to TrainRounds).map { k =>
       s"""p$k AS (SELECT pk, SUM(freq) AS cnt FROM (
          |  SELECT unnest([toks[i] || chr(1) || toks[i+1] for i in range(1, len(toks))]) AS pk, freq
          |  FROM (SELECT string_split(trim(s, chr(1)), chr(1) || chr(1)) AS toks, freq FROM w${k - 1})
          | ) GROUP BY pk),
-         |b$k AS (SELECT pk,
+         |b$k AS MATERIALIZED (SELECT pk,
          |  string_split(pk, chr(1))[1] AS lhs, string_split(pk, chr(1))[2] AS rhs
          |  FROM p$k ORDER BY cnt DESC, pk LIMIT 1),
-         |w$k AS (SELECT
+         |w$k AS MATERIALIZED (SELECT
          |  replace(s, chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
          |             chr(1) || lhs || rhs || chr(1)) AS s, freq
          |  FROM w${k - 1}, b$k)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to TrainRounds)
-      .map(k => s"SELECT ${k - 1} AS rank, lhs, rhs, lhs || rhs AS merged FROM b$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH
-       |w0 AS (SELECT
+    s"""w0 AS MATERIALIZED (SELECT
        |  chr(1) || array_to_string(
        |    [substr(word, i, 1) for i in range(1, length(word) + 1)],
        |    chr(1) || chr(1)) || chr(1) AS s,
@@ -220,10 +232,18 @@ object Bpe {
        |  FROM (SELECT w AS word, COUNT(*) AS freq
        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |        WHERE w <> '' GROUP BY w)),
-       |$rounds
-       |SELECT * FROM ($union)
-       |ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def trainedUnion: String = (1 to TrainRounds)
+    .map(k => s"SELECT ${k - 1} AS rank, lhs, rhs, lhs || rhs AS merged FROM b$k")
+    .mkString("\nUNION ALL ")
+
+  def q141Sql: String =
+    s"""WITH
+       |$trainCtes
+       |SELECT * FROM ($trainedUnion)
+       |ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------
   // T44 / q142: shard packing billed in real tokens (q80's twin)
@@ -349,4 +369,77 @@ object Bpe {
        |FROM cum WHERE cum_tokens - n_tokens < budget_tokens
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // T46 / q144: the train→apply chain — bill the corpus in its OWN
+  // trained tokenizer's tokens
+  // ---------------------------------------------------------------
+
+  /** The production composition q140/q141 leave open: train a
+    * corpus-fit merges table (q141's loop — bounded model state, one
+    * text pass), then tokenize the corpus UNDER THAT TABLE and report
+    * per-source compression (chars per trained token) beside the
+    * whitespace estimate. The trained table ships into the scan as a
+    * foldable literal behind the native `bpe_count_with` expression
+    * (folded once at plan time into a [[graft.functions.BpeTable]],
+    * codegen reference object per task — per-row cost identical to the
+    * frozen `bpe_count`). Scale shape: q141's train cost + ONE map-only
+    * corpus scan + a partial agg; at 100 TB the chain is exactly how a
+    * tokenizer fit lands in production — fit once, broadcast the
+    * table, bill everything in its tokens.
+    */
+  def q144TrainedChain(s: SparkSession, dir: String): DataFrame = {
+    val trained = q141BpeTrain(s, dir).collect()
+      .map(r => r.getString(1) + graft.functions.BpeCodec.Sep + r.getString(2))
+    val mergesLit = typedLit(trained.toSeq)
+    val d = Tables.documents(s, dir)
+    d.select(col("source"),
+        length(col("text")).cast(LongType).as("chars"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        coalesce(call_function("bpe_count_with", col("text"), mergesLit), lit(0L))
+          .as("tt"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("chars").as("chars"),
+        sum("ws").as("ws_tokens"),
+        sum("tt").as("trained_tokens"))
+      .withColumn("chars_per_token",
+        when(col("trained_tokens") > 0,
+          round(col("chars").cast(DoubleType) /
+            col("trained_tokens").cast(DoubleType), 4)))
+      .orderBy("source")
+  }
+
+  def q144Sql: String =
+    s"""WITH RECURSIVE
+       |$trainCtes,
+       |trained AS ($trainedUnion),
+       |docs0 AS (SELECT doc_id, source,
+       |  CAST(length(text) AS BIGINT) AS chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+       |  [w for w in string_split(text, ' ') if w <> ''] AS wlist
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(wlist) AS word FROM docs0),
+       |dwc AS (SELECT doc_id, word, COUNT(*) AS c FROM dw GROUP BY doc_id, word),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |${applyCtesWithMp(
+            // MATERIALIZED: mp is referenced inside the recursive apply
+            // CTE; DuckDB inlines plain CTEs, which would re-run the
+            // whole 12-round train chain on every recursion step
+            """mp AS MATERIALIZED (SELECT map(list(lhs || chr(1) || rhs ORDER BY rank),
+              |               list(rank ORDER BY rank)) AS m FROM trained)""".stripMargin)},
+       |perdoc AS (SELECT doc_id, SUM(c * bpe_len) AS n_tok
+       |  FROM dwc JOIN wlen USING (word) GROUP BY doc_id),
+       |agg AS (SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.chars) AS BIGINT) AS chars,
+       |  CAST(SUM(d.ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT) AS trained_tokens
+       |  FROM docs0 d LEFT JOIN perdoc p USING (doc_id)
+       |  GROUP BY source)
+       |SELECT source, n_docs, chars, ws_tokens, trained_tokens,
+       |  CASE WHEN trained_tokens > 0
+       |    THEN ROUND(CAST(chars AS DOUBLE) / CAST(trained_tokens AS DOUBLE), 4)
+       |  END AS chars_per_token
+       |FROM agg ORDER BY source""".stripMargin
 }

@@ -152,6 +152,74 @@ class BpeSpec extends GraftSpec {
     }
   }
 
+  test("bpe_count_with under an explicit table equals a local BpeTable") {
+    import spark.implicits._
+    import graft.functions.BpeTable
+    val merges = Seq(("s", "t"), ("a", "r"), ("st", "ar"))
+    val keys = merges.map { case (l, r) => l + BpeCodec.Sep + r }
+    val local = new BpeTable(merges)
+    val inputs = Seq("star", "starstar", "st ar star", "", " ", "参star参",
+      "😀st", "aaaa")
+    val got = inputs.toDF("text")
+      .select(call_function("bpe_count_with", col("text"), typedLit(keys)).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = inputs.map { t =>
+      t.split(" ").filter(_.nonEmpty).map(w => local.encode(w).length.toLong).sum
+    }
+    assert(got == want, s"got $got, want $want")
+    // the frozen table through the dynamic path == the frozen expression
+    val frozenKeys = BpeCodec.Merges.map { case (l, r) => l + BpeCodec.Sep + r }
+    val both = Seq("the spark stream", "customer value").toDF("text")
+      .select(
+        call_function("bpe_count", col("text")).as("a"),
+        call_function("bpe_count_with", col("text"), typedLit(frozenKeys)).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("bpe_count_with rejects non-foldable and malformed merges") {
+    import spark.implicits._
+    val df = Seq(("x", Seq("a"))).toDF("w", "m")
+    intercept[Exception] { // non-foldable merges column
+      df.select(call_function("bpe_count_with", col("w"), col("m"))).collect()
+    }
+    intercept[Exception] { // key without the  separator
+      df.select(call_function("bpe_count_with", col("w"), typedLit(Seq("ab")))).collect()
+    }
+  }
+
+  test("q144 bills the corpus in its own trained tokenizer's tokens") {
+    val plan = Bpe.q144TrainedChain(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_count_with"), "q144 lost the native dynamic-table scan")
+
+    val rows = Bpe.q144TrainedChain(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent driver-side replay: train locally over the corpus
+    // word frequencies, encode every word, sum per source
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val table = new graft.functions.BpeTable(BpeCodec.trainLocal(wf, Bpe.TrainRounds))
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> rs.map(_.getString(1).split(" ").filter(_.nonEmpty)
+          .map(w => table.encode(w).length.toLong).sum).sum
+      }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(4) == expected(src),
+        s"trained_tokens($src) = ${r.getLong(4)}, local replay = ${expected(src)}")
+      // a corpus-fit table always compresses at least as well as
+      // counting codepoints: trained tokens <= chars
+      assert(r.getLong(4) <= r.getLong(2))
+    }
+  }
+
   test("merge_pair / token_pairs reject wrong arities and types") {
     import spark.implicits._
     val df = Seq("x").toDF("w")
