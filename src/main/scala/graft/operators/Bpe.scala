@@ -154,22 +154,29 @@ object Bpe {
     val d = Tables.documents(s, dir)
     // ONE pass over raw text: the word-frequency table. Everything
     // after iterates over distinct words — at 100 TB that is the whole
-    // design (Sennrich's trainer, keyed-agg form).
-    var state = d
+    // design (Sennrich's trainer, keyed-agg form). Only this base is
+    // materialized; each round's token state rides LINEAGE as a chain
+    // of merge_pair projections over it, so round k's k merges fuse
+    // into ONE whole-stage-codegen pass (k static calls per row over a
+    // vocabulary-sized table) and every round is exactly one job — the
+    // r15 rework of the original cache-per-round form, which paid a
+    // second materialization job every round for no reuse beyond the
+    // next round's single scan.
+    val base = d
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(call_function("codepoints", col("word")).as("toks"), col("freq"))
       .cache()
-    state.count()
+    base.count()
+    var toks: org.apache.spark.sql.Column = call_function("codepoints", col("word"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
     var r = 0
     var exhausted = false
     while (r < TrainRounds && !exhausted) {
       // winner = (count DESC, pairKey ASC); pairKey byte-order equals
       // (lhs, rhs) order because \u0001 sorts below every corpus byte
-      val top = state
-        .select(explode(call_function("token_pairs", col("toks"))).as("pk"), col("freq"))
+      val top = base
+        .select(explode(call_function("token_pairs", toks)).as("pk"), col("freq"))
         .groupBy("pk").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("pk"))
         .limit(1).collect() // bounded model state: one row per round
@@ -179,16 +186,11 @@ object Bpe {
         val cut = pk.indexOf(BpeCodec.Sep.toInt)
         val (lhs, rhs) = (pk.substring(0, cut), pk.substring(cut + 1))
         merges += ((r, lhs, rhs, lhs + rhs))
-        val next = state.select(
-          call_function("merge_pair", col("toks"), lit(lhs), lit(rhs)).as("toks"),
-          col("freq")).cache()
-        next.count()
-        state.unpersist()
-        state = next
+        toks = call_function("merge_pair", toks, lit(lhs), lit(rhs))
         r += 1
       }
     }
-    state.unpersist()
+    base.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged").orderBy("rank")
   }
 
