@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeCountExpr, BpeCountWithExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SigAgreeExpr, SparseDotExpr, SplitWordsExpr, TokenHitsExpr, TokenPairsExpr}
+import graft.functions.{BpeCountExpr, BpeCountWithExpr, BpeTokensExpr, CleanNumericExpr, CodepointsExpr, DotProductExpr, Md5LongExpr, Md5LongNgramsExpr, MergePairExpr, MessyNumericExpr, NormTextExpr, PqAdcExpr, PqEncodeExpr, RollingHashExpr, RollingHashRevExpr, RpLshKeysExpr, ShingleHashExpr, SigAgreeExpr, SparseDotExpr, SplitWordsExpr, TokenHitsExpr, TokenPairsExpr}
 
 /** Engine extensions registered through the public
   * SparkSessionExtensions API (SURVEY.md §3): custom Catalyst
@@ -155,6 +155,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"sig_agree expects exactly 2 arguments, got ${children.length}")
         SigAgreeExpr(children(0), children(1))
+      }
+    ))
+    // PQ codec (SURVEY §2.3 T47, q145): trained codebook folded once
+    // at plan time; encode + asymmetric-distance scan stay codegen'd
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"pq_encode expects exactly 3 arguments, got ${children.length}")
+        PqEncodeExpr(children(0), children(1), children(2))
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"pq_adc expects exactly 3 arguments, got ${children.length}")
+        PqAdcExpr(children(0), children(1), children(2))
       }
     ))
     ext.injectFunction((

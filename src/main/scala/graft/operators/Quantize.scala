@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Vector quantization for the embedding family (SURVEY §2.3 T47/T48):
+  * the 100 TB MEMORY scale path. A raw 64-float embedding is 256 bytes;
+  * the PQ code is 8 bytes (M=8 nibbles) and the int8 SQ form 64 bytes —
+  * so the ANN candidate scan reads 32× (resp. 4×) less than q45's
+  * brute-force float scan, which is how a billion-vector corpus fits a
+  * cluster's memory at all (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011; FAISS's IVFADC/SQ8).
+  *
+  * q145 — PQ train → encode → ADC top-k, all oracle-checked:
+  *   TRAIN   one Lloyd round per subspace (q90's discipline: row-local
+  *           argmin fold over the broadcast seed array, DECIMAL-exact
+  *           per-dim means) → an M×K×D codebook, collected as bounded
+  *           model state (1 KB) like the q144 tokenizer table.
+  *   ENCODE  map-only native `pq_encode` over the corpus scan — the
+  *           codebook rides as a foldable literal folded once at plan
+  *           time into a codegen reference (BpeCountWithExpr playbook).
+  *   QUERY   per-probe LUT of micro-quantized sub-distances (M×K longs,
+  *           quantized ONCE so ADC sums are exact long arithmetic —
+  *           the q110 micro-nats trick), broadcast onto the 16-byte
+  *           (vec_id, code) scan; native `pq_adc` + per-probe top-k.
+  *           The ranking shuffle carries 24-byte rows, never floats.
+  *
+  * q146 — scalar int8 quantization audit: global per-dim min/max →
+  * round-trip encode/decode → per-label reconstruction-error report in
+  * exact pico units. The go/no-go gate for switching a 100 TB corpus
+  * from float32 to SQ8 storage.
+  */
+object Quantize {
+
+  val PqM = 8       // subspaces
+  val PqK = 16      // centroids per subspace (4-bit codes)
+  val PqD = 8       // dims per subspace (8×8 = the 64-dim embedding)
+  val PqProbes = 10 // probe set: vec_id < PqProbes (the T6 convention)
+  val PqTopK = 10
+
+  val SqDims = 64
+
+  // T47: PQ train → encode → ADC top-k with exact-d2 rerank column.
+  def q145PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // (vec_id, m, sub) training rows: explode a literal subspace index,
+    // slice is a codegen'd builtin — no HOF touches the scan here
+    val subs = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", slice(col("embedding"), col("m") * lit(PqD) + lit(1), lit(PqD)))
+      .select("vec_id", "m", "sub")
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast(IntegerType).as("cid"),
+        col("sub").as("centroid"))
+    // q90's assignment shape: strict-improvement fold over the K-element
+    // broadcast centroid array in cid order ≡ the oracle's
+    // ROW_NUMBER() OVER (ORDER BY d2 ASC, cid ASC); native vec_dot
+    // inside, K frames per row — whitelisted in InterpretedGuardSpec
+    val centArr = seeds.groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"),
+        VectorFunctions.norm2(col("centroid")).as("n2c")))).as("cents"))
+    val a1 = subs.join(broadcast(centArr), Seq("m"))
+      .withColumn("n2x", VectorFunctions.norm2(col("sub")))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        (acc, c) => {
+          val d2 = col("n2x") -
+            lit(2.0) * VectorFunctions.dot(col("sub"), c.getField("centroid")) +
+            c.getField("n2c")
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("m"), col("best").getField("cid").as("cid"), col("sub"))
+    // centroid update: DECIMAL-exact per-dim means (q46/q90's pattern —
+    // partial-agg order can't perturb the bits, which is what lets the
+    // DuckDB twin recompute the identical codebook)
+    val cb = a1.select(col("m"), col("cid"), posexplode(col("sub")))
+      .groupBy("m", "cid", "pos")
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+        .cast(DoubleType) / count(lit(1))).as("dim_avg"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+      .select(col("m"), col("cid"),
+        transform(col("dims"), x => x.getField("dim_avg")).as("centroid"))
+    // bounded model state (M·K·D doubles = 8 KB): fit once, ship the
+    // table into the scan as a foldable literal — the q144 pattern
+    val flat = Array.ofDim[Double](PqM * PqK * PqD)
+    cb.collect().foreach { r =>
+      val base = (r.getInt(0) * PqK + r.getInt(1)) * PqD
+      val c = r.getSeq[Double](2)
+      var i = 0
+      while (i < PqD) { flat(base + i) = c(i); i += 1 }
+    }
+    val bookLit = lit(flat)
+    val codes = e.select(col("vec_id"),
+      call_function("pq_encode", col("embedding"), bookLit,
+        lit(Array(PqM, PqK, PqD))).as("code"))
+    // per-probe LUT: micro-quantized sub-distance to every (m, cid)
+    // centroid, quantized ONCE → ADC sums are exact long arithmetic
+    val cbN2 = cb.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
+    val lutRows = subs.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
+      .join(broadcast(cbN2), Seq("m"))
+      .withColumn("d2",
+        VectorFunctions.norm2(col("sub")) -
+          lit(2.0) * VectorFunctions.dot(col("sub"), col("centroid")) +
+          col("n2c"))
+      .withColumn("d2u", round(col("d2") * lit(1e6), 0).cast(LongType))
+    val luts = lutRows
+      .groupBy("probe_id")
+      .agg(array_sort(collect_list(struct(
+        (col("m") * lit(PqK) + col("cid")).as("slot"), col("d2u")))).as("s"))
+      .select(col("probe_id"),
+        transform(col("s"), x => x.getField("d2u")).as("lut"))
+    // ADC scan: 16-byte (vec_id, code) rows × broadcast probe LUTs; the
+    // per-probe ranking shuffle carries (probe_id, vec_id, adc_u) only
+    val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
+    val topk = codes.join(broadcast(luts), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
+        lit(Array(PqM, PqK))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= PqTopK)
+      .select("probe_id", "rk", "vec_id", "adc_u")
+    // exact-d2 rerank column on the TopK·Probes survivors (100 rows):
+    // the recall audit a production ANN always ships with
+    val pvecs = e.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val tk = topk.join(broadcast(pvecs), Seq("probe_id"))
+    e.select(col("vec_id"), col("embedding").as("cvec"))
+      .join(broadcast(tk), Seq("vec_id"))
+      .withColumn("d2", round(
+        VectorFunctions.norm2(col("pvec")) -
+          lit(2.0) * VectorFunctions.dot(col("pvec"), col("cvec")) +
+          VectorFunctions.norm2(col("cvec")), 6))
+      .select(col("probe_id"), col("rk"), col("vec_id"), col("adc_u"), col("d2"))
+      .orderBy("probe_id", "rk")
+  }
+
+  private def d2Sql(a: String, b: String): String =
+    s"${VectorFunctions.dotSql(a, a)} - 2.0 * ${VectorFunctions.dotSql(a, b)} + ${VectorFunctions.dotSql(b, b)}"
+
+  val q145Sql: String = {
+    s"""WITH subs AS MATERIALIZED (
+       | SELECT vec_id, m, embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
+       | FROM embeddings, UNNEST(range(0, $PqM)) AS t(m)
+       |), seeds AS (
+       | SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS centroid
+       | FROM subs WHERE vec_id < $PqK
+       |), a1 AS (
+       | SELECT vec_id, m, sub, cid FROM (
+       |  SELECT s.vec_id, s.m, s.sub, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
+       |  FROM subs s JOIN seeds c ON c.m = s.m) WHERE rk = 1
+       |), c1d AS (
+       | SELECT m, cid, i AS pos,
+       |  CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM a1, UNNEST(range(1, $PqD + 1)) AS t(i)
+       | GROUP BY m, cid, i
+       |), c1 AS MATERIALIZED (
+       | SELECT m, cid, list(dim_avg ORDER BY pos) AS centroid FROM c1d GROUP BY m, cid
+       |), codes AS MATERIALIZED (
+       | SELECT vec_id, m, cid AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
+       |  FROM subs s JOIN c1 c ON c.m = s.m) WHERE rk = 1
+       |), lut AS (
+       | SELECT p.vec_id AS probe_id, c.m, c.cid,
+       |  CAST(ROUND((${d2Sql("p.sub", "c.centroid")}) * 1000000, 0) AS BIGINT) AS d2u
+       | FROM (SELECT vec_id, m, sub FROM subs WHERE vec_id < $PqProbes) p
+       | JOIN c1 c ON c.m = p.m
+       |), adc AS (
+       | SELECT l.probe_id, k.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_u
+       | FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.code
+       | WHERE k.vec_id <> l.probe_id
+       | GROUP BY l.probe_id, k.vec_id
+       |), ranked AS (
+       | SELECT probe_id, vec_id, adc_u,
+       |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_u ASC, vec_id ASC) AS rk
+       | FROM adc
+       |)
+       |SELECT r.probe_id, r.rk, r.vec_id, r.adc_u,
+       | ROUND(${d2Sql("p.embedding", "e.embedding")}, 6) AS d2
+       |FROM ranked r
+       |JOIN embeddings p ON p.vec_id = r.probe_id
+       |JOIN embeddings e ON e.vec_id = r.vec_id
+       |WHERE r.rk <= $PqTopK
+       |ORDER BY r.probe_id, r.rk""".stripMargin
+  }
+
+  // T48: int8 scalar-quantization round-trip audit. Exact integer
+  // report: per-dim squared reconstruction error quantized ONCE to
+  // pico units, per-label sums are plain long arithmetic.
+  def q146Sq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val stats = e.select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(min(col("col").cast(DoubleType)).as("mn"),
+        max(col("col").cast(DoubleType)).as("mx"))
+      .withColumn("scale", col("mx") - col("mn"))
+    val enc = e.select(col("label"), posexplode(col("embedding")))
+      .withColumn("x", col("col").cast(DoubleType))
+      .join(broadcast(stats), Seq("pos"))
+      // ANSI guard: a constant dim (scale = 0) encodes to 0 and decodes
+      // to mn exactly — never a 0-division
+      .withColumn("q", when(col("scale") === 0.0, lit(0))
+        .otherwise(round((col("x") - col("mn")) * lit(255.0) / col("scale"), 0)
+          .cast(IntegerType)))
+      .withColumn("deq",
+        col("mn") + (col("q").cast(DoubleType) * col("scale")) / lit(255.0))
+      .withColumn("err_p",
+        round((col("x") - col("deq")) * (col("x") - col("deq")) * lit(1e12), 0)
+          .cast(LongType))
+    enc.groupBy("label")
+      .agg((count(lit(1)) / lit(SqDims)).cast(LongType).as("n_vectors"),
+        count(lit(1)).as("n_dims"),
+        sum("err_p").as("sse_pico"),
+        max("err_p").as("max_err_pico"))
+      .orderBy("label")
+  }
+
+  val q146Sql: String =
+    s"""WITH stats AS (
+       | SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |        MAX(CAST(embedding[i] AS DOUBLE)) AS mx,
+       |        MAX(CAST(embedding[i] AS DOUBLE)) - MIN(CAST(embedding[i] AS DOUBLE)) AS scale
+       | FROM embeddings, UNNEST(range(1, $SqDims + 1)) AS t(i)
+       | GROUP BY i
+       |), enc AS (
+       | SELECT e.label, CAST(e.embedding[s.i] AS DOUBLE) AS x, s.mn, s.scale,
+       |  CASE WHEN s.scale = 0 THEN 0
+       |       ELSE CAST(ROUND((CAST(e.embedding[s.i] AS DOUBLE) - s.mn) * 255.0 / s.scale, 0) AS INTEGER)
+       |  END AS q
+       | FROM embeddings e, UNNEST(range(1, $SqDims + 1)) AS t2(j)
+       | JOIN stats s ON s.i = t2.j
+       |), err AS (
+       | SELECT label,
+       |  CAST(ROUND((x - (mn + (CAST(q AS DOUBLE) * scale) / 255.0)) *
+       |             (x - (mn + (CAST(q AS DOUBLE) * scale) / 255.0)) * 1000000000000.0, 0) AS BIGINT) AS err_p
+       | FROM enc
+       |)
+       |SELECT label, CAST(COUNT(*) / $SqDims AS BIGINT) AS n_vectors,
+       | COUNT(*) AS n_dims,
+       | CAST(SUM(err_p) AS BIGINT) AS sse_pico,
+       | MAX(err_p) AS max_err_pico
+       |FROM err GROUP BY label ORDER BY label""".stripMargin
+}

@@ -77,7 +77,16 @@ class InterpretedGuardSpec extends GraftSpec {
     // K centroids post-agg.
     ("q90_kmeans", "aggregate"),
     ("q90_kmeans", "array_sort"),
-    ("q90_kmeans", "transform")
+    ("q90_kmeans", "transform"),
+    // q145: PQ TRAIN assignment — q90's exact shape per subspace
+    // (strict-improvement fold over the K=16 broadcast centroid array,
+    // native vec_dot inside, K frames per row); array_sort/transform
+    // assemble the M·K codebook and the Probes-row LUTs post-agg. The
+    // ENCODE and ADC passes — the ones that run per corpus row at
+    // serve time — are the native pq_encode/pq_adc expressions.
+    ("q145_pq_adc", "aggregate"),
+    ("q145_pq_adc", "array_sort"),
+    ("q145_pq_adc", "transform")
   )
 
   private def factLeafNames(p: LogicalPlan): Set[String] =
