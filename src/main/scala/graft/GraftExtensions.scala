@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      new FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[graft.functions.VecSubExpr].getName, "vec_sub"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"vec_sub expects exactly 2 arguments, got ${children.length}")
+        graft.functions.VecSubExpr(children(0), children(1))
+      }
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("sparse_dot"),
       new ExpressionInfo(classOf[SparseDotExpr].getName, "sparse_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -115,7 +115,80 @@ case class SparseDotExpr(left: Expression, right: Expression)
     })
 }
 
+/** Native elementwise residual `vec_sub(a, b)` → array<double> of
+  * a(i) − b(i) (q147's IVFADC residual, SURVEY §2.3 T49). Each
+  * element is ONE IEEE double subtraction — the DuckDB twin is
+  * `CAST(a[i] AS DOUBLE) − b[i]` per dim, bit-identical — so the
+  * residual-PQ chain built on top stays oracle-checkable. The
+  * declarative form would be a zip_with lambda per corpus row (the
+  * exact interpreted-HOF defect class InterpretedGuardSpec gates);
+  * this is one static call inside whole-stage codegen.
+  *
+  * Null semantics mirror the HOF chain: null array → null
+  * (nullSafeEval); length mismatch → null; any null element → null.
+  */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sub requires two float/double array arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.subBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  graft.functions.VectorExprs.subBoxed(
+         |    $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin
+    })
+}
+
 object VectorExprs {
+
+  /** Elementwise a(i) − b(i) in double; null on length mismatch or a
+    * null element (the zip_with chain's outcomes).
+    */
+  def subBoxed(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Strict left fold Σ a(i)·b(i) in index order, double arithmetic —
     * the same IEEE sequence as aggregate(zip_with(...)). Boxed so the

@@ -45,22 +45,24 @@ object Quantize {
 
   val SqDims = 64
 
-  // T47: PQ train → encode → ADC top-k with exact-d2 rerank column.
-  def q145PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // (vec_id, m, sub) training rows: explode a literal subspace index,
-    // slice is a codegen'd builtin — no HOF touches the scan here
-    val subs = e.select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
-      .withColumn("sub", slice(col("embedding"), col("m") * lit(PqD) + lit(1), lit(PqD)))
-      .select("vec_id", "m", "sub")
+  /** One Lloyd round per subspace over (vec_id, m, sub) rows — q90's
+    * assignment shape (strict-improvement fold over the K-element
+    * broadcast seed array in cid order ≡ the oracle's ROW_NUMBER()
+    * OVER (ORDER BY d2 ASC, cid ASC); native vec_dot inside, K frames
+    * per row — whitelisted in InterpretedGuardSpec) followed by the
+    * DECIMAL-exact per-dim mean update (q46/q90's pattern — partial-agg
+    * order can't perturb the bits, which is what lets the DuckDB twin
+    * recompute the identical codebook). Seeds are the first PqK
+    * vectors' subs. Returns the (m, cid, centroid) codebook frame plus
+    * its flattened row-major collection — bounded model state
+    * (M·K·D doubles = 8 KB): fit once, ship the table into the scan as
+    * a foldable literal, the q144 pattern. Shared by q145 (raw
+    * subvectors) and q147 (coarse-cell residual subvectors).
+    */
+  private def trainBook(subs: DataFrame): (DataFrame, Array[Double]) = {
     val seeds = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast(IntegerType).as("cid"),
         col("sub").as("centroid"))
-    // q90's assignment shape: strict-improvement fold over the K-element
-    // broadcast centroid array in cid order ≡ the oracle's
-    // ROW_NUMBER() OVER (ORDER BY d2 ASC, cid ASC); native vec_dot
-    // inside, K frames per row — whitelisted in InterpretedGuardSpec
     val centArr = seeds.groupBy("m")
       .agg(array_sort(collect_list(struct(col("cid"), col("centroid"),
         VectorFunctions.norm2(col("centroid")).as("n2c")))).as("cents"))
@@ -77,9 +79,6 @@ object Quantize {
             struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
         }))
       .select(col("m"), col("best").getField("cid").as("cid"), col("sub"))
-    // centroid update: DECIMAL-exact per-dim means (q46/q90's pattern —
-    // partial-agg order can't perturb the bits, which is what lets the
-    // DuckDB twin recompute the identical codebook)
     val cb = a1.select(col("m"), col("cid"), posexplode(col("sub")))
       .groupBy("m", "cid", "pos")
       .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
@@ -88,8 +87,6 @@ object Quantize {
       .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
       .select(col("m"), col("cid"),
         transform(col("dims"), x => x.getField("dim_avg")).as("centroid"))
-    // bounded model state (M·K·D doubles = 8 KB): fit once, ship the
-    // table into the scan as a foldable literal — the q144 pattern
     val flat = Array.ofDim[Double](PqM * PqK * PqD)
     cb.collect().foreach { r =>
       val base = (r.getInt(0) * PqK + r.getInt(1)) * PqD
@@ -97,6 +94,19 @@ object Quantize {
       var i = 0
       while (i < PqD) { flat(base + i) = c(i); i += 1 }
     }
+    (cb, flat)
+  }
+
+  // T47: PQ train → encode → ADC top-k with exact-d2 rerank column.
+  def q145PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // (vec_id, m, sub) training rows: explode a literal subspace index,
+    // slice is a codegen'd builtin — no HOF touches the scan here
+    val subs = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", slice(col("embedding"), col("m") * lit(PqD) + lit(1), lit(PqD)))
+      .select("vec_id", "m", "sub")
+    val (cb, flat) = trainBook(subs)
     val bookLit = lit(flat)
     val codes = e.select(col("vec_id"),
       call_function("pq_encode", col("embedding"), bookLit,
@@ -187,6 +197,188 @@ object Quantize {
        | FROM adc
        |)
        |SELECT r.probe_id, r.rk, r.vec_id, r.adc_u,
+       | ROUND(${d2Sql("p.embedding", "e.embedding")}, 6) AS d2
+       |FROM ranked r
+       |JOIN embeddings p ON p.vec_id = r.probe_id
+       |JOIN embeddings e ON e.vec_id = r.vec_id
+       |WHERE r.rk <= $PqTopK
+       |ORDER BY r.probe_id, r.rk""".stripMargin
+  }
+
+  val IvfNprobe = 2 // coarse cells probed per query (of the 10 label cells)
+
+  /** T49: IVFADC — the composed production ANN index (FAISS's
+    * IVFADC; Jégou et al. TPAMI 2011 §IV): coarse-quantize the corpus
+    * into IVF cells (q46's decimal-exact label centroids), PQ-encode
+    * each vector's RESIDUAL to its cell centroid (residuals carry the
+    * fine structure the coarse quantizer removed — the reason FAISS
+    * encodes residuals, not raw vectors), route each probe to its
+    * `IvfNprobe` nearest cells by exact d2, and ADC-score ONLY those
+    * cells' codes with a per-(probe, cell) LUT over the probe's
+    * residual in that cell.
+    *
+    * Scale shape: the candidate scan reads nprobe/n_cells of the
+    * corpus (partition pruning by cell id at 100 TB — cells are the
+    * storage partition key), candidates are 16-byte (vec_id, code)
+    * rows, LUTs broadcast, and the ranking shuffle carries 28-byte
+    * rows. Residuals never materialize outside whole-stage codegen:
+    * `vec_sub` (native, VectorExprs.scala) feeds `pq_encode` directly
+    * on the scan.
+    */
+  def q147IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // coarse centroids: q46's decimal-exact per-dim means, kept DOUBLE
+    // so the residual subtraction is one exact IEEE op per dim
+    val coarse = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+        .cast(DoubleType) / count(lit(1))).as("dim_avg"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+      .select(col("label").as("cell"),
+        transform(col("dims"), d => d.getField("dim_avg")).as("ccent"))
+    // residual scan: one broadcast join + native vec_sub — map-side,
+    // codegen'd end to end (the zip_with form would be the interpreted
+    // HOF defect class InterpretedGuardSpec gates)
+    val resid = e.join(broadcast(coarse), col("label") === col("cell"))
+      .select(col("vec_id"), col("cell"),
+        call_function("vec_sub", col("embedding"), col("ccent")).as("resid"))
+    val rsubs = resid.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
+      .withColumn("sub", slice(col("resid"), col("m") * lit(PqD) + lit(1), lit(PqD)))
+      .select("vec_id", "m", "sub")
+    val (cb, flat) = trainBook(rsubs)
+    val bookLit = lit(flat)
+    val codes = resid.select(col("vec_id"), col("cell"),
+      call_function("pq_encode", col("resid"), bookLit,
+        lit(Array(PqM, PqK, PqD))).as("code"))
+    // probe routing: nprobe nearest coarse cells by exact d2 (no
+    // division — ANSI-safe without the cosine zero-norm filter)
+    val probes = e.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val wc = Window.partitionBy("probe_id").orderBy(asc("cd2"), asc("cell"))
+    val routed = probes.join(broadcast(coarse), lit(true))
+      .withColumn("cd2",
+        VectorFunctions.norm2(col("pvec")) -
+          lit(2.0) * VectorFunctions.dot(col("pvec"), col("ccent")) +
+          VectorFunctions.norm2(col("ccent")))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= IvfNprobe)
+      .withColumn("pres", call_function("vec_sub", col("pvec"), col("ccent")))
+      .select(col("probe_id"), col("cell"), col("pres"))
+    // per-(probe, cell) LUT over the probe's residual IN THAT CELL —
+    // micro-quantized once, so ADC sums stay exact long arithmetic
+    val psubs = routed.select(col("probe_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("pres"))
+      .withColumn("sub", slice(col("pres"), col("m") * lit(PqD) + lit(1), lit(PqD)))
+    val cbN2 = cb.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
+    val luts = psubs.join(broadcast(cbN2), Seq("m"))
+      .withColumn("d2",
+        VectorFunctions.norm2(col("sub")) -
+          lit(2.0) * VectorFunctions.dot(col("sub"), col("centroid")) +
+          col("n2c"))
+      .withColumn("d2u", round(col("d2") * lit(1e6), 0).cast(LongType))
+      .groupBy("probe_id", "cell")
+      .agg(array_sort(collect_list(struct(
+        (col("m") * lit(PqK) + col("cid")).as("slot"), col("d2u")))).as("s"))
+      .select(col("probe_id"), col("cell").as("lcell"),
+        transform(col("s"), x => x.getField("d2u")).as("lut"))
+    // ADC over the ROUTED cells only: each candidate lives in exactly
+    // one label cell, so the lut join is also the cell restriction
+    val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
+    val topk = codes.join(broadcast(luts),
+        col("cell") === col("lcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
+        lit(Array(PqM, PqK))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= PqTopK)
+      .select("probe_id", "rk", "cell", "vec_id", "adc_u")
+    // exact-d2 rerank column on the TopK·Probes survivors — the recall
+    // audit, as in q145
+    val pvecs = e.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val tk = topk.join(broadcast(pvecs), Seq("probe_id"))
+    e.select(col("vec_id"), col("embedding").as("cvec"))
+      .join(broadcast(tk), Seq("vec_id"))
+      .withColumn("d2", round(
+        VectorFunctions.norm2(col("pvec")) -
+          lit(2.0) * VectorFunctions.dot(col("pvec"), col("cvec")) +
+          VectorFunctions.norm2(col("cvec")), 6))
+      .select(col("probe_id"), col("rk"), col("cell"), col("vec_id"),
+        col("adc_u"), col("d2"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val q147Sql: String = {
+    s"""WITH cdim AS (
+       | SELECT label, i AS pos,
+       |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM embeddings, UNNEST(range(1, ${PqM * PqD} + 1)) AS t(i)
+       | GROUP BY label, i
+       |), coarse AS MATERIALIZED (
+       | SELECT label AS cell, list(dim_avg ORDER BY pos) AS ccent FROM cdim GROUP BY label
+       |), rdim AS (
+       | SELECT e.vec_id, e.label, (t.i - 1) // $PqD AS m, t.i AS i,
+       |  CAST(e.embedding[t.i] AS DOUBLE) - c.ccent[t.i] AS r
+       | FROM embeddings e JOIN coarse c ON c.cell = e.label,
+       |  UNNEST(range(1, ${PqM * PqD} + 1)) AS t(i)
+       |), rsubs AS MATERIALIZED (
+       | SELECT vec_id, label, m, list(r ORDER BY i) AS sub
+       | FROM rdim GROUP BY vec_id, label, m
+       |), seeds AS (
+       | SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS centroid
+       | FROM rsubs WHERE vec_id < $PqK
+       |), a1 AS (
+       | SELECT vec_id, m, sub, cid FROM (
+       |  SELECT s.vec_id, s.m, s.sub, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
+       |  FROM rsubs s JOIN seeds c ON c.m = s.m) WHERE rk = 1
+       |), c1d AS (
+       | SELECT m, cid, i AS pos,
+       |  CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg
+       | FROM a1, UNNEST(range(1, $PqD + 1)) AS t(i)
+       | GROUP BY m, cid, i
+       |), c1 AS MATERIALIZED (
+       | SELECT m, cid, list(dim_avg ORDER BY pos) AS centroid FROM c1d GROUP BY m, cid
+       |), codes AS MATERIALIZED (
+       | SELECT vec_id, label, m, cid AS code FROM (
+       |  SELECT s.vec_id, s.label, s.m, c.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
+       |  FROM rsubs s JOIN c1 c ON c.m = s.m) WHERE rk = 1
+       |), route AS MATERIALIZED (
+       | SELECT probe_id, cell FROM (
+       |  SELECT p.vec_id AS probe_id, c.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |     ORDER BY ${d2Sql("p.embedding", "c.ccent")} ASC, c.cell) AS crk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $PqProbes) p, coarse c)
+       | WHERE crk <= $IvfNprobe
+       |), pdim AS (
+       | SELECT r.probe_id, r.cell, (t.i - 1) // $PqD AS m, t.i AS i,
+       |  CAST(p.embedding[t.i] AS DOUBLE) - c.ccent[t.i] AS pr
+       | FROM route r
+       | JOIN embeddings p ON p.vec_id = r.probe_id
+       | JOIN coarse c ON c.cell = r.cell,
+       |  UNNEST(range(1, ${PqM * PqD} + 1)) AS t(i)
+       |), psubs AS (
+       | SELECT probe_id, cell, m, list(pr ORDER BY i) AS sub
+       | FROM pdim GROUP BY probe_id, cell, m
+       |), lut AS (
+       | SELECT s.probe_id, s.cell, c.m, c.cid,
+       |  CAST(ROUND((${d2Sql("s.sub", "c.centroid")}) * 1000000, 0) AS BIGINT) AS d2u
+       | FROM psubs s JOIN c1 c ON c.m = s.m
+       |), adc AS (
+       | SELECT l.probe_id, k.label AS cell, k.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_u
+       | FROM codes k JOIN lut l ON l.cell = k.label AND l.m = k.m AND l.cid = k.code
+       | WHERE k.vec_id <> l.probe_id
+       | GROUP BY l.probe_id, k.label, k.vec_id
+       |), ranked AS (
+       | SELECT probe_id, cell, vec_id, adc_u,
+       |  ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_u ASC, vec_id ASC) AS rk
+       | FROM adc
+       |)
+       |SELECT r.probe_id, r.rk, r.cell, r.vec_id, r.adc_u,
        | ROUND(${d2Sql("p.embedding", "e.embedding")}, 6) AS d2
        |FROM ranked r
        |JOIN embeddings p ON p.vec_id = r.probe_id

@@ -86,7 +86,16 @@ class InterpretedGuardSpec extends GraftSpec {
     // serve time — are the native pq_encode/pq_adc expressions.
     ("q145_pq_adc", "aggregate"),
     ("q145_pq_adc", "array_sort"),
-    ("q145_pq_adc", "transform")
+    ("q145_pq_adc", "transform"),
+    // q147: IVFADC — same TRAIN-pass shapes as q145 (the fold runs
+    // over the K=16 broadcast seed array with native vec_dot inside;
+    // array_sort/transform assemble the codebook, coarse centroids and
+    // per-(probe, cell) LUTs post-agg). The per-corpus-row passes —
+    // residual (vec_sub), encode (pq_encode) and ADC (pq_adc) — are
+    // native codegen'd expressions.
+    ("q147_ivf_adc", "aggregate"),
+    ("q147_ivf_adc", "array_sort"),
+    ("q147_ivf_adc", "transform")
   )
 
   private def factLeafNames(p: LogicalPlan): Set[String] =

@@ -213,4 +213,127 @@ class QuantizeSpec extends GraftSpec {
         s"label ${r.getInt(0)} max_err_pico ${r.getLong(4)} out of band")
     }
   }
+
+  // ---- T49: vec_sub + q147 IVFADC ----
+
+  test("vec_sub equals the zip_with chain and poisons malformed inputs") {
+    val rows = spark.sql(
+      """SELECT
+        | vec_sub(array(1.5D, -2.25D, 0.0D), array(0.5D, 1.0D, -4.5D)) AS ok,
+        | vec_sub(cast(array(1.5, 2.5) AS array<float>), array(0.25D)) AS mismatch,
+        | vec_sub(array(1.0D, cast(null AS double)), array(0.0D, 0.0D)) AS nullelem,
+        | vec_sub(cast(null AS array<double>), array(0.0D)) AS nullarr
+        |""".stripMargin).collect().head
+    assert(rows.getSeq[Double](0) === Seq(1.0, -3.25, 4.5))
+    assert(rows.isNullAt(1), "length mismatch must poison to null")
+    assert(rows.isNullAt(2), "null element must poison to null")
+    assert(rows.isNullAt(3), "null array must be null")
+    // parity with the declarative HOF form on real corpus rows
+    // (float − double: the exact mixed-width arithmetic q147 uses)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .withColumn("c", transform(col("embedding"), x => x.cast("double") * 0.25))
+    val cmp = e.select(
+      call_function("vec_sub", col("embedding"), col("c")).as("native"),
+      zip_with(col("embedding"), col("c"),
+        (x, y) => x.cast("double") - y).as("hof")).collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1),
+        "vec_sub must be bit-identical to the zip_with fold")
+    }
+  }
+
+  /** Driver-side replay of q147's coarse centroids (decimal-exact
+    * means: Spark's cast(double→decimal(20,10)) is HALF_UP at scale
+    * 10; the sum is exact decimal; the mean is sum-as-double / n) and
+    * d2 routing — independent of the engine's lineage.
+    */
+  private def coarseRef(): Map[Int, Array[Double]] = {
+    val byLabel = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).groupBy(_._1)
+    byLabel.map { case (lbl, rows) =>
+      val n = rows.length
+      val cent = (0 until M * D).map { i =>
+        val s = rows.map { case (_, v) =>
+          new java.math.BigDecimal(v(i).toDouble)
+            .setScale(10, java.math.RoundingMode.HALF_UP)
+        }.reduce(_.add(_))
+        s.doubleValue() / n
+      }.toArray
+      lbl -> cent
+    }
+  }
+
+  private def d2Ref(a: Array[Double], b: Array[Double]): Double = {
+    var n2a = 0.0; var dot = 0.0; var n2b = 0.0
+    var i = 0
+    while (i < a.length) {
+      n2a += a(i) * a(i); dot += a(i) * b(i); n2b += b(i) * b(i); i += 1
+    }
+    n2a - 2.0 * dot + n2b
+  }
+
+  test("q147 invariants: routed-cell containment, determinism, ranking") {
+    val r1 = Quantize.q147IvfAdc(spark, sfDir).collect()
+    val r2 = Quantize.q147IvfAdc(spark, sfDir).collect()
+    assert(r1.toSeq === r2.toSeq, "q147 must be deterministic")
+    assert(r1.length === Quantize.PqProbes * Quantize.PqTopK)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    val coarse = coarseRef()
+    r1.groupBy(_.getLong(0)).foreach { case (probe, rows) =>
+      // independent routing replay: nprobe nearest cells by exact d2
+      val pv = e(probe)._2
+      val routed = coarse.toSeq
+        .map { case (cell, c) => (d2Ref(pv, c), cell) }
+        .sorted.take(Quantize.IvfNprobe).map(_._2).toSet
+      val byRk = rows.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).toSeq === (1L to Quantize.PqTopK.toLong),
+        s"probe $probe ranks")
+      val adc = byRk.map(_.getLong(4))
+      assert(adc.zip(adc.tail).forall { case (a, b) => a <= b },
+        s"probe $probe adc_u must be nondecreasing in rank")
+      rows.foreach { r =>
+        val cand = r.getLong(3)
+        assert(cand != probe, "self-pair excluded")
+        assert(r.getInt(2) === e(cand)._1,
+          s"candidate $cand reported cell must be its label cell")
+        assert(routed.contains(r.getInt(2)),
+          s"probe $probe candidate $cand cell ${r.getInt(2)} outside the " +
+            s"independently-replayed routed set $routed")
+      }
+    }
+    // recall@10 vs the exact d2 top-10 WITHIN the routed cells (the
+    // ADC-quality audit; coarse routing quality is the q46 story).
+    val hits = r1.groupBy(_.getLong(0)).toSeq.map { case (probe, rows) =>
+      val pv = e(probe)._2
+      val routed = coarse.toSeq
+        .map { case (cell, c) => (d2Ref(pv, c), cell) }
+        .sorted.take(Quantize.IvfNprobe).map(_._2).toSet
+      val exact = e.toSeq
+        .filter { case (id, (lbl, _)) => id != probe && routed.contains(lbl) }
+        .map { case (id, (_, v)) =>
+          (v.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum, id) }
+        .sorted.take(Quantize.PqTopK).map(_._2).toSet
+      (exact & rows.map(_.getLong(3)).toSet).size
+    }.sum
+    // measured 0.43 on the isotropic fixture — ABOVE q145's flat-PQ
+    // 0.34 even though both run PQ's worst case (random unit vectors),
+    // the residual-encoding win in miniature; chance within 2 cells of
+    // ~100 candidates is ~0.1. Floor pinned clear of chance.
+    assert(hits >= 0.2 * Quantize.PqProbes * Quantize.PqTopK,
+      s"in-cell recall@10 = ${hits / 100.0} below the 0.2 floor")
+  }
+
+  test("q147 plan: native residual+encode+adc on the scan, no cartesian") {
+    val plan = Quantize.q147IvfAdc(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vec_sub"), "residual must be the native vec_sub")
+    assert(plan.contains("pq_encode"), "encode must be the native expression")
+    assert(plan.contains("pq_adc"), "adc must be the native expression")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("zip_with"), "no interpreted residual HOF on the scan")
+  }
 }
