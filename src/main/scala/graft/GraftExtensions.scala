@@ -178,6 +178,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      new FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[graft.functions.PqLutExpr].getName, "pq_lut"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"pq_lut expects exactly 3 arguments, got ${children.length}")
+        graft.functions.PqLutExpr(children(0), children(1), children(2))
+      }
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "pq_adc"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -91,6 +91,53 @@ final class PqBook(flat: Array[Double], val m: Int, val k: Int, val d: Int)
     }
     java.lang.Long.valueOf(code)
   }
+
+  /** Row-local ADC lookup table for a probe (residual) vector: slot
+    * mi·k + ki holds round(d2(sub_mi, c_mi,ki) · 1e6) as a long — the
+    * EXACT bit sequence of the declarative batch assembly
+    * `round(norm2(sub) − 2·vec_dot(sub, centroid) + n2c, 0).cast(long)`:
+    * ascending-dim IEEE folds, n2c from the same precomputed loop, and
+    * Spark Round's BigDecimal HALF_UP → toDouble → toLong tail.
+    * Makes LUT construction a single codegen'd call per arriving probe
+    * (q147's batch path assembles the same array via explode + keyed
+    * collect_list — fine once per query, wrong per serving request).
+    * Null on a null/missing element or a length mismatch.
+    */
+  def lut(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    if (vec == null || vec.numElements() != m * d) return null
+    val out = new Array[Long](m * k)
+    var mi = 0
+    while (mi < m) {
+      val vbase = mi * d
+      var n2x = 0.0
+      var i = 0
+      while (i < d) {
+        if (vec.isNullAt(vbase + i)) return null
+        val x = if (isFloat) vec.getFloat(vbase + i).toDouble
+                else vec.getDouble(vbase + i)
+        n2x += x * x
+        i += 1
+      }
+      var ki = 0
+      while (ki < k) {
+        val cbase = (mi * k + ki) * d
+        var dot = 0.0
+        i = 0
+        while (i < d) {
+          val x = if (isFloat) vec.getFloat(vbase + i).toDouble
+                  else vec.getDouble(vbase + i)
+          dot += x * flat(cbase + i)
+          i += 1
+        }
+        val d2 = n2x - 2.0 * dot + n2c(mi * k + ki)
+        out(mi * k + ki) = java.math.BigDecimal.valueOf(d2 * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        ki += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object PqCodec {
@@ -192,6 +239,85 @@ case class PqEncodeExpr(vec: Expression, book: Expression, dims: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): PqEncodeExpr =
+    copy(vec = newFirst, book = newSecond, dims = newThird)
+}
+
+/** `pq_lut(vec, book, dims)` → the probe's full ADC lookup table as
+  * array<bigint> (slot = m·k + cid), computed row-locally — the
+  * serving-path twin of q147's explode + keyed collect_list assembly
+  * (PqServe: one codegen'd call per arriving probe, no shuffle).
+  * `book`/`dims` are foldable, folded once at plan time into the same
+  * [[PqBook]] reference object as pq_encode.
+  */
+case class PqLutExpr(vec: Expression, book: Expression, dims: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = book
+  override def third: Expression = dims
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!vecOk) TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires a float/double array vector, got ${vec.dataType.catalogString}")
+    else (book.dataType, dims.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _))
+          if book.foldable && dims.foldable => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "pq_lut requires FOLDABLE book and dims (the codebook is " +
+            "built once at plan time, not per row)")
+      case (b, dm) => TypeCheckResult.TypeCheckFailure(
+        s"pq_lut requires (array<double> book, array<int> dims), got " +
+          s"(${b.catalogString}, ${dm.catalogString})")
+    }
+  }
+
+  @transient private lazy val pqBook: PqBook = {
+    val dm = dims.eval(null).asInstanceOf[ArrayData]
+    require(dm != null && dm.numElements() == 3,
+      "pq_lut dims must be a non-null (m, k, d) int triple")
+    require(!dm.isNullAt(0) && !dm.isNullAt(1) && !dm.isNullAt(2),
+      "pq_lut dims must not contain nulls")
+    val bk = book.eval(null).asInstanceOf[ArrayData]
+    require(bk != null, "pq_lut book must not be null")
+    val flat = new Array[Double](bk.numElements())
+    var i = 0
+    while (i < flat.length) {
+      require(!bk.isNullAt(i), s"pq_lut book[$i] is null")
+      flat(i) = bk.getDouble(i)
+      i += 1
+    }
+    new PqBook(flat, dm.getInt(0), dm.getInt(1), dm.getInt(2))
+  }
+
+  override def nullSafeEval(v: Any, b: Any, dm: Any): Any =
+    pqBook.lut(v.asInstanceOf[ArrayData], vecIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqBook", pqBook, classOf[PqBook].getName)
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  $bookRef.lut($v, $vecIsFloat);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqLutExpr =
     copy(vec = newFirst, book = newSecond, dims = newThird)
 }
 

@@ -225,11 +225,11 @@ object Quantize {
     * `vec_sub` (native, VectorExprs.scala) feeds `pq_encode` directly
     * on the scan.
     */
-  def q147IvfAdc(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // coarse centroids: q46's decimal-exact per-dim means, kept DOUBLE
-    // so the residual subtraction is one exact IEEE op per dim
-    val coarse = e.select(col("label"), posexplode(col("embedding")))
+  /** Coarse IVF centroids: q46's decimal-exact per-dim means, kept
+    * DOUBLE so the residual subtraction is one exact IEEE op per dim.
+    */
+  private[graft] def coarseCells(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
       .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
         .cast(DoubleType) / count(lit(1))).as("dim_avg"))
@@ -237,12 +237,20 @@ object Quantize {
       .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
       .select(col("label").as("cell"),
         transform(col("dims"), d => d.getField("dim_avg")).as("ccent"))
-    // residual scan: one broadcast join + native vec_sub — map-side,
-    // codegen'd end to end (the zip_with form would be the interpreted
-    // HOF defect class InterpretedGuardSpec gates)
-    val resid = e.join(broadcast(coarse), col("label") === col("cell"))
+
+  /** Residual scan (vec_id, cell, resid): one broadcast join + native
+    * vec_sub — map-side, codegen'd end to end (the zip_with form would
+    * be the interpreted HOF defect class InterpretedGuardSpec gates).
+    */
+  private[graft] def residualFrame(e: DataFrame, coarse: DataFrame): DataFrame =
+    e.join(broadcast(coarse), col("label") === col("cell"))
       .select(col("vec_id"), col("cell"),
         call_function("vec_sub", col("embedding"), col("ccent")).as("resid"))
+
+  def q147IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = coarseCells(e)
+    val resid = residualFrame(e, coarse)
     val rsubs = resid.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
       .withColumn("sub", slice(col("resid"), col("m") * lit(PqD) + lit(1), lit(PqD)))
@@ -385,6 +393,87 @@ object Quantize {
        |JOIN embeddings e ON e.vec_id = r.vec_id
        |WHERE r.rk <= $PqTopK
        |ORDER BY r.probe_id, r.rk""".stripMargin
+  }
+
+  /** The published IVFADC index (T49's serving artifact, E35's model
+    * registry discipline applied to a vector index): coarse cells, the
+    * trained residual codebook (bounded model state, 8 KB), and the
+    * (cell, vec_id, code) table. `publish` persists all three — codes
+    * PARTITIONED BY cell, so a routed probe's candidate read is
+    * partition-pruned at the parquet layer (the 100 TB layout claim
+    * made executable; PqServeSpec pins the PartitionFilters).
+    */
+  final case class PqIndex(coarse: DataFrame, book: Array[Double],
+      codes: DataFrame)
+
+  /** Fit the index from the corpus — the exact q147 prefix (same
+    * helpers, same expressions): coarse fit, residuals, one Lloyd
+    * round per subspace, native residual encode.
+    */
+  def buildIndex(s: SparkSession, dir: String): PqIndex = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = coarseCells(e)
+    val resid = residualFrame(e, coarse)
+    val rsubs = resid.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
+      .withColumn("sub", slice(col("resid"), col("m") * lit(PqD) + lit(1), lit(PqD)))
+      .select("vec_id", "m", "sub")
+    val (_, flat) = trainBook(rsubs)
+    val codes = resid.select(col("vec_id"), col("cell"),
+      call_function("pq_encode", col("resid"), lit(flat),
+        lit(Array(PqM, PqK, PqD))).as("code"))
+    PqIndex(coarse, flat, codes)
+  }
+
+  def publishIndex(idx: PqIndex, outDir: String): Unit = {
+    idx.coarse.write.mode("overwrite").parquet(s"$outDir/coarse")
+    val s = idx.coarse.sparkSession
+    import s.implicits._
+    Seq((idx.book.toSeq, Seq(PqM, PqK, PqD))).toDF("book", "dims")
+      .write.mode("overwrite").parquet(s"$outDir/book")
+    idx.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/codes")
+  }
+
+  def loadIndex(s: SparkSession, outDir: String): PqIndex = {
+    val bookRow = s.read.parquet(s"$outDir/book").collect().head
+    require(bookRow.getSeq[Int](1) == Seq(PqM, PqK, PqD),
+      s"published index dims ${bookRow.getSeq[Int](1)} != engine (M, K, D)")
+    PqIndex(
+      s.read.parquet(s"$outDir/coarse"),
+      bookRow.getSeq[Double](0).toArray,
+      s.read.parquet(s"$outDir/codes"))
+  }
+
+  /** Serving-path scorer: per-probe IVFADC top-k against a built or
+    * loaded index. Bit-identical to q147's probe path (PqServeSpec)
+    * but with the LUT computed ROW-LOCALLY by the native `pq_lut`
+    * expression — one codegen'd call per (probe, routed cell) instead
+    * of q147's explode + keyed collect_list, so a serving request
+    * never shuffles. Runs per micro-batch under PqServe.serve.
+    */
+  def probeTopK(probes: DataFrame, idx: PqIndex): DataFrame = {
+    val wc = Window.partitionBy("probe_id").orderBy(asc("cd2"), asc("cell"))
+    val routed = probes.join(broadcast(idx.coarse), lit(true))
+      .withColumn("cd2",
+        VectorFunctions.norm2(col("pvec")) -
+          lit(2.0) * VectorFunctions.dot(col("pvec"), col("ccent")) +
+          VectorFunctions.norm2(col("ccent")))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= IvfNprobe)
+      .select(col("probe_id"), col("cell").as("lcell"),
+        call_function("pq_lut",
+          call_function("vec_sub", col("pvec"), col("ccent")),
+          lit(idx.book), lit(Array(PqM, PqK, PqD))).as("lut"))
+    val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
+    idx.codes.join(broadcast(routed),
+        col("cell") === col("lcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
+        lit(Array(PqM, PqK))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= PqTopK)
+      .select(col("probe_id"), col("rk"), col("cell"), col("vec_id"),
+        col("adc_u"))
   }
 
   // T48: int8 scalar-quantization round-trip audit. Exact integer

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantize
+import graft.streaming.PqServe
+
+/** T49's serving surface: the published IVFADC index (coarse cells +
+  * codebook + cell-partitioned codes) and the stateless per-request
+  * scorer. The contract has three legs:
+  *
+  *   1. `probeTopK` over a freshly built index reproduces batch q147's
+  *      oracle-checked ranking bit-for-bit — which also proves the
+  *      native row-local `pq_lut` equals the batch explode + keyed
+  *      collect_list LUT assembly (same adc_u longs, same order);
+  *   2. publish → load round-trips the artifact (and the cell
+  *      partitioning makes a routed read partition-pruned at the
+  *      parquet layer — the 100 TB layout claim, pinned on the plan);
+  *   3. STREAMING probes through PqServe.serve equal batch across any
+  *      batch split (each probe served within its own micro-batch).
+  */
+class PqServeSpec extends GraftSpec {
+
+  case class Probe(probe_id: Long, pvec: Seq[Float])
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def batchRows: Set[(Long, Long, Int, Long, Long)] =
+    Quantize.q147IvfAdc(spark, sfDir)
+      .select("probe_id", "rk", "cell", "vec_id", "adc_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  private def probes =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < Quantize.PqProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+
+  private def collectTopk(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("probeTopK over built and published/loaded index equals batch q147") {
+    val expected = batchRows
+    val idx = Quantize.buildIndex(spark, sfDir)
+    assert(collectTopk(Quantize.probeTopK(probes, idx)) === expected,
+      "in-memory index serving must equal the oracle-checked batch ranking")
+
+    val out = tmp("pqindex")
+    Quantize.publishIndex(idx, out)
+    val loaded = Quantize.loadIndex(spark, out)
+    assert(loaded.book.toSeq === idx.book.toSeq,
+      "codebook must round-trip bit-for-bit")
+    assert(collectTopk(Quantize.probeTopK(probes, loaded)) === expected,
+      "published/loaded index serving must equal batch")
+
+    // the 100 TB layout claim: codes are partitioned by cell, so a
+    // routed candidate read is pruned at the parquet layer
+    val pruned = loaded.codes.filter(col("cell") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+
+    // serving plan: row-local native lut + adc, no shuffle on the
+    // probe side beyond the top-k window
+    val plan = Quantize.probeTopK(probes, loaded)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pq_lut"), "serving LUT must be the native expression")
+    assert(plan.contains("pq_adc"))
+    assert(!plan.contains("collect_list"),
+      "serving path must not assemble LUTs through an aggregate")
+  }
+
+  test("pq_lut equals an independent driver-side replay on the trained book") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val M = Quantize.PqM; val K = Quantize.PqK; val D = Quantize.PqD
+    // one real residual per probe cell, replayed with plain doubles
+    val coarse = idx.coarse.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+    e.foreach { row =>
+      val cell = row.getInt(1)
+      val pres = row.getSeq[Float](2).toArray.zip(coarse(cell))
+        .map { case (x, c) => x.toDouble - c }
+      val got = spark.sql(
+        s"SELECT pq_lut(array(${pres.map(d => s"${d}D").mkString(",")}), " +
+          s"array(${idx.book.map(d => s"${d}D").mkString(",")}), " +
+          s"array(${Seq(M, K, D).mkString(",")}))")
+        .collect().head.getSeq[Long](0)
+      val want = (0 until M * K).map { slot =>
+        val mi = slot / K; val ki = slot % K
+        var n2x = 0.0; var dot = 0.0; var n2c = 0.0
+        (0 until D).foreach { i =>
+          val x = pres(mi * D + i)
+          val c = idx.book((mi * K + ki) * D + i)
+          n2x += x * x; dot += x * c; n2c += c * c
+        }
+        val d2 = n2x - 2.0 * dot + n2c
+        java.math.BigDecimal.valueOf(d2 * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      }
+      assert(got === want, s"lut drift for vec ${row.getLong(0)}")
+    }
+    // malformed inputs poison to null
+    val bad = spark.sql(
+      s"SELECT pq_lut(array(1.0D), array(${idx.book.map(d => s"${d}D").mkString(",")}), " +
+        s"array($M, $K, $D)), " +
+        "pq_lut(cast(null as array<double>), array(0.5D, 0.5D), array(1, 2, 1))")
+      .collect().head
+    assert(bad.isNullAt(0), "wrong-length vector must be null")
+    assert(bad.isNullAt(1), "null vector must be null")
+  }
+
+  test("streamed serving equals batch q147 across a batch split") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val expected = batchRows
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val sink = tmp("pqsink") + "/topk"
+    val all = probes.collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = all.partition(_.probe_id % 2 == 0)
+
+    val stream = MemoryStream[Probe]
+    val q = PqServe.serve(stream.toDF(), idx, sink)
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = collectTopk(spark.read.parquet(sink)
+      .select("probe_id", "rk", "cell", "vec_id", "adc_u"))
+    assert(got === expected,
+      s"stream-only=${(got -- expected).take(5)} batch-only=${(expected -- got).take(5)}")
+  }
+}
