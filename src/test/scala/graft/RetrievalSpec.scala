@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, Similarity}
+
+/** T50/T51 hybrid retrieval: BM25 exactness against an independent
+  * driver-side replay (plain Scala doubles + the BigDecimal HALF_UP
+  * micro-round — no Spark expressions), ranking invariants, RRF
+  * recomputation from the source rank lists, and plan shape.
+  */
+class RetrievalSpec extends GraftSpec {
+
+  test("q148 BM25 equals an independent driver-side replay") {
+    val got = Retrieval.q148Bm25(spark, sfDir).collect()
+    val again = Retrieval.q148Bm25(spark, sfDir).collect()
+    assert(got.toSeq === again.toSeq, "q148 must be deterministic")
+    assert(got.length === Retrieval.NumQueries * Retrieval.TopK)
+
+    // full replay with plain Scala arithmetic
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .toMap
+    val n = docs.size
+    val dl = docs.map { case (id, t) => id -> t.length }
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val tfAll: Map[(Long, String), Int] =
+      docs.toSeq.flatMap { case (id, t) => t.map(w => (id, w)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    val df: Map[String, Int] =
+      tfAll.keys.toSeq.map(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    def qterms(q: Long): Seq[String] = {
+      val t = docs(q)
+      t.zipWithIndex.groupBy(_._1).toSeq
+        .map { case (w, occ) => (occ.map(_._2).min, w) }
+        .sortBy { case (p, w) => (p, w) }
+        .take(Retrieval.QueryTerms).map(_._2)
+    }
+    def scoreU(q: Long, d: Long): (Long, Int) = {
+      val terms = qterms(q).filter(w => tfAll.contains((d, w)))
+      val s = terms.map { w =>
+        val idf = math.log(
+          (n.toDouble - df(w) + 0.5) / (df(w) + 0.5) + 1.0)
+        val tfn = tfAll((d, w)).toDouble * (Retrieval.K1 + 1.0) /
+          (tfAll((d, w)) + Retrieval.K1 *
+            (1.0 - Retrieval.B + Retrieval.B * dl(d) / avgdl))
+        java.math.BigDecimal.valueOf(idf * tfn * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      }.sum
+      (s, terms.size)
+    }
+    (0L until Retrieval.NumQueries.toLong).foreach { q =>
+      val qt = qterms(q).toSet
+      val cands = docs.keys.filter(d =>
+        d != q && qt.exists(w => tfAll.contains((d, w)))).toSeq
+      val want = cands.map(d => (d, scoreU(q, d)))
+        .sortBy { case (d, (s, _)) => (-s, d) }.take(Retrieval.TopK)
+      val gotQ = got.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+      assert(gotQ.map(r => (r.getLong(2), (r.getLong(3), r.getLong(4).toInt))).toSeq
+        === want, s"BM25 drift for query $q")
+    }
+  }
+
+  test("q149 RRF recomputes from the two source rank lists") {
+    val lex = Retrieval.q148Bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val sem = Similarity.q45AnnTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val got = Retrieval.q149HybridRrf(spark, sfDir).collect()
+    assert(got.length === Retrieval.NumQueries * Retrieval.TopK)
+    def contrib(rk: Option[Long]): Long = rk
+      .map(r => math.round(1e6 / (Retrieval.RrfK + r))).getOrElse(0L)
+    // full fused ranking, replayed
+    val queries = got.map(_.getLong(0)).distinct
+    queries.foreach { q =>
+      val cands = (lex.keys ++ sem.keys).filter(_._1 == q).map(_._2).toSeq.distinct
+      val want = cands
+        .map(c => (c, contrib(lex.get((q, c))) + contrib(sem.get((q, c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(Retrieval.TopK)
+      val gotQ = got.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(gotQ === want, s"RRF drift for query $q")
+      // source ranks echoed correctly (null when absent from a list)
+      got.filter(_.getLong(0) == q).foreach { r =>
+        val c = r.getLong(2)
+        val gotLex = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        val gotSem = if (r.isNullAt(5)) None else Some(r.getLong(5))
+        assert(gotLex === lex.get((q, c)), s"rk_lex echo for ($q, $c)")
+        assert(gotSem === sem.get((q, c)), s"rk_sem echo for ($q, $c)")
+      }
+    }
+    // fusion actually mixes: some top results are lexical-only and
+    // some semantic-only (both sources contribute)
+    assert(got.exists(r => !r.isNullAt(4) && r.isNullAt(5)), "no lexical-only rows")
+    assert(got.exists(r => r.isNullAt(4) && !r.isNullAt(5)), "no semantic-only rows")
+  }
+
+  test("q148/q149 plans: no cartesian beyond the 1-row stats scalar") {
+    val p148 = Retrieval.q148Bm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p148.contains("CartesianProduct"))
+    val p149 = Retrieval.q149HybridRrf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p149.contains("CartesianProduct"))
+  }
+}
