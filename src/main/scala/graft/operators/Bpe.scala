@@ -444,4 +444,86 @@ object Bpe {
        |    THEN ROUND(CAST(chars AS DOUBLE) / CAST(trained_tokens AS DOUBLE), 4)
        |  END AS chars_per_token
        |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // T52 / q150: RAG chunking with exact real-token costs
+  // ---------------------------------------------------------------
+
+  val ChunkWords = 64 // words per chunk
+  val ChunkStride = 32 // overlap = ChunkWords - ChunkStride
+  val ChunkTokenCap = 160L // embedding-model context budget per chunk
+
+  /** T52: overlapping retrieval chunks with exact tokenizer-token
+    * costs — the RAG ingestion step between curation and the vector
+    * index: split each document into ChunkWords-word windows at
+    * ChunkStride, and bill every chunk in REAL BPE tokens (the frozen
+    * q140 table) so the over-budget flag matches what the embedding
+    * model will actually see. BPE on space-split words is word-local,
+    * so a chunk's token cost is EXACTLY the sum of its words' costs —
+    * no re-tokenization per overlapping window.
+    *
+    * Scale shape: ONE map-only pass computes (pos, word cost, doc
+    * length) on the scan (native split_words + per-word bpe_count —
+    * the codec's word cache makes repeated vocabulary free), each word
+    * expands to its ≤ ChunkWords/ChunkStride covering chunks by
+    * integer arithmetic (no range join, no window), and ONE keyed
+    * aggregate on (doc_id, chunk) finishes — q40's cost class with a
+    * bounded 2× row expansion. Chunk membership bounds are pure
+    * integer/floor arithmetic, engine-identical; empty documents have
+    * no chunks by contract.
+    */
+  def q150RagChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val C = ChunkWords
+    val S = ChunkStride
+    val words = d
+      .select(col("doc_id"),
+        size(call_function("split_words", col("text"))).cast(LongType).as("dl"),
+        posexplode(call_function("split_words", col("text"))).as(Seq("pos", "w")))
+      .withColumn("wcost", coalesce(call_function("bpe_count", col("w")), lit(0L)))
+    // chunk count: 1 + ceil((dl - C)/S) clamped at 1; a word at pos is
+    // covered by chunks c with c*S <= pos < c*S + C, intersected with
+    // [0, n_chunks). All floor/ceil over exact small integers.
+    val nChunks = lit(1L) + greatest(lit(0L),
+      ceil((col("dl") - lit(C)).cast(DoubleType) / lit(S)).cast(LongType))
+    val cmin = greatest(lit(0L),
+      floor((col("pos") - lit(C) + lit(S)).cast(DoubleType) / lit(S)).cast(LongType))
+    val cmax = least(
+      floor(col("pos").cast(DoubleType) / lit(S)).cast(LongType),
+      nChunks - lit(1L))
+    words
+      .withColumn("chunk_id", explode(sequence(cmin, cmax)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"), sum("wcost").as("bpe_tokens"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S).as("start_word"), col("n_words"),
+        col("bpe_tokens"), (col("bpe_tokens") > ChunkTokenCap).as("over_cap"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def q150Sql: String = {
+    val C = ChunkWords
+    val S = ChunkStride
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id,
+       |  [w for w in string_split(text, ' ') if w <> ''] AS wlist
+       |  FROM documents),
+       |words AS (SELECT doc_id, CAST(len(wlist) AS BIGINT) AS dl,
+       |  CAST(i - 1 AS BIGINT) AS pos, wlist[i] AS word
+       |  FROM docs, UNNEST(range(1, len(wlist) + 1)) AS u(i)),
+       |uw AS (SELECT DISTINCT word FROM words),
+       |$applyCtes,
+       |memb AS (SELECT w.doc_id, c AS chunk_id, l.bpe_len
+       | FROM words w JOIN wlen l USING (word),
+       |  UNNEST(range(
+       |   GREATEST(0, CAST(FLOOR(CAST(w.pos - $C + $S AS DOUBLE) / $S) AS BIGINT)),
+       |   LEAST(CAST(FLOOR(CAST(w.pos AS DOUBLE) / $S) AS BIGINT),
+       |         (1 + GREATEST(0, CAST(CEIL(CAST(w.dl - $C AS DOUBLE) / $S) AS BIGINT))) - 1) + 1
+       |  )) AS t(c))
+       |SELECT doc_id, chunk_id, chunk_id * $S AS start_word,
+       | COUNT(*) AS n_words, CAST(SUM(bpe_len) AS BIGINT) AS bpe_tokens,
+       | CAST(SUM(bpe_len) AS BIGINT) > $ChunkTokenCap AS over_cap
+       |FROM memb GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

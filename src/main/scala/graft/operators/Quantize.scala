@@ -45,6 +45,21 @@ object Quantize {
 
   val SqDims = 64
 
+  /** Training-sample target: the Lloyd fit sees at most ~this many
+    * vectors (FAISS trains coarse/PQ quantizers on a bounded sample —
+    * ~30-256 points per centroid — never the corpus; r15's PQ ladder
+    * measured the full-corpus fit at 25× the query path's wall at 2M
+    * vectors). Sampling is `vec_id % step == 0` with
+    * step = max(1, n // TrainSample), derived IN-LINEAGE from a one-row
+    * count (q109's auto-dial discipline) so the oracle replays it; a
+    * modulo sample is uniform here because vec_ids are dense — a
+    * sparse-id corpus would use the md5-hash threshold (q18's pattern).
+    * Below TrainSample vectors step = 1 and the fit is exactly the
+    * full-corpus fit — the oracle-checked sf0.001/sf0.01 results are
+    * unchanged by construction.
+    */
+  val TrainSample = 65536L
+
   /** One Lloyd round per subspace over (vec_id, m, sub) rows — q90's
     * assignment shape (strict-improvement fold over the K-element
     * broadcast seed array in cid order ≡ the oracle's ROW_NUMBER()
@@ -52,21 +67,32 @@ object Quantize {
     * per row — whitelisted in InterpretedGuardSpec) followed by the
     * DECIMAL-exact per-dim mean update (q46/q90's pattern — partial-agg
     * order can't perturb the bits, which is what lets the DuckDB twin
-    * recompute the identical codebook). Seeds are the first PqK
-    * vectors' subs. Returns the (m, cid, centroid) codebook frame plus
+    * recompute the identical codebook). The fit runs on the bounded
+    * [[TrainSample]] modulo sample (seeds = the K smallest sampled
+    * vectors). Returns the (m, cid, centroid) codebook frame plus
     * its flattened row-major collection — bounded model state
     * (M·K·D doubles = 8 KB): fit once, ship the table into the scan as
     * a foldable literal, the q144 pattern. Shared by q145 (raw
     * subvectors) and q147 (coarse-cell residual subvectors).
     */
   private def trainBook(subs: DataFrame): (DataFrame, Array[Double]) = {
-    val seeds = subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast(IntegerType).as("cid"),
+    // bounded training sample (see TrainSample): step rides in-lineage
+    // from a one-row count, seeds are the K smallest SAMPLED vectors
+    // (cid = vec_id / step — exact under the modulo filter)
+    val stepDf = subs.filter(col("m") === 0)
+      .agg(greatest(lit(1L),
+        floor(count(lit(1)).cast(DoubleType) / lit(TrainSample))
+          .cast(LongType)).as("step"))
+    val sampled = subs.crossJoin(broadcast(stepDf))
+      .filter(col("vec_id") % col("step") === 0)
+    val seeds = sampled.filter(col("vec_id") < col("step") * PqK)
+      .select(col("m"),
+        (col("vec_id") / col("step")).cast(IntegerType).as("cid"),
         col("sub").as("centroid"))
     val centArr = seeds.groupBy("m")
       .agg(array_sort(collect_list(struct(col("cid"), col("centroid"),
         VectorFunctions.norm2(col("centroid")).as("n2c")))).as("cents"))
-    val a1 = subs.join(broadcast(centArr), Seq("m"))
+    val a1 = sampled.join(broadcast(centArr), Seq("m"))
       .withColumn("n2x", VectorFunctions.norm2(col("sub")))
       .withColumn("best", aggregate(
         col("cents"),
@@ -159,15 +185,20 @@ object Quantize {
     s"""WITH subs AS MATERIALIZED (
        | SELECT vec_id, m, embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
        | FROM embeddings, UNNEST(range(0, $PqM)) AS t(m)
+       |), st AS (
+       | SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $TrainSample.0) AS BIGINT)) AS step
+       | FROM embeddings
+       |), samp AS MATERIALIZED (
+       | SELECT s.* FROM subs s, st WHERE s.vec_id % st.step = 0
        |), seeds AS (
-       | SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS centroid
-       | FROM subs WHERE vec_id < $PqK
+       | SELECT m, CAST(vec_id / st.step AS INTEGER) AS cid, sub AS centroid
+       | FROM subs, st WHERE vec_id % st.step = 0 AND vec_id < st.step * $PqK
        |), a1 AS (
        | SELECT vec_id, m, sub, cid FROM (
        |  SELECT s.vec_id, s.m, s.sub, c.cid,
        |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
-       |  FROM subs s JOIN seeds c ON c.m = s.m) WHERE rk = 1
+       |  FROM samp s JOIN seeds c ON c.m = s.m) WHERE rk = 1
        |), c1d AS (
        | SELECT m, cid, i AS pos,
        |  CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg
@@ -333,15 +364,20 @@ object Quantize {
        |), rsubs AS MATERIALIZED (
        | SELECT vec_id, label, m, list(r ORDER BY i) AS sub
        | FROM rdim GROUP BY vec_id, label, m
+       |), st AS (
+       | SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $TrainSample.0) AS BIGINT)) AS step
+       | FROM embeddings
+       |), samp AS MATERIALIZED (
+       | SELECT s.* FROM rsubs s, st WHERE s.vec_id % st.step = 0
        |), seeds AS (
-       | SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS centroid
-       | FROM rsubs WHERE vec_id < $PqK
+       | SELECT m, CAST(vec_id / st.step AS INTEGER) AS cid, sub AS centroid
+       | FROM rsubs, st WHERE vec_id % st.step = 0 AND vec_id < st.step * $PqK
        |), a1 AS (
        | SELECT vec_id, m, sub, cid FROM (
        |  SELECT s.vec_id, s.m, s.sub, c.cid,
        |   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |     ORDER BY ${d2Sql("s.sub", "c.centroid")} ASC, c.cid) AS rk
-       |  FROM rsubs s JOIN seeds c ON c.m = s.m) WHERE rk = 1
+       |  FROM samp s JOIN seeds c ON c.m = s.m) WHERE rk = 1
        |), c1d AS (
        | SELECT m, cid, i AS pos,
        |  CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg

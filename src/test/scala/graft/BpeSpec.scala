@@ -220,6 +220,57 @@ class BpeSpec extends GraftSpec {
     }
   }
 
+  test("q150 chunks: coverage, costs equal direct chunk tokenization, cap honesty") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val got = Bpe.q150RagChunks(spark, sfDir).collect()
+    val again = Bpe.q150RagChunks(spark, sfDir).collect()
+    assert(got.toSeq === again.toSeq, "q150 must be deterministic")
+
+    val C = Bpe.ChunkWords
+    val S = Bpe.ChunkStride
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq).toMap
+    // independent replay of the chunk GRID: count, starts, word counts
+    got.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val dl = docs(doc).length
+      val nChunks = 1 + math.max(0, math.ceil((dl - C).toDouble / S).toLong)
+      assert(rows.length === nChunks, s"doc $doc chunk count")
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong)
+        assert(r.getLong(2) === i.toLong * S, "start_word = chunk_id * stride")
+        val expectWords = math.min(C, dl - i * S)
+        assert(r.getLong(3) === expectWords, s"doc $doc chunk $i n_words")
+      }
+    }
+    // every non-empty doc chunked
+    assert(got.map(_.getLong(0)).toSet === docs.filter(_._2.nonEmpty).keys.toSet)
+
+    // THE invariant that makes prefix-sum billing honest: a chunk's
+    // summed word costs equal bpe_count of the joined chunk text
+    val sp = spark
+    import sp.implicits._
+    val sample = got.filter(r => r.getLong(0) < 20)
+      .map { r =>
+        val doc = r.getLong(0); val c = r.getLong(1).toInt
+        (doc, c, docs(doc).slice(c * S, c * S + C).mkString(" "), r.getLong(4))
+      }.toSeq
+    assert(sample.nonEmpty)
+    val direct = sample.toDF("doc", "c", "chunk_text", "claimed")
+      .select(col("doc"), col("c"), col("claimed"),
+        call_function("bpe_count", col("chunk_text")).as("direct"))
+      .collect()
+    direct.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"chunk (${r.getLong(0)}, ${r.getInt(1)}): summed word costs " +
+          s"${r.getLong(2)} != direct tokenization ${r.getLong(3)}")
+    }
+    // the cap must discriminate on the real corpus, not rubber-stamp
+    assert(got.exists(_.getBoolean(5)), "no over-cap chunks")
+    assert(got.exists(!_.getBoolean(5)), "no under-cap chunks")
+  }
+
   test("merge_pair / token_pairs reject wrong arities and types") {
     import spark.implicits._
     val df = Seq("x").toDF("w")
