@@ -481,6 +481,27 @@ object Quantize {
       s.read.parquet(s"$outDir/codes"))
   }
 
+  /** Incremental index maintenance: encode NEWLY ARRIVED vectors
+    * (vec_id, embedding, label) under the PUBLISHED index's frozen
+    * coarse cells + codebook and append their codes into the
+    * cell-partitioned artifact — no refit, no rewrite of existing
+    * partitions. This is how a production ANN index absorbs a day's
+    * ingest: the fit is versioned and frozen (re-fit is a deliberate
+    * re-publish, tracked like E35's model registry), encode is a
+    * map-only pass over the new rows, and the append lands only in the
+    * touched cell partitions. Because encode is row-local under a
+    * frozen book, append-then-load serves BIT-IDENTICALLY to a fresh
+    * publish of the union (PqServeSpec pins it).
+    */
+  def appendToIndex(s: SparkSession, newVecs: DataFrame, outDir: String): Unit = {
+    val idx = loadIndex(s, outDir)
+    residualFrame(newVecs, idx.coarse)
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_encode", col("resid"), lit(idx.book),
+          lit(Array(PqM, PqK, PqD))).as("code"))
+      .write.mode("append").partitionBy("cell").parquet(s"$outDir/codes")
+  }
+
   /** Serving-path scorer: per-probe IVFADC top-k against a built or
     * loaded index. Bit-identical to q147's probe path (PqServeSpec)
     * but with the LUT computed ROW-LOCALLY by the native `pq_lut`

@@ -119,6 +119,28 @@ class PqServeSpec extends GraftSpec {
     assert(bad.isNullAt(1), "null vector must be null")
   }
 
+  test("incremental append under the frozen fit equals a fresh full publish") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val out = tmp("pqappend")
+    // publish with only the even vectors' codes, then append the odd
+    // ones as "arrivals" encoded under the frozen published fit
+    Quantize.publishIndex(
+      idx.copy(codes = idx.codes.filter(col("vec_id") % 2 === 0)), out)
+    val arrivals = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+    Quantize.appendToIndex(spark, arrivals, out)
+    val merged = Quantize.loadIndex(spark, out)
+    // the merged artifact's codes equal the full build's codes exactly
+    val full = Quantize.buildIndex(spark, sfDir).codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = merged.codes.select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === full, "append must reproduce the full encode exactly")
+    // and serving over the appended index equals batch q147
+    assert(collectTopk(Quantize.probeTopK(probes, merged)) === batchRows,
+      "appended index serving must equal the oracle-checked batch ranking")
+  }
+
   test("streamed serving equals batch q147 across a batch split") {
     val sp = spark
     import sp.implicits._
