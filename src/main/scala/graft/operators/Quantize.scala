@@ -132,28 +132,23 @@ object Quantize {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
       .withColumn("sub", slice(col("embedding"), col("m") * lit(PqD) + lit(1), lit(PqD)))
       .select("vec_id", "m", "sub")
-    val (cb, flat) = trainBook(subs)
+    val (_, flat) = trainBook(subs)
     val bookLit = lit(flat)
     val codes = e.select(col("vec_id"),
       call_function("pq_encode", col("embedding"), bookLit,
         lit(Array(PqM, PqK, PqD))).as("code"))
     // per-probe LUT: micro-quantized sub-distance to every (m, cid)
-    // centroid, quantized ONCE → ADC sums are exact long arithmetic
-    val cbN2 = cb.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
-    val lutRows = subs.filter(col("vec_id") < PqProbes)
-      .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
-      .join(broadcast(cbN2), Seq("m"))
-      .withColumn("d2",
-        VectorFunctions.norm2(col("sub")) -
-          lit(2.0) * VectorFunctions.dot(col("sub"), col("centroid")) +
-          col("n2c"))
-      .withColumn("d2u", round(col("d2") * lit(1e6), 0).cast(LongType))
-    val luts = lutRows
-      .groupBy("probe_id")
-      .agg(array_sort(collect_list(struct(
-        (col("m") * lit(PqK) + col("cid")).as("slot"), col("d2u")))).as("s"))
-      .select(col("probe_id"),
-        transform(col("s"), x => x.getField("d2u")).as("lut"))
+    // centroid, quantized ONCE → ADC sums are exact long arithmetic.
+    // Native row-local pq_lut over the COLLECTED codebook — bit-equal
+    // to the declarative explode + keyed collect_list assembly
+    // (PqServeSpec pins the parity; the oracle still replays the
+    // declarative math), and the query plan no longer re-runs the
+    // training lineage to rebuild the codebook frame (r15 ladder: the
+    // recomputed fit dominated the wall at the 2M rung)
+    val luts = e.filter(col("vec_id") < PqProbes)
+      .select(col("vec_id").as("probe_id"),
+        call_function("pq_lut", col("embedding"), bookLit,
+          lit(Array(PqM, PqK, PqD))).as("lut"))
     // ADC scan: 16-byte (vec_id, code) rows × broadcast probe LUTs; the
     // per-probe ranking shuffle carries (probe_id, vec_id, adc_u) only
     val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
@@ -258,9 +253,20 @@ object Quantize {
     */
   /** Coarse IVF centroids: q46's decimal-exact per-dim means, kept
     * DOUBLE so the residual subtraction is one exact IEEE op per dim.
+    * Like the PQ codebook, the coarse fit runs on the bounded
+    * [[TrainSample]] modulo sample (the r15 ladder measured the
+    * full-corpus 64-dim posexplode mean at 128M decimal rows per
+    * action at 2M vectors — recomputed through the lineage several
+    * times per query); step = 1 below 64k vectors, so driver-scale
+    * results are bit-identical.
     */
-  private[graft] def coarseCells(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")))
+  private[graft] def coarseCells(e: DataFrame): DataFrame = {
+    val stepDf = e.agg(greatest(lit(1L),
+      floor(count(lit(1)).cast(DoubleType) / lit(TrainSample))
+        .cast(LongType)).as("step"))
+    e.crossJoin(broadcast(stepDf))
+      .filter(col("vec_id") % col("step") === 0)
+      .select(col("label"), posexplode(col("embedding")))
       .groupBy("label", "pos")
       .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
         .cast(DoubleType) / count(lit(1))).as("dim_avg"))
@@ -268,6 +274,7 @@ object Quantize {
       .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
       .select(col("label").as("cell"),
         transform(col("dims"), d => d.getField("dim_avg")).as("ccent"))
+  }
 
   /** Residual scan (vec_id, cell, resid): one broadcast join + native
     * vec_sub — map-side, codegen'd end to end (the zip_with form would
@@ -286,7 +293,7 @@ object Quantize {
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
       .withColumn("sub", slice(col("resid"), col("m") * lit(PqD) + lit(1), lit(PqD)))
       .select("vec_id", "m", "sub")
-    val (cb, flat) = trainBook(rsubs)
+    val (_, flat) = trainBook(rsubs)
     val bookLit = lit(flat)
     val codes = resid.select(col("vec_id"), col("cell"),
       call_function("pq_encode", col("resid"), bookLit,
@@ -306,22 +313,14 @@ object Quantize {
       .withColumn("pres", call_function("vec_sub", col("pvec"), col("ccent")))
       .select(col("probe_id"), col("cell"), col("pres"))
     // per-(probe, cell) LUT over the probe's residual IN THAT CELL —
-    // micro-quantized once, so ADC sums stay exact long arithmetic
-    val psubs = routed.select(col("probe_id"), col("cell"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("pres"))
-      .withColumn("sub", slice(col("pres"), col("m") * lit(PqD) + lit(1), lit(PqD)))
-    val cbN2 = cb.withColumn("n2c", VectorFunctions.norm2(col("centroid")))
-    val luts = psubs.join(broadcast(cbN2), Seq("m"))
-      .withColumn("d2",
-        VectorFunctions.norm2(col("sub")) -
-          lit(2.0) * VectorFunctions.dot(col("sub"), col("centroid")) +
-          col("n2c"))
-      .withColumn("d2u", round(col("d2") * lit(1e6), 0).cast(LongType))
-      .groupBy("probe_id", "cell")
-      .agg(array_sort(collect_list(struct(
-        (col("m") * lit(PqK) + col("cid")).as("slot"), col("d2u")))).as("s"))
+    // micro-quantized once, so ADC sums stay exact long arithmetic.
+    // Native row-local pq_lut over the collected codebook (bit-equal
+    // to the declarative assembly, PqServeSpec; the oracle replays the
+    // declarative math) — the query plan never re-runs the fit lineage
+    val luts = routed
       .select(col("probe_id"), col("cell").as("lcell"),
-        transform(col("s"), x => x.getField("d2u")).as("lut"))
+        call_function("pq_lut", col("pres"), bookLit,
+          lit(Array(PqM, PqK, PqD))).as("lut"))
     // ADC over the ROUTED cells only: each candidate lives in exactly
     // one label cell, so the lut join is also the cell restriction
     val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
@@ -349,10 +348,14 @@ object Quantize {
   }
 
   val q147Sql: String = {
-    s"""WITH cdim AS (
+    s"""WITH st AS (
+       | SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $TrainSample.0) AS BIGINT)) AS step
+       | FROM embeddings
+       |), cdim AS (
        | SELECT label, i AS pos,
        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS dim_avg
-       | FROM embeddings, UNNEST(range(1, ${PqM * PqD} + 1)) AS t(i)
+       | FROM embeddings, st, UNNEST(range(1, ${PqM * PqD} + 1)) AS t(i)
+       | WHERE vec_id % st.step = 0
        | GROUP BY label, i
        |), coarse AS MATERIALIZED (
        | SELECT label AS cell, list(dim_avg ORDER BY pos) AS ccent FROM cdim GROUP BY label
@@ -364,9 +367,6 @@ object Quantize {
        |), rsubs AS MATERIALIZED (
        | SELECT vec_id, label, m, list(r ORDER BY i) AS sub
        | FROM rdim GROUP BY vec_id, label, m
-       |), st AS (
-       | SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / $TrainSample.0) AS BIGINT)) AS step
-       | FROM embeddings
        |), samp AS MATERIALIZED (
        | SELECT s.* FROM rsubs s, st WHERE s.vec_id % st.step = 0
        |), seeds AS (
