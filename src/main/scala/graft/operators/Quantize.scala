@@ -159,10 +159,19 @@ object Quantize {
       .filter(col("rk") <= PqTopK)
       .select("probe_id", "rk", "vec_id", "adc_u")
     // exact-d2 rerank column on the TopK·Probes survivors (100 rows):
-    // the recall audit a production ANN always ships with
+    // the recall audit a production ANN always ships with. tk's size
+    // ESTIMATE is window-laundered (BroadcastGuard would strip its
+    // broadcast hint, after which Spark broadcast the CORPUS side —
+    // a 15 s single-task driver hash build at the 200k rung, r15
+    // ladder). The rk <= TopK filter bounds tk at Probes·TopK rows by
+    // construction, so a semantically-no-op limit() states that bound
+    // to the optimizer: the estimate becomes honest, the 100-row
+    // broadcast survives at every scale, and the corpus side streams
+    // map-side with no exchange.
     val pvecs = e.filter(col("vec_id") < PqProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val tk = topk.join(broadcast(pvecs), Seq("probe_id"))
+      .limit(PqProbes * PqTopK)
     e.select(col("vec_id"), col("embedding").as("cvec"))
       .join(broadcast(tk), Seq("vec_id"))
       .withColumn("d2", round(
@@ -287,7 +296,19 @@ object Quantize {
 
   def q147IvfAdc(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val coarse = coarseCells(e)
+    // bounded model state (n_cells × 64 doubles = 5 KB): collect the
+    // fitted coarse centroids once and re-enter the plan as a
+    // LocalRelation with EXACT statistics. The agg lineage's estimate
+    // otherwise launders through the scalar crossJoin + windows,
+    // trips BroadcastGuard, and re-plans every downstream broadcast as
+    // a cell-keyed SMJ (r15 ladder: 6 recomputes of the coarse agg per
+    // action and a corpus-side broadcast at the 200k rung). At large
+    // cell counts the published PqIndex TABLE is the serve shape
+    // (probeTopK); the registry query's 10 label cells are driver
+    // state exactly like the collected codebook.
+    val coarseDf = coarseCells(e)
+    val coarse = s.createDataFrame(
+      java.util.Arrays.asList(coarseDf.collect(): _*), coarseDf.schema)
     val resid = residualFrame(e, coarse)
     val rsubs = resid.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
@@ -321,6 +342,7 @@ object Quantize {
       .select(col("probe_id"), col("cell").as("lcell"),
         call_function("pq_lut", col("pres"), bookLit,
           lit(Array(PqM, PqK, PqD))).as("lut"))
+      .limit(PqProbes * IvfNprobe) // honest bound: crk <= nprobe per probe
     // ADC over the ROUTED cells only: each candidate lives in exactly
     // one label cell, so the lut join is also the cell restriction
     val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
@@ -332,10 +354,12 @@ object Quantize {
       .filter(col("rk") <= PqTopK)
       .select("probe_id", "rk", "cell", "vec_id", "adc_u")
     // exact-d2 rerank column on the TopK·Probes survivors — the recall
-    // audit, as in q145
+    // audit, with the same honest-bound limit() as q145 so the 100-row
+    // tk side broadcasts at every scale (never the corpus)
     val pvecs = e.filter(col("vec_id") < PqProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
     val tk = topk.join(broadcast(pvecs), Seq("probe_id"))
+      .limit(PqProbes * PqTopK)
     e.select(col("vec_id"), col("embedding").as("cvec"))
       .join(broadcast(tk), Seq("vec_id"))
       .withColumn("d2", round(
