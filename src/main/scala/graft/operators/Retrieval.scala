@@ -137,6 +137,100 @@ object Retrieval {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** The published inverted index (T50's serving artifact): full
+    * postings + per-term df + per-doc lengths + the two corpus
+    * scalars. At 100 TB the postings land TERM-BUCKETED (S17's
+    * bucketBy surface) so a query's candidate read is co-located;
+    * here they publish as plain parquet and the query-time prune stays
+    * the broadcast semi join on the query vocabulary.
+    */
+  final case class Bm25Index(postings: DataFrame, df: DataFrame,
+      dl: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** Fit the index from the corpus — query-agnostic (FULL postings,
+    * unlike q148's in-query pruned tf; the df values agree on every
+    * query term by construction).
+    */
+  def buildBm25Index(s: SparkSession, dir: String): Bm25Index = {
+    val d = Tables.documents(s, dir)
+    val toks = d.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("s")).collect()(0)
+    Bm25Index(tf, df, dl, st.getLong(0),
+      st.getLong(1).toDouble / st.getLong(0))
+  }
+
+  def publishBm25(idx: Bm25Index, outDir: String): Unit = {
+    // term-clustered layout: hash terms into files, sort within each,
+    // so a query's literal In(term, ...) filter prunes at the parquet
+    // row-group layer (RetrProbe at 1.5M docs: the unclustered scan
+    // cost the serve path ~10 s of pure postings I/O)
+    idx.postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    idx.df.write.mode("overwrite").parquet(s"$outDir/df")
+    idx.dl.write.mode("overwrite").parquet(s"$outDir/dl")
+    val s = idx.postings.sparkSession
+    import s.implicits._
+    Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  def loadBm25(s: SparkSession, outDir: String): Bm25Index = {
+    val st = s.read.parquet(s"$outDir/stats").collect()(0)
+    Bm25Index(
+      s.read.parquet(s"$outDir/postings"),
+      s.read.parquet(s"$outDir/df"),
+      s.read.parquet(s"$outDir/dl"),
+      st.getLong(0), st.getDouble(1))
+  }
+
+  /** Serving-path scorer: BM25 top-k for a batch of (query_id, text)
+    * requests against a built or loaded index. The same expression
+    * tree as q148 with the corpus scalars as literals — bit-identical
+    * to the oracle-checked batch ranking (RetrievalSpec); runs per
+    * micro-batch under Bm25Serve.serve. The postings scan is pruned
+    * map-side by the broadcast query vocabulary before any shuffle.
+    */
+  def scoreQueries(queries: DataFrame, idx: Bm25Index): DataFrame = {
+    val qtoks = queries.select(col("query_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+    val wq = Window.partitionBy("query_id").orderBy(asc("fpos"), asc("term"))
+    val qterms = qtoks.groupBy("query_id", "term")
+      .agg(min("pos").as("fpos"))
+      .withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= QueryTerms)
+      .select("query_id", "term")
+    // the query vocabulary is REQUEST state (≤ queries·QueryTerms
+    // strings): collect it and push a literal In() filter into the
+    // postings scan — on the term-clustered published layout this
+    // prunes at the parquet row-group layer, which a join-side
+    // broadcast prune can never do
+    val vocab = qterms.select("term").distinct().collect().map(_.getString(0))
+    val dfq = idx.df.filter(col("term").isin(vocab: _*))
+    val scored = idx.postings.filter(col("term").isin(vocab: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(idx.dl, Seq("doc_id"))
+      .withColumn("idf", log(
+        (lit(idx.nDocs).cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfn",
+        col("tf").cast(DoubleType) * lit(K1 + 1.0) /
+          (col("tf") + lit(K1) *
+            (lit(1.0) - lit(B) + lit(B) * col("dl") / lit(idx.avgdl))))
+      .withColumn("s_u", round(col("idf") * col("tfn") * lit(1e6), 0).cast(LongType))
+    val w = Window.partitionBy("query_id").orderBy(desc("score_u"), asc("doc_id"))
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum("s_u").as("score_u"), count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "rk", "doc_id", "score_u", "n_terms")
+  }
+
   /** T51: hybrid reciprocal-rank fusion of the BM25 (q148) and
     * semantic (q45 brute cosine — the declared-exact rank list; the
     * scale path routes q46/q147 ranks through the same fusion) top-k

@@ -11,6 +11,8 @@ import graft.operators.{Retrieval, Similarity}
   */
 class RetrievalSpec extends GraftSpec {
 
+  case class Req(query_id: Long, text: String)
+
   test("q148 BM25 equals an independent driver-side replay") {
     val got = Retrieval.q148Bm25(spark, sfDir).collect()
     val again = Retrieval.q148Bm25(spark, sfDir).collect()
@@ -94,6 +96,53 @@ class RetrievalSpec extends GraftSpec {
     // some semantic-only (both sources contribute)
     assert(got.exists(r => !r.isNullAt(4) && r.isNullAt(5)), "no lexical-only rows")
     assert(got.exists(r => r.isNullAt(4) && !r.isNullAt(5)), "no semantic-only rows")
+  }
+
+  test("BM25 serving: built + published/loaded + streamed equal batch q148") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Bm25Serve
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "doc_id", "score_u", "n_terms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    val expected = rows(Retrieval.q148Bm25(spark, sfDir))
+    val idx = Retrieval.buildBm25Index(spark, sfDir)
+    val queries = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("text"))
+    assert(rows(Retrieval.scoreQueries(queries, idx)) === expected,
+      "in-memory index serving must equal the oracle-checked batch ranking")
+
+    val out = Files.createTempDirectory("graft_bm25idx").toFile
+    out.deleteOnExit()
+    Retrieval.publishBm25(idx, out.getAbsolutePath)
+    val loaded = Retrieval.loadBm25(spark, out.getAbsolutePath)
+    assert(loaded.nDocs === idx.nDocs)
+    assert(loaded.avgdl === idx.avgdl, "avgdl must round-trip bit-for-bit")
+    assert(rows(Retrieval.scoreQueries(queries, loaded)) === expected,
+      "published/loaded index serving must equal batch")
+
+    // streamed across a batch split
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val all = queries.collect().map(r => Req(r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.partition(_.query_id % 2 == 0)
+    val sink = Files.createTempDirectory("graft_bm25sink").toFile
+    sink.deleteOnExit()
+    val sinkDir = sink.getAbsolutePath + "/topk"
+    val stream = MemoryStream[Req]
+    val q = Bm25Serve.serve(stream.toDF(), loaded, sinkDir)
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(spark.read.parquet(sinkDir)) === expected,
+      "streamed serving must equal batch q148 across a batch split")
   }
 
   test("q148/q149 plans: no cartesian beyond the 1-row stats scalar") {
