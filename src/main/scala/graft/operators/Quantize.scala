@@ -526,6 +526,37 @@ object Quantize {
       .write.mode("append").partitionBy("cell").parquet(s"$outDir/codes")
   }
 
+  /** Incremental index deletion (the GDPR/right-to-be-forgotten path,
+    * completing the build/publish/append/delete lifecycle): remove the
+    * given vec_ids from the published codes, rewriting ONLY the cell
+    * partitions that contain them (dynamic partition overwrite — the
+    * untouched cells' files are left in place, which at 100 TB is the
+    * difference between a surgical rewrite and re-publishing the
+    * corpus). The coarse/codebook fit is unchanged — deletes never
+    * force a refit, exactly as in append.
+    */
+  def deleteFromIndex(s: SparkSession, vecIds: Seq[Long], outDir: String): Unit = {
+    val codes = s.read.parquet(s"$outDir/codes")
+    val victims = s.createDataFrame(
+      java.util.Arrays.asList(vecIds.map(org.apache.spark.sql.Row(_)): _*),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false))))
+    val touched = codes.join(broadcast(victims), Seq("vec_id"))
+      .select("cell").distinct().collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        codes.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+          .join(broadcast(victims), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$outDir/codes")
+      } finally prior match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Serving-path scorer: per-probe IVFADC top-k against a built or
     * loaded index. Bit-identical to q147's probe path (PqServeSpec)
     * but with the LUT computed ROW-LOCALLY by the native `pq_lut`

@@ -141,6 +141,42 @@ class PqServeSpec extends GraftSpec {
       "appended index serving must equal the oracle-checked batch ranking")
   }
 
+  test("index delete rewrites only touched cells and serves the survivor set") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val out = tmp("pqdelete")
+    Quantize.publishIndex(idx, out)
+    val all = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // victims: every member of the two largest cells' first 10 ids —
+    // multi-cell rewrite, with at least one cell untouched
+    val cells = all.groupBy(_._2)
+    val touched = cells.toSeq.sortBy(-_._2.length).take(2).map(_._1).toSet
+    val untouched = cells.keys.filterNot(touched.contains).head
+    val victims = all.filter(r => touched.contains(r._2)).map(_._1).take(10).toSeq
+    assert(victims.size === 10)
+    def files(cell: Int) = {
+      val d = new java.io.File(s"$out/codes/cell=$cell")
+      d.listFiles().map(f => (f.getName, f.lastModified())).sortBy(_._1).toSeq
+    }
+    val before = files(untouched)
+    Quantize.deleteFromIndex(spark, victims, out)
+    assert(files(untouched) === before,
+      "an untouched cell partition must not be rewritten")
+    val after = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after === all.toSet -- all.filter(r => victims.contains(r._1)),
+      "surviving codes must be exactly the non-victims")
+    // serving over the deleted index equals serving over a direct
+    // survivor-filtered index (deletes never change the frozen fit)
+    val merged = Quantize.loadIndex(spark, out)
+    val direct = idx.copy(codes = idx.codes.filter(!col("vec_id").isin(victims: _*)))
+    assert(collectTopk(Quantize.probeTopK(probes, merged)) ===
+      collectTopk(Quantize.probeTopK(probes, direct)),
+      "post-delete serving must equal the survivor-set ranking")
+  }
+
   test("streamed serving equals batch q147 across a batch split") {
     val sp = spark
     import sp.implicits._
