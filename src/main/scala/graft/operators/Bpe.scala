@@ -446,6 +446,32 @@ object Bpe {
        |FROM agg ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // Tokenizer registry (E35's discipline for the BPE family)
+  // ---------------------------------------------------------------
+
+  /** Persist a trained merges table (q141's output frame) as a
+    * versioned parquet artifact — the third model family to get the
+    * fit-once/publish/serve treatment (LR models E35, PQ index T49,
+    * BM25 index T50): a production pipeline trains the tokenizer
+    * once, publishes it, and bills every downstream budget operator
+    * in the PUBLISHED tokenizer's tokens.
+    */
+  def publishTokenizer(merges: DataFrame, outDir: String): Unit =
+    merges.select("rank", "lhs", "rhs").orderBy("rank")
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Load a published merges table back into the foldable form
+    * `bpe_count_with` consumes (rank-ordered lhsrhs strings —
+    * the same literal q144 builds from the in-memory fit).
+    */
+  def loadTokenizer(s: SparkSession, outDir: String): org.apache.spark.sql.Column = {
+    val rows = s.read.parquet(outDir)
+      .orderBy("rank").select("lhs", "rhs").collect()
+      .map(r => r.getString(0) + graft.functions.BpeCodec.Sep + r.getString(1))
+    typedLit(rows.toSeq)
+  }
+
+  // ---------------------------------------------------------------
   // T52 / q150: RAG chunking with exact real-token costs
   // ---------------------------------------------------------------
 

@@ -271,6 +271,32 @@ class BpeSpec extends GraftSpec {
     assert(got.exists(!_.getBoolean(5)), "no under-cap chunks")
   }
 
+  test("tokenizer registry: published merges round-trip and bill identically") {
+    import org.apache.spark.sql.functions.{call_function, coalesce, col, lit}
+    val merges = Bpe.q141BpeTrain(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_tok").toFile
+    out.deleteOnExit()
+    Bpe.publishTokenizer(merges, out.getAbsolutePath)
+    val loadedLit = Bpe.loadTokenizer(spark, out.getAbsolutePath)
+    // the loaded literal equals the in-memory fit's literal
+    val inMem = merges.collect()
+      .map(r => r.getString(1) + graft.functions.BpeCodec.Sep + r.getString(2)).toSeq
+    val loaded = spark.range(1).select(loadedLit.as("m"))
+      .collect().head.getSeq[String](0)
+    assert(loaded === inMem, "published merges must round-trip in rank order")
+    // and billing the corpus under the loaded table equals the
+    // in-memory trained chain's counts
+    val d = Tables.documents(spark, sfDir)
+    val a = d.select(col("doc_id"),
+        coalesce(call_function("bpe_count_with", col("text"),
+          org.apache.spark.sql.functions.typedLit(inMem)), lit(0L)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = d.select(col("doc_id"),
+        coalesce(call_function("bpe_count_with", col("text"), loadedLit), lit(0L)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "loaded-tokenizer billing must equal the in-memory fit")
+  }
+
   test("merge_pair / token_pairs reject wrong arities and types") {
     import spark.implicits._
     val df = Seq("x").toDF("w")
