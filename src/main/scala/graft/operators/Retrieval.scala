@@ -243,13 +243,12 @@ object Retrieval {
     * corpus, so the fusion joins them 1:1 by construction; the
     * operator contract is rank-space-only and id-agnostic.
     */
-  def q149HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val lex = q148Bm25(s, dir)
-      .select(col("query_id"), col("doc_id").as("cand_id"),
-        col("rk").as("rk_lex"))
-    val sem = Similarity.q45AnnTopk(s, dir)
-      .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"),
-        col("rk").as("rk_sem"))
+  /** Rank-space RRF of any two (query_id, cand_id, rk_lex/rk_sem)
+    * lists — the fusion is retriever-agnostic by design; q149 feeds it
+    * q148 + q45, and RetrievalSpec proves the IVFADC (q147) rank list
+    * routes through the identical code path at scale.
+    */
+  def fuseRrf(lex: DataFrame, sem: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("rrf_u"), asc("cand_id"))
     lex.join(sem, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("rrf_u",
@@ -261,6 +260,15 @@ object Retrieval {
         col("rk_lex"), col("rk_sem"))
       .orderBy("query_id", "rk")
   }
+
+  def q149HybridRrf(s: SparkSession, dir: String): DataFrame =
+    fuseRrf(
+      q148Bm25(s, dir)
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          col("rk").as("rk_lex")),
+      Similarity.q45AnnTopk(s, dir)
+        .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"),
+          col("rk").as("rk_sem")))
 
   val q149Sql: String =
     s"""WITH lex AS MATERIALIZED (

@@ -145,6 +145,31 @@ class RetrievalSpec extends GraftSpec {
       "streamed serving must equal batch q148 across a batch split")
   }
 
+  test("fuseRrf routes the IVFADC (q147) rank list through the same fusion") {
+    import graft.operators.Quantize
+    val lex = Retrieval.q148Bm25(spark, sfDir)
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("rk").as("rk_lex"))
+    val sem = Quantize.q147IvfAdc(spark, sfDir)
+      .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"),
+        col("rk").as("rk_sem"))
+    val got = Retrieval.fuseRrf(lex, sem).collect()
+    assert(got.length === Retrieval.NumQueries * Retrieval.TopK)
+    // recompute from the two collected lists — same check as q149's
+    val lexM = lex.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val semM = sem.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def contrib(rk: Option[Long]): Long = rk
+      .map(r => math.round(1e6 / (Retrieval.RrfK + r))).getOrElse(0L)
+    got.map(_.getLong(0)).distinct.foreach { q =>
+      val cands = (lexM.keys ++ semM.keys).filter(_._1 == q).map(_._2).toSeq.distinct
+      val want = cands
+        .map(c => (c, contrib(lexM.get((q, c))) + contrib(semM.get((q, c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(Retrieval.TopK)
+      val gotQ = got.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(gotQ === want, s"IVFADC-routed RRF drift for query $q")
+    }
+  }
+
   test("q148/q149 plans: no cartesian beyond the 1-row stats scalar") {
     val p148 = Retrieval.q148Bm25(spark, sfDir)
       .queryExecution.executedPlan.toString
