@@ -78,24 +78,12 @@ class InterpretedGuardSpec extends GraftSpec {
     ("q90_kmeans", "aggregate"),
     ("q90_kmeans", "array_sort"),
     ("q90_kmeans", "transform"),
-    // q145: PQ TRAIN assignment — q90's exact shape per subspace
-    // (strict-improvement fold over the K=16 broadcast centroid array,
-    // native vec_dot inside, K frames per row); array_sort/transform
-    // assemble the M·K codebook and the Probes-row LUTs post-agg. The
-    // ENCODE and ADC passes — the ones that run per corpus row at
-    // serve time — are the native pq_encode/pq_adc expressions.
-    ("q145_pq_adc", "aggregate"),
-    ("q145_pq_adc", "array_sort"),
-    ("q145_pq_adc", "transform"),
-    // q147: IVFADC — same TRAIN-pass shapes as q145 (the fold runs
-    // over the K=16 broadcast seed array with native vec_dot inside;
-    // array_sort/transform assemble the codebook, coarse centroids and
-    // per-(probe, cell) LUTs post-agg). The per-corpus-row passes —
-    // residual (vec_sub), encode (pq_encode) and ADC (pq_adc) — are
-    // native codegen'd expressions.
-    ("q147_ivf_adc", "aggregate"),
-    ("q147_ivf_adc", "array_sort"),
-    ("q147_ivf_adc", "transform")
+    // q145/q147 carry NO whitelist entries since the r15 plan-shape
+    // campaign: the TRAIN lineage (whose sample-bounded Lloyd fold and
+    // codebook assembly do use the q90-class HOFs) executes inside the
+    // bounded collect jobs at query-construction time; the RETURNED
+    // query plan is native end to end — vec_sub, pq_encode, pq_lut,
+    // pq_adc on the scans, LocalRelation coarse/codebook state.
   )
 
   private def factLeafNames(p: LogicalPlan): Set[String] =
