@@ -158,6 +158,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_word_counts"),
+      new ExpressionInfo(classOf[graft.functions.BpeWordCountsExpr].getName, "bpe_word_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"bpe_word_counts expects exactly 1 argument, got ${children.length}")
+        graft.functions.BpeWordCountsExpr(children.head)
+      }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("window_sums"),
+      new ExpressionInfo(classOf[graft.functions.WindowSumsExpr].getName, "window_sums"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"window_sums expects exactly 3 arguments, got ${children.length}")
+        graft.functions.WindowSumsExpr(children(0), children(1), children(2))
+      }
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[SigAgreeExpr].getName, "sig_agree"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

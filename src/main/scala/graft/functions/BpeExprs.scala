@@ -150,6 +150,8 @@ object BpeCodec {
     */
   def countTokens(text: UTF8String): Long = frozen.countTokens(text)
 
+  def wordCounts(text: UTF8String): ArrayData = frozen.wordCounts(text)
+
   def tokensAsArrayData(word: UTF8String): ArrayData =
     ArrayData.toArrayData(encode(word.toString).map(UTF8String.fromString))
 
@@ -276,6 +278,28 @@ final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
       i += 1
     }
     total
+  }
+
+  /** Per-word BPE lengths in document order — the same split loop as
+    * [[countTokens]] emitting each word's cached count instead of the
+    * sum, so `list_sum(word_counts) == countTokens` by construction.
+    * The row-local feeder for shuffle-free chunking (q150 v2).
+    */
+  def wordCounts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val out = new ArrayBuffer[Long]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          out += countWord(new String(bytes, start, i - start, StandardCharsets.UTF_8))
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
   }
 }
 
@@ -433,4 +457,27 @@ case class BpeCountWithExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeCountWithExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `bpe_word_counts(text)` → array<bigint> of per-word BPE token
+  * counts in document order (same single-0x20 empty-dropping split and
+  * word cache as `bpe_count`, whose value equals this array's sum by
+  * construction — BpeSpec pins it). The row-local feeder that lets
+  * q150's overlapping-chunk billing run with ZERO aggregation
+  * exchange: chunk sums compute inside the same projection via
+  * `window_sums`.
+  */
+case class BpeWordCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    BpeCodec.binaryStringCheck("bpe_word_counts", child.dataType)
+  override def prettyName: String = "bpe_word_counts"
+  override protected def withNewChildInternal(newChild: Expression): BpeWordCountsExpr =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    BpeCodec.wordCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCodec.wordCounts($c);")
 }

@@ -30,6 +30,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ScanFusionExprs {
 
+  /** Sliding-window sums (see [[WindowSumsExpr]]): windows start at
+    * k·s, cover up to c elements, and the count is
+    * 1 + max(0, ceil((n − c)/s)) for n > 0 — every element is covered,
+    * the last window may be short. Null element poisons to null.
+    */
+  def windowSums(arr: ArrayData, c: Int, s: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val nw = 1 + math.max(0L, (n - c + s - 1L) / s).toInt
+    val out = new Array[Long](nw)
+    var k = 0
+    while (k < nw) {
+      val from = k * s
+      val to = math.min(from + c, n)
+      var acc = 0L
+      var i = from
+      while (i < to) {
+        if (arr.isNullAt(i)) return null
+        acc += arr.getLong(i)
+        i += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Tokens between single 0x20 bytes (split(text,' ') semantics —
     * empty segments occur but can never match a non-empty stopword),
     * counted against the set with zero-copy UTF8String slices.
@@ -181,4 +208,61 @@ case class SigAgreeExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.ScanFusionExprs.sigAgree($a, $b);")
+}
+
+/** `window_sums(arr, c, s)` → array<bigint> of sliding-window sums
+  * over a long array: entry k = Σ arr[k·s ... min(k·s+c, n)−1], with
+  * n_windows = 1 + max(0, ceil((n − c)/s)) for n > 0 and an EMPTY
+  * array for n = 0 — exactly q150's overlapping-chunk grid, computed
+  * row-locally so the chunk billing needs no aggregation exchange at
+  * all (the groupBy form shuffled ~2 membership rows per corpus word).
+  * `c`/`s` are foldable ints with c >= s >= 1. Null array → null;
+  * null element → null (poison).
+  */
+case class WindowSumsExpr(arr: Expression, c: Expression, s: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = arr
+  override def second: Expression = c
+  override def third: Expression = s
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_sums"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (arr.dataType, c.dataType, s.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType)
+          if c.foldable && s.foldable =>
+        (c.eval(), s.eval()) match {
+          case (cv: Int, sv: Int) if sv >= 1 && cv >= sv =>
+            TypeCheckResult.TypeCheckSuccess
+          case (cv, sv) => TypeCheckResult.TypeCheckFailure(
+            s"window_sums requires c >= s >= 1, got (c=$cv, s=$sv)")
+        }
+      case (ArrayType(LongType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "window_sums requires FOLDABLE (c, s) window/stride ints")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"window_sums requires (array<bigint>, int, int), got " +
+          Seq(arr, c, s).map(_.dataType.catalogString).mkString(", "))
+    }
+
+  @transient private lazy val (cv, sv) =
+    (c.eval().asInstanceOf[Int], s.eval().asInstanceOf[Int])
+
+  override def nullSafeEval(a: Any, cc: Any, ss: Any): Any =
+    ScanFusionExprs.windowSums(a.asInstanceOf[ArrayData], cv, sv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  graft.functions.ScanFusionExprs.windowSums($a, $cv, $sv);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WindowSumsExpr =
+    copy(arr = newFirst, c = newSecond, s = newThird)
 }

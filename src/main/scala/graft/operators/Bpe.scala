@@ -502,28 +502,23 @@ object Bpe {
     val d = Tables.documents(s, dir)
     val C = ChunkWords
     val S = ChunkStride
-    val words = d
-      .select(col("doc_id"),
-        size(call_function("split_words", col("text"))).cast(LongType).as("dl"),
-        posexplode(call_function("split_words", col("text"))).as(Seq("pos", "w")))
-      .withColumn("wcost", coalesce(call_function("bpe_count", col("w")), lit(0L)))
-    // chunk count: 1 + ceil((dl - C)/S) clamped at 1; a word at pos is
-    // covered by chunks c with c*S <= pos < c*S + C, intersected with
-    // [0, n_chunks). All floor/ceil over exact small integers.
-    val nChunks = lit(1L) + greatest(lit(0L),
-      ceil((col("dl") - lit(C)).cast(DoubleType) / lit(S)).cast(LongType))
-    val cmin = greatest(lit(0L),
-      floor((col("pos") - lit(C) + lit(S)).cast(DoubleType) / lit(S)).cast(LongType))
-    val cmax = least(
-      floor(col("pos").cast(DoubleType) / lit(S)).cast(LongType),
-      nChunks - lit(1L))
-    words
-      .withColumn("chunk_id", explode(sequence(cmin, cmax)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_words"), sum("wcost").as("bpe_tokens"))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("chunk_id") * S).as("start_word"), col("n_words"),
-        col("bpe_tokens"), (col("bpe_tokens") > ChunkTokenCap).as("over_cap"))
+    // r15 v2: ZERO aggregation exchange. Per-word costs and the
+    // overlapping-window sums both compute ROW-LOCALLY in native
+    // expressions (bpe_word_counts + window_sums — the same chunk grid
+    // 1 + max(0, ceil((dl−C)/S)), every word covered, last chunk may
+    // be short); the only row expansion is the final posexplode of the
+    // ≤ dl/S chunk sums. The v1 membership-explode + groupBy form
+    // shuffled ~2 rows per corpus word (≈300M rows at the 1.5M-doc
+    // rung); this plan's only exchange is the output orderBy.
+    val wc = call_function("bpe_word_counts", col("text"))
+    d.select(col("doc_id"), size(wc).cast(LongType).as("dl"),
+        posexplode(call_function("window_sums", wc, lit(C), lit(S)))
+          .as(Seq("cid", "bpe_tokens")))
+      .select(col("doc_id"), col("cid").cast(LongType).as("chunk_id"),
+        (col("cid").cast(LongType) * S).as("start_word"),
+        least(lit(C.toLong), col("dl") - col("cid").cast(LongType) * S).as("n_words"),
+        col("bpe_tokens"),
+        (col("bpe_tokens") > ChunkTokenCap).as("over_cap"))
       .orderBy("doc_id", "chunk_id")
   }
 

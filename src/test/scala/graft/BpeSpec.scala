@@ -271,6 +271,47 @@ class BpeSpec extends GraftSpec {
     assert(got.exists(!_.getBoolean(5)), "no under-cap chunks")
   }
 
+  test("bpe_word_counts sums to bpe_count and window_sums replays driver-side") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, col, lit}
+    // sum parity on the real corpus + adversarial spacing
+    val d = Tables.documents(spark, sfDir).select(col("text"))
+      .union(spark.sql(
+        "SELECT * FROM VALUES (''), (' '), ('  a  b '), ('one'), ('a b c') AS t(text)"))
+    val rows = d.select(
+      call_function("bpe_count", col("text")).as("total"),
+      aggregate(call_function("bpe_word_counts", col("text")),
+        lit(0L), (acc, x) => acc + x).as("summed")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      "bpe_word_counts must sum to bpe_count"))
+    // null text → null array
+    assert(spark.sql("SELECT bpe_word_counts(cast(null as string))")
+      .collect().head.isNullAt(0))
+
+    // window_sums: independent replay over edge-shaped arrays
+    def ref(a: Seq[Long], c: Int, s: Int): Seq[Long] = {
+      if (a.isEmpty) Seq.empty
+      else {
+        val nw = 1 + math.max(0L, math.ceil((a.length - c).toDouble / s).toLong).toInt
+        (0 until nw).map(k => a.slice(k * s, k * s + c).sum)
+      }
+    }
+    val cases = Seq(Seq.empty[Long], Seq(5L), (1L to 3L).toSeq, (1L to 4L).toSeq,
+      (1L to 5L).toSeq, (1L to 8L).toSeq, (1L to 9L).toSeq, (1L to 64L).toSeq)
+    cases.foreach { a =>
+      val got = spark.sql(
+        s"SELECT window_sums(${if (a.isEmpty) "cast(array() as array<bigint>)"
+          else a.mkString("array(", "L,", "L)")}, 4, 2)")
+        .collect().head.getSeq[Long](0)
+      assert(got === ref(a, 4, 2), s"window_sums drift for n=${a.length}")
+    }
+    // null element poisons; malformed dials rejected
+    assert(spark.sql("SELECT window_sums(array(1L, cast(null as bigint)), 4, 2)")
+      .collect().head.isNullAt(0))
+    val err = intercept[Exception](
+      spark.sql("SELECT window_sums(array(1L), 2, 4)").collect())
+    assert(err.getMessage.contains("c >= s >= 1"))
+  }
+
   test("tokenizer registry: published merges round-trip and bill identically") {
     import org.apache.spark.sql.functions.{call_function, coalesce, col, lit}
     val merges = Bpe.q141BpeTrain(spark, sfDir)
