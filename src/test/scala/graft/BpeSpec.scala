@@ -338,6 +338,38 @@ class BpeSpec extends GraftSpec {
     assert(a === b, "loaded-tokenizer billing must equal the in-memory fit")
   }
 
+  test("streamed chunking equals batch q150 across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val batch = rows(Bpe.q150RagChunks(spark, sfDir).collect())
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.ChunkStream.chunks(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows(sp.sql("SELECT * FROM chunk_stream").collect())
+    assert(got === batch,
+      s"stream-only=${(got -- batch).take(5)} batch-only=${(batch -- got).take(5)}")
+  }
+
   test("merge_pair / token_pairs reject wrong arities and types") {
     import spark.implicits._
     val df = Seq("x").toDF("w")
