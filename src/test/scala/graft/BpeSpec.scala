@@ -338,6 +338,18 @@ class BpeSpec extends GraftSpec {
     assert(a === b, "loaded-tokenizer billing must equal the in-memory fit")
   }
 
+  test("q150 v2 plan: native row-local chunking, one exchange (the orderBy)") {
+    val plan = Bpe.q150RagChunks(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bpe_word_counts"), "word costs must be native")
+    assert(plan.contains("window_sums"), "chunk sums must be native")
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+      "v2 must not re-grow an aggregation")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"v2's only exchange is the output orderBy range partition, found $exchanges:\n$plan")
+  }
+
   test("streamed chunking equals batch q150 across a batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
