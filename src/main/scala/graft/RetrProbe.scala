@@ -49,7 +49,7 @@ object RetrProbe {
       .filter(col("doc_id") < Retrieval.NumQueries)
       .select(col("doc_id").as("query_id"), col("text"))
     val serve = (1 to reps).map { _ =>
-      secs(require(Retrieval.scoreQueries(queries, idx).count() > 0))
+      secs(require(Retrieval.scoreQueries(queries, idx, excludeSelf = true).count() > 0))
     }
     val q148 = (1 to reps).map { _ =>
       secs(require(Retrieval.q148Bm25(spark, dir).count() > 0))

@@ -288,9 +288,22 @@ object Quantize {
   /** Residual scan (vec_id, cell, resid): one broadcast join + native
     * vec_sub — map-side, codegen'd end to end (the zip_with form would
     * be the interpreted HOF defect class InterpretedGuardSpec gates).
+    *
+    * Coverage is ASSERTED, not assumed (r15 ADVICE): a label with no
+    * fitted coarse centroid (a rare label absent from the modulo
+    * training sample, or a new label arriving via appendToIndex under
+    * the frozen coarse table) previously vanished through the inner
+    * join — the index silently lost those vectors. The left join +
+    * assert_true raises a per-row error instead; with full coverage
+    * the output is bit-identical to the inner-join form, so the
+    * oracle-checked q147 rows are unchanged.
     */
   private[graft] def residualFrame(e: DataFrame, coarse: DataFrame): DataFrame =
-    e.join(broadcast(coarse), col("label") === col("cell"))
+    e.join(broadcast(coarse), col("label") === col("cell"), "left")
+      .filter(assert_true(col("cell").isNotNull,
+        concat(lit("vector label without a fitted coarse centroid (frozen "),
+          lit("coarse table does not cover label="), col("label"), lit(")")))
+        .isNull)
       .select(col("vec_id"), col("cell"),
         call_function("vec_sub", col("embedding"), col("ccent")).as("resid"))
 
@@ -529,11 +542,12 @@ object Quantize {
   /** Incremental index deletion (the GDPR/right-to-be-forgotten path,
     * completing the build/publish/append/delete lifecycle): remove the
     * given vec_ids from the published codes, rewriting ONLY the cell
-    * partitions that contain them (dynamic partition overwrite — the
-    * untouched cells' files are left in place, which at 100 TB is the
-    * difference between a surgical rewrite and re-publishing the
-    * corpus). The coarse/codebook fit is unchanged — deletes never
-    * force a refit, exactly as in append.
+    * partitions that contain them (staged survivor write + per-cell
+    * directory swap — the untouched cells' files are left in place,
+    * which at 100 TB is the difference between a surgical rewrite and
+    * re-publishing the corpus; a cell whose members are ALL victims is
+    * removed outright). The coarse/codebook fit is unchanged — deletes
+    * never force a refit, exactly as in append.
     */
   def deleteFromIndex(s: SparkSession, vecIds: Seq[Long], outDir: String): Unit = {
     val codes = s.read.parquet(s"$outDir/codes")
@@ -543,17 +557,32 @@ object Quantize {
     val touched = codes.join(broadcast(victims), Seq("vec_id"))
       .select("cell").distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
-      val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        codes.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-          .join(broadcast(victims), Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$outDir/codes")
-      } finally prior match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // Stage-then-swap (r15 ADVICE, both items): survivors of the
+      // touched cells land in a staging dir FIRST — the live index is
+      // never read-while-overwritten, and a mid-write failure leaves it
+      // fully intact. The swap then deletes each touched cell=<id> dir
+      // and renames the staged partition in; a touched cell whose
+      // members were ALL victims has no staged partition and its
+      // directory simply stays deleted — the dynamic-overwrite form
+      // silently kept such cells' files, so fully-victimized cells
+      // remained servable against the right-to-be-forgotten contract.
+      // Per-cell delete+rename is atomic on HDFS/local; a crash between
+      // cells leaves the remaining staged partitions recoverable in the
+      // staging dir rather than a half-written live partition.
+      val codesPath = new org.apache.hadoop.fs.Path(s"$outDir/codes")
+      val fs = codesPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$outDir/.codes-staging-${java.util.UUID.randomUUID}")
+      codes.filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .join(broadcast(victims), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      touched.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(codesPath, s"cell=$c")
+        fs.delete(live, true)
+        val staged = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+        if (fs.exists(staged)) fs.rename(staged, live)
       }
+      fs.delete(staging, true)
     }
   }
 

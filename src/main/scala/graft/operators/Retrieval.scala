@@ -198,8 +198,16 @@ object Retrieval {
     * to the oracle-checked batch ranking (RetrievalSpec); runs per
     * micro-batch under Bm25Serve.serve. The postings scan is pruned
     * map-side by the broadcast query vocabulary before any shuffle.
+    *
+    * `excludeSelf` (default FALSE for serving — r15 ADVICE): a serve
+    * request's query_id is an arbitrary request identifier, so the
+    * batch q148 convention of dropping doc_id == query_id would
+    * silently lose a corpus document from any request whose id happens
+    * to collide with it. Pass true only when the queries ARE corpus
+    * docs (the T6 convention the batch-parity spec uses).
     */
-  def scoreQueries(queries: DataFrame, idx: Bm25Index): DataFrame = {
+  def scoreQueries(queries: DataFrame, idx: Bm25Index,
+      excludeSelf: Boolean = false): DataFrame = {
     val qtoks = queries.select(col("query_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
     val wq = Window.partitionBy("query_id").orderBy(asc("fpos"), asc("term"))
@@ -215,9 +223,11 @@ object Retrieval {
     // broadcast prune can never do
     val vocab = qterms.select("term").distinct().collect().map(_.getString(0))
     val dfq = idx.df.filter(col("term").isin(vocab: _*))
-    val scored = idx.postings.filter(col("term").isin(vocab: _*))
+    val pruned = idx.postings.filter(col("term").isin(vocab: _*))
       .join(broadcast(qterms), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
+    val candidates =
+      if (excludeSelf) pruned.filter(col("doc_id") =!= col("query_id")) else pruned
+    val scored = candidates
       .join(broadcast(dfq), Seq("term"))
       .withColumn("idf", log(
         (lit(idx.nDocs).cast(DoubleType) - col("df") + lit(0.5)) /

@@ -17,12 +17,17 @@ import graft.operators.Retrieval
   */
 object Bm25Serve {
 
+  /** `excludeSelf` defaults FALSE: serve-time query_ids are request
+    * identifiers, not corpus doc_ids (Retrieval.scoreQueries's note) —
+    * the batch-parity spec passes true because its queries ARE corpus
+    * docs by the T6 convention.
+    */
   def serve(arrivals: DataFrame, idx: Retrieval.Bm25Index,
-      sinkDir: String): StreamingQuery =
+      sinkDir: String, excludeSelf: Boolean = false): StreamingQuery =
     arrivals.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Retrieval.scoreQueries(batch, idx)
+        Retrieval.scoreQueries(batch, idx, excludeSelf)
           .write.mode("append").parquet(sinkDir)
       }
       .start()

@@ -42,10 +42,30 @@ import graft.operators.Dedup
 object RouteStream {
 
   /** The published index: everything an arrival needs, with the dial
-    * values pinned at build time.
+    * values pinned at build time. `horizon` is the verdict path's
+    * watermark + window width (r15 verdict item 4: previously a
+    * hardcoded "1 hour") — a SERVING dial pinned at publish like
+    * `bits`/`cap`, read from `spark.graft.rplsh.routeHorizon` at build.
+    * Re-dialing the horizon changes only how long a late arrival can
+    * still be aggregated (verdict TIMING), never a verdict ROW for an
+    * in-horizon arrival: the min-struct fold per (window, vec_id) is
+    * horizon-independent because each arrival's candidate set is the
+    * static broadcast rep index (RouteStreamSpec pins this).
     */
   final case class RoutedIndex(inCap: DataFrame, overCapReps: DataFrame,
-      bits: Int, nBands: Int, cap: Long)
+      bits: Int, nBands: Int, cap: Long, horizon: String = "1 hour")
+
+  /** The serving-horizon conf, resolved at index build time. */
+  private[graft] def routeHorizon(s: SparkSession): String = {
+    val h = s.conf.getOption("spark.graft.rplsh.routeHorizon")
+      .map(_.trim).filter(_.nonEmpty).getOrElse("1 hour")
+    // fail at BUILD, not at the first micro-batch: a malformed interval
+    // inside a running stream is a production outage, not a typo report
+    require(org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(h))
+      != null, s"spark.graft.rplsh.routeHorizon='$h' is not an interval")
+    h
+  }
 
   /** Build (and cache) the index from the corpus — the q139 prefix:
     * one signature pass, one (band, key) exchange, occupancy as an
@@ -54,6 +74,7 @@ object RouteStream {
   def buildIndex(s: SparkSession, dir: String): RoutedIndex = {
     val cap = Dedup.routeCap(s)
     require(cap >= 1, s"spark.graft.rplsh.routeCap=$cap must be >= 1")
+    val horizon = routeHorizon(s) // validate the dial before any job runs
     val (sigs, nBands) = Dedup.rpSigs(s, dir)
     // pin the dial for arrivals: same derivation as rpSigs, one scalar
     val bits = Dedup.rpConf(s)._2.getOrElse(
@@ -89,7 +110,7 @@ object RouteStream {
       .select(col("band"), col("key"), col("rep_id"),
         col("embedding").as("rep_vec"), col("nrm").as("rep_nrm"))
       .cache()
-    RoutedIndex(inCap, reps, bits, nBands, cap)
+    RoutedIndex(inCap, reps, bits, nBands, cap, horizon)
   }
 
   /** Sign an arrivals stream (ts, vec_id, embedding) with the index's
@@ -125,14 +146,14 @@ object RouteStream {
     */
   def verdicts(arrivals: DataFrame, idx: RoutedIndex): DataFrame =
     keyed(arrivals, idx)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", idx.horizon)
       .select(col("ts"), col("vec_id"), col("embedding"), col("nrm"),
         posexplode(col("keys")).as(Seq("band", "key")))
       .join(broadcast(idx.overCapReps), Seq("band", "key"))
       .withColumn("cos", round(
         VectorFunctions.dot(col("embedding"), col("rep_vec")) /
           (col("nrm") * col("rep_nrm")), 6))
-      .groupBy(window(col("ts"), "1 hour"), col("vec_id"))
+      .groupBy(window(col("ts"), idx.horizon), col("vec_id"))
       .agg(min(struct(col("band"), col("key"), col("rep_id"), col("cos"))).as("a"))
       .select(col("a.band").as("band"), col("a.key").as("key"),
         col("vec_id").as("v1"), col("a.rep_id").as("v2"), col("a.cos").as("cos"),

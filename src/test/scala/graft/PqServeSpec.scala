@@ -177,6 +177,67 @@ class PqServeSpec extends GraftSpec {
       "post-delete serving must equal the survivor-set ranking")
   }
 
+  test("deleting a cell's entire membership removes the cell outright") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val out = tmp("pqdeleteall")
+    Quantize.publishIndex(idx, out)
+    val all = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cells = all.groupBy(_._2)
+    // victims: EVERY member of the smallest cell plus a few from another
+    // — the r15 ADVICE defect: dynamic overwrite left a fully-victimized
+    // cell's files in place and kept serving the deleted ids
+    val emptied = cells.toSeq.minBy(_._2.length)._1
+    val partial = cells.keys.filter(_ != emptied).head
+    val untouched = cells.keys.filterNot(c => c == emptied || c == partial).head
+    val victims = cells(emptied).map(_._1).toSeq ++
+      cells(partial).map(_._1).take(3)
+    def files(cell: Int) = {
+      val d = new java.io.File(s"$out/codes/cell=$cell")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(f => (f.getName, f.lastModified())).sortBy(_._1).toSeq
+    }
+    val before = files(untouched)
+    Quantize.deleteFromIndex(spark, victims, out)
+    assert(files(emptied).isEmpty,
+      "a fully-victimized cell's partition directory must be gone")
+    assert(files(untouched) === before,
+      "an untouched cell partition must not be rewritten")
+    val after = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val victimSet = victims.toSet
+    assert(after === all.filterNot(r => victimSet.contains(r._1)).toSet,
+      "surviving codes must be exactly the non-victims — nothing of the " +
+        "emptied cell may remain servable")
+    // no staging leftovers
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith(".codes-staging-")),
+      "staging dir must be cleaned up after the swap")
+  }
+
+  test("append under a frozen coarse table ERRORS on an uncovered label") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val out = tmp("pqappendbad")
+    Quantize.publishIndex(idx, out)
+    val sp = spark
+    import sp.implicits._
+    // label 9999 has no fitted coarse centroid: the r15 ADVICE defect
+    // was a silent inner-join drop — the arrival simply never entered
+    // the index; now residualFrame's coverage assert raises
+    val stray = Seq((999999L, Seq.fill(Quantize.PqM * Quantize.PqD)(0.5f), 9999))
+      .toDF("vec_id", "embedding", "label")
+    val err = intercept[Exception] {
+      Quantize.appendToIndex(spark, stray, out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("coarse")),
+      s"expected the coverage assert, got: $err")
+  }
+
   test("streamed serving equals batch q147 across a batch split") {
     val sp = spark
     import sp.implicits._

@@ -112,7 +112,7 @@ class RetrievalSpec extends GraftSpec {
     val queries = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < Retrieval.NumQueries)
       .select(col("doc_id").as("query_id"), col("text"))
-    assert(rows(Retrieval.scoreQueries(queries, idx)) === expected,
+    assert(rows(Retrieval.scoreQueries(queries, idx, excludeSelf = true)) === expected,
       "in-memory index serving must equal the oracle-checked batch ranking")
 
     val out = Files.createTempDirectory("graft_bm25idx").toFile
@@ -121,7 +121,7 @@ class RetrievalSpec extends GraftSpec {
     val loaded = Retrieval.loadBm25(spark, out.getAbsolutePath)
     assert(loaded.nDocs === idx.nDocs)
     assert(loaded.avgdl === idx.avgdl, "avgdl must round-trip bit-for-bit")
-    assert(rows(Retrieval.scoreQueries(queries, loaded)) === expected,
+    assert(rows(Retrieval.scoreQueries(queries, loaded, excludeSelf = true)) === expected,
       "published/loaded index serving must equal batch")
 
     // streamed across a batch split
@@ -134,7 +134,7 @@ class RetrievalSpec extends GraftSpec {
     sink.deleteOnExit()
     val sinkDir = sink.getAbsolutePath + "/topk"
     val stream = MemoryStream[Req]
-    val q = Bm25Serve.serve(stream.toDF(), loaded, sinkDir)
+    val q = Bm25Serve.serve(stream.toDF(), loaded, sinkDir, excludeSelf = true)
     try {
       stream.addData(b1: _*)
       q.processAllAvailable()
@@ -143,6 +143,29 @@ class RetrievalSpec extends GraftSpec {
     } finally q.stop()
     assert(rows(spark.read.parquet(sinkDir)) === expected,
       "streamed serving must equal batch q148 across a batch split")
+  }
+
+  test("serve-time id collision: default scoreQueries keeps the colliding doc") {
+    // r15 ADVICE: a request whose arbitrary query_id collides with a
+    // corpus doc_id must NOT lose that document — self-exclusion is a
+    // batch-q148 convention (queries are corpus docs), not a serving one
+    val idx = Retrieval.buildBm25Index(spark, sfDir)
+    val corpusQueries = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < Retrieval.NumQueries)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = cands(Retrieval.scoreQueries(corpusQueries, idx))
+    val excluded = cands(Retrieval.scoreQueries(corpusQueries, idx,
+      excludeSelf = true))
+    // a query doc matches itself on its own terms — the default serve
+    // path must be able to surface it (whether it cracks the top-k for
+    // EVERY query depends on the corpus; at least one must)
+    assert(served.exists { case (q, d) => q == d },
+      "default serving lost every colliding doc_id")
+    assert(excluded.forall { case (q, d) => q != d },
+      "excludeSelf=true must reproduce the batch convention")
   }
 
   test("fuseRrf routes the IVFADC (q147) rank list through the same fusion") {

@@ -79,4 +79,50 @@ class RouteStreamSpec extends GraftSpec {
       } finally { qp.stop(); qv.stop() }
     } finally spark.conf.unset("spark.graft.rplsh.routeCap")
   }
+
+  test("re-dialed horizon changes verdict timing only, never in-horizon content") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = "/root/testdata/sf0.01"
+
+    spark.conf.set("spark.graft.rplsh.routeCap", "30")
+    try {
+      val batchVerdicts = Dedup.q139RoutedDedup(spark, dir)
+        .filter(col("kind") === "overcap")
+        .select("band", "key", "v1", "v2", "cos", "kept").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).toSet
+      assert(batchVerdicts.nonEmpty)
+
+      // the dial is pinned at build time, like bits/cap
+      spark.conf.set("spark.graft.rplsh.routeHorizon", "2 hours")
+      val idx = RouteStream.buildIndex(spark, dir)
+      assert(idx.horizon === "2 hours", "horizon must pin at publish")
+      spark.conf.unset("spark.graft.rplsh.routeHorizon")
+
+      val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
+      val corpus = Tables.embeddings(spark, dir).collect()
+        .map(r => Arrival(t0, r.getLong(0), r.getSeq[Float](1))).toSeq
+      val stream = MemoryStream[Arrival]
+      val qv = RouteStream.verdicts(stream.toDF(), idx)
+        .writeStream.format("memory").queryName("route_verdicts_h2")
+        .outputMode("update").start()
+      try {
+        stream.addData(corpus: _*)
+        qv.processAllAvailable()
+        val got = sp.sql(
+          "SELECT band, key, v1, v2, cos, kept FROM route_verdicts_h2")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSet
+        assert(got === batchVerdicts,
+          "a wider horizon must not change any in-horizon verdict row")
+      } finally qv.stop()
+
+      // malformed horizon fails at BUILD, before any job or stream start
+      spark.conf.set("spark.graft.rplsh.routeHorizon", "not an interval")
+      try intercept[Exception](RouteStream.buildIndex(spark, dir))
+      finally spark.conf.unset("spark.graft.rplsh.routeHorizon")
+    } finally spark.conf.unset("spark.graft.rplsh.routeCap")
+  }
 }
