@@ -126,6 +126,94 @@ object BpeCodec {
     out.toSeq
   }
 
+  /** PRODUCTION-DEPTH local trainer: bit-identical merges to
+    * [[trainLocal]] (BpeSpec pins the parity at depth), but with
+    * incremental pair-count maintenance instead of a full vocabulary
+    * re-scan per round — the HF-tokenizers training shape. trainLocal
+    * costs O(rounds × Σ|word|): at a production vocabulary (32k–100k
+    * merges) over a 100 TB corpus's word table that is hours of
+    * re-counting for counts that barely change. Here each merge
+    * updates ONLY the words containing the winning pair (tracked in an
+    * inverted pair→words index), and the per-round argmax comes from a
+    * lazily-invalidated priority queue — every count mutation pushes a
+    * fresh entry, stale entries are discarded against the live count
+    * map on pop, so the top valid entry is always the true
+    * (count DESC, lhs ASC, rhs ASC) winner. Cost per round is
+    * O(occurrences of the winner + log P), sub-linear in vocabulary.
+    */
+  def trainLocalFast(words: Seq[(String, Long)], rounds: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val n = words.size
+    val toks = new Array[Array[String]](n)
+    val freq = new Array[Long](n)
+    words.zipWithIndex.foreach { case ((w, f), i) =>
+      toks(i) = codepoints(w); freq(i) = f
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairBag(ts: Array[String]): mutable.HashMap[(String, String), Long] = {
+      val m = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < ts.length - 1) {
+        val k = (ts(i), ts(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    // preferred = larger count, then SMALLER (lhs, rhs) — dequeue-max
+    // order for the PQ, the exact trainLocal minBy((-c, l, r)) key
+    val ord = Ordering.fromLessThan[(Long, String, String)] { (a, b) =>
+      if (a._1 != b._1) a._1 < b._1
+      else if (a._2 != b._2) a._2 > b._2
+      else a._3 > b._3
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    var wi = 0
+    while (wi < n) {
+      pairBag(toks(wi)).foreach { case (k, c) =>
+        counts.update(k, counts.getOrElse(k, 0L) + c * freq(wi))
+        where.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+      }
+      wi += 1
+    }
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    val out = ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < rounds && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      if (counts.get((l, r)).contains(c)) { // live entry — the winner
+        out += ((l, r))
+        val members = where.getOrElse((l, r), mutable.HashSet.empty).toArray
+        var j = 0
+        while (j < members.length) {
+          val w = members(j)
+          val before = pairBag(toks(w))
+          toks(w) = mergeAll(toks(w), l, r)
+          val after = pairBag(toks(w))
+          (before.keySet ++ after.keySet).foreach { k =>
+            val delta = after.getOrElse(k, 0L) - before.getOrElse(k, 0L)
+            if (delta != 0L) {
+              val nc = counts.getOrElse(k, 0L) + delta * freq(w)
+              if (nc <= 0L) { counts.remove(k); where.remove(k) }
+              else {
+                counts.update(k, nc)
+                pq.enqueue((nc, k._1, k._2))
+              }
+            }
+            if (after.contains(k))
+              where.getOrElseUpdate(k, mutable.HashSet.empty) += w
+            else where.get(k).foreach(_ -= w)
+          }
+          j += 1
+        }
+        counts.remove((l, r)); where.remove((l, r))
+        round += 1
+      } // else: stale PQ entry, discard
+    }
+    out.toSeq
+  }
+
   /** The frozen merges table `bpe_count`/`bpe_tokens` apply (rank =
     * position). Deterministic: trained from FixtureWords at object
     * init; BpeSpec pins the literal contents so a drift in the trainer

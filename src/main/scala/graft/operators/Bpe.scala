@@ -194,6 +194,42 @@ object Bpe {
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged").orderBy("rank")
   }
 
+  /** PRODUCTION-SCALE tokenizer training (r15 verdict next-round #1):
+    * q141's loop costs one Spark job + one driver argmax collect PER
+    * MERGE — correct and oracle-replayable at 12 rounds, but a
+    * production vocabulary is 32k–100k merges and 32k sequential
+    * driver-synchronized jobs cannot amortize (the sf30 pass spread
+    * [81.6, 56.6, 20.7] s already shows the per-round churn at 12).
+    * The standard fix is the fit-once discipline every other learned
+    * structure here uses, applied INSIDE the trainer: the corpus-sized
+    * work — the word-frequency table — aggregates distributedly ONCE
+    * (that stage is q141's first job and scales linearly), and the
+    * merge loop then runs LOCALLY over that bounded state
+    * (HF-tokenizers trains from word counts exactly this way). The
+    * word table is model-scale, not corpus-scale: distinct words ×
+    * avg length — tens of MB for a 100 TB web corpus, the same class
+    * as the collected LR weight matrices.
+    *
+    * Merges 1..k are BIT-IDENTICAL to the distributed loop's (BpeSpec
+    * proves it through [[graft.functions.BpeCodec.trainLocalFast]] ≡
+    * trainLocal ≡ q141), so q144's oracle-checked chain consumes this
+    * trainer unchanged. Publish through [[publishTokenizer]]; bill
+    * with `bpe_count_with` via [[loadTokenizer]].
+    */
+  def trainTokenizer(s: SparkSession, dir: String, numMerges: Int): DataFrame = {
+    import s.implicits._
+    val wf = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeCodec.trainLocalFast(wf, numMerges)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i, l, r, l + r) }
+      .toDF("rank", "lhs", "rhs", "merged")
+  }
+
   /** Unrolled train oracle: w0 holds each word as a \u0001-bounded
     * token string (chr(1) t chr(1)chr(1) t chr(1) — every token keeps
     * its OWN boundary pair, so the per-round
@@ -391,7 +427,11 @@ object Bpe {
     * table, bill everything in its tokens.
     */
   def q144TrainedChain(s: SparkSession, dir: String): DataFrame = {
-    val trained = q141BpeTrain(s, dir).collect()
+    // consumes the PRODUCTION trainer (r16): bit-identical merges to
+    // q141's distributed loop at this depth (BpeSpec parity), so the
+    // unrolled DuckDB twin is unchanged — but the fit is one corpus
+    // job + a local merge loop instead of TrainRounds sequential jobs
+    val trained = trainTokenizer(s, dir, TrainRounds).collect()
       .map(r => r.getString(1) + graft.functions.BpeCodec.Sep + r.getString(2))
     val mergesLit = typedLit(trained.toSeq)
     val d = Tables.documents(s, dir)

@@ -105,6 +105,69 @@ class BpeSpec extends GraftSpec {
       s"distributed=$distributed\nlocal=$local")
   }
 
+  test("trainLocalFast equals trainLocal on the corpus word table at depth") {
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the q141 depth AND a production-ish depth — the incremental
+    // pair-count maintenance must track the recount trainer exactly,
+    // including exhaustion (both stop when no pair remains)
+    Seq(1, Bpe.TrainRounds, 200, 100000).foreach { rounds =>
+      val fast = BpeCodec.trainLocalFast(wf, rounds)
+      val slow = BpeCodec.trainLocal(wf, rounds)
+      assert(fast === slow, s"trainer drift at rounds=$rounds " +
+        s"(first diff at ${fast.zip(slow).indexWhere(p => p._1 != p._2)})")
+    }
+    // adversarial fixture: overlapping pairs (aaaa), cross-word churn
+    val adversarial = Seq(("aaaa", 3L), ("aab", 2L), ("baa", 2L),
+      ("abab", 1L), ("aaaaaaaa", 1L), ("x", 5L))
+    Seq(1, 3, 50).foreach { rounds =>
+      assert(BpeCodec.trainLocalFast(adversarial, rounds)
+        === BpeCodec.trainLocal(adversarial, rounds),
+        s"adversarial trainer drift at rounds=$rounds")
+    }
+  }
+
+  test("trainTokenizer equals distributed q141 and publishes at depth") {
+    val dist = Bpe.q141BpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val fit = Bpe.trainTokenizer(spark, sfDir, Bpe.TrainRounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(fit === dist,
+      "production trainer must reproduce the distributed loop's merges")
+
+    // production-depth fit: >=1024 merges (or exhaustion), published and
+    // billed through the same registry surface as the 12-merge fit
+    val deep = Bpe.trainTokenizer(spark, sfDir, 1024)
+    val deepRows = deep.collect()
+    assert(deepRows.length > Bpe.TrainRounds,
+      "the sf corpus must support merges beyond the fixture depth")
+    assert(deepRows.take(Bpe.TrainRounds).map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+      === dist, "deep fit's prefix must equal the shallow fit")
+    val out = java.nio.file.Files.createTempDirectory("graft_tok_deep").toFile
+    out.deleteOnExit()
+    Bpe.publishTokenizer(deep, out.getAbsolutePath)
+    val loadedLit = Bpe.loadTokenizer(spark, out.getAbsolutePath)
+    // a deeper table whose prefix is the shallow fit NEVER bills more
+    // tokens (the apply loop replays the shared prefix identically,
+    // then keeps merging) — and billing stays codegen'd end to end
+    val shallowLit = org.apache.spark.sql.functions.typedLit(
+      dist.map(t => t._2 + BpeCodec.Sep + t._3))
+    val d = Tables.documents(spark, sfDir)
+    val cmp = d.select(
+        coalesce(call_function("bpe_count_with", col("text"), shallowLit), lit(0L))
+          .as("shallow"),
+        coalesce(call_function("bpe_count_with", col("text"), loadedLit), lit(0L))
+          .as("deep"))
+      .agg(sum("shallow").as("s"), sum("deep").as("dp")).collect()(0)
+    assert(cmp.getLong(1) <= cmp.getLong(0),
+      "extending the merge table must never increase token counts")
+    assert(cmp.getLong(1) > 0L)
+  }
+
   test("q140 plans the native bpe_count (no interpreted HOF on the scan)") {
     val plan = Bpe.q140BpeCount(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("bpe_count"), "q140 lost the native bpe_count projection")
