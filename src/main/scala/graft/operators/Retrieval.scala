@@ -137,50 +137,102 @@ object Retrieval {
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Published-layout dials: postings partition on
+    * tb = pmod(md5_long(term), TermBuckets) and per-doc lengths on
+    * db = pmod(doc_id, DocBuckets), so (a) a query's candidate read is
+    * PARTITION-pruned before the in-partition term sort prunes row
+    * groups, and (b) append/delete rewrite only the touched partition
+    * directories — the PqIndex cell discipline applied to the inverted
+    * index (r15 verdict next-round #2).
+    */
+  val TermBuckets = 64
+  val DocBuckets = 64
+
+  /** Driver-side twin of the tb column (same md5_long bytes — the
+    * serve path maps its request vocabulary to partition ids with it).
+    */
+  private[graft] def termBucketOf(term: String): Int =
+    java.lang.Math.floorMod(
+      graft.functions.Md5LongExprs.md5Long(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term)),
+      TermBuckets.toLong).toInt
+
+  private def termBucketCol: org.apache.spark.sql.Column =
+    pmod(graft.functions.TextFunctions.md5Long(col("term")),
+      lit(TermBuckets.toLong)).cast(IntegerType)
+
+  private def docBucketCol: org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(DocBuckets.toLong)).cast(IntegerType)
+
   /** The published inverted index (T50's serving artifact): full
-    * postings + per-term df + per-doc lengths + the two corpus
-    * scalars. At 100 TB the postings land TERM-BUCKETED (S17's
-    * bucketBy surface) so a query's candidate read is co-located;
-    * here they publish as plain parquet and the query-time prune stays
-    * the broadcast semi join on the query vocabulary.
+    * postings (dl denormalized in — the serve path never joins the
+    * corpus-sized dl table per request) + per-term df + per-doc
+    * lengths + the exact corpus scalars. `sumDl` is kept as the exact
+    * long so incremental stats updates are integer arithmetic; `avgdl`
+    * derives from it, bit-identical on a fresh build and after any
+    * append/delete chain reaching the same corpus.
     */
   final case class Bm25Index(postings: DataFrame, df: DataFrame,
-      dl: DataFrame, nDocs: Long, avgdl: Double)
+      dl: DataFrame, nDocs: Long, sumDl: Long) {
+    def avgdl: Double = sumDl.toDouble / nDocs
+  }
 
-  /** Fit the index from the corpus — query-agnostic (FULL postings,
-    * unlike q148's in-query pruned tf; the df values agree on every
-    * query term by construction).
+  /** Fit the index from a documents slice — query-agnostic (FULL
+    * postings, unlike q148's in-query pruned tf; the df values agree
+    * on every query term by construction). Also the increment builder:
+    * appendToBm25 runs it over the arriving docs alone.
     */
-  def buildBm25Index(s: SparkSession, dir: String): Bm25Index = {
-    val d = Tables.documents(s, dir)
-    val toks = d.select(col("doc_id"),
+  def buildBm25IndexFrom(docs: DataFrame): Bm25Index = {
+    val toks = docs.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("s")).collect()(0)
-    // dl DENORMALIZED into the postings (standard posting-list
-    // practice): the serve path reads (term, doc, tf, dl) rows and
-    // never joins the corpus-sized dl table per request — RetrProbe at
-    // 5M docs measured that join as the dominant non-constant serve
-    // cost. The dl frame stays in the index for audits.
     Bm25Index(tf.join(dl, Seq("doc_id")), df, dl, st.getLong(0),
-      st.getLong(1).toDouble / st.getLong(0))
+      if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  def buildBm25Index(s: SparkSession, dir: String): Bm25Index =
+    buildBm25IndexFrom(Tables.documents(s, dir))
+
+  private def writeStats(s: SparkSession, nDocs: Long, sumDl: Long,
+      outDir: String): Unit = {
+    import s.implicits._
+    Seq((nDocs, sumDl.toDouble / nDocs, sumDl))
+      .toDF("n_docs", "avgdl", "sum_dl")
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Stage-and-swap rewrite of an UNPARTITIONED index piece (the
+    * vocabulary-sized df table): the new frame may READ the live dir —
+    * it materializes fully into staging before the live dir is
+    * replaced.
+    */
+  private def writeSwapped(s: SparkSession, data: DataFrame,
+      liveDir: String): Unit = {
+    val staging = graft.sources.PartitionSwap.stagingPathFor(liveDir)
+    data.write.mode("overwrite").parquet(staging)
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
   }
 
   def publishBm25(idx: Bm25Index, outDir: String): Unit = {
-    // term-clustered layout: hash terms into files, sort within each,
-    // so a query's literal In(term, ...) filter prunes at the parquet
-    // row-group layer (RetrProbe at 1.5M docs: the unclustered scan
-    // cost the serve path ~10 s of pure postings I/O)
-    idx.postings.repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$outDir/postings")
+    // term-bucketed + term-sorted layout: the tb partition column
+    // prunes whole directories for a request vocabulary, and the
+    // in-partition term sort prunes at the parquet row-group layer
+    // (RetrProbe at 1.5M docs: the unclustered scan cost the serve
+    // path ~10 s of pure postings I/O)
+    idx.postings.withColumn("tb", termBucketCol)
+      .repartition(col("tb")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$outDir/postings")
     idx.df.write.mode("overwrite").parquet(s"$outDir/df")
-    idx.dl.write.mode("overwrite").parquet(s"$outDir/dl")
-    val s = idx.postings.sparkSession
-    import s.implicits._
-    Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
-      .write.mode("overwrite").parquet(s"$outDir/stats")
+    idx.dl.withColumn("db", docBucketCol)
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("db").parquet(s"$outDir/dl")
+    writeStats(idx.postings.sparkSession, idx.nDocs, idx.sumDl, outDir)
   }
 
   def loadBm25(s: SparkSession, outDir: String): Bm25Index = {
@@ -189,7 +241,103 @@ object Retrieval {
       s.read.parquet(s"$outDir/postings"),
       s.read.parquet(s"$outDir/df"),
       s.read.parquet(s"$outDir/dl"),
-      st.getLong(0), st.getDouble(1))
+      st.getLong(0), st.getLong(2))
+  }
+
+  /** Incremental index maintenance (r15 verdict next-round #2 — parity
+    * with PqIndex's append): absorb newly arrived (doc_id, text) rows
+    * into the published index with NO refit and NO rewrite of existing
+    * posting files. tf and dl are doc-local, so the new postings
+    * simply append into their touched tb partitions; the global stats
+    * are updated EXACTLY — df is a vocabulary-sized merge (old + the
+    * increment's per-term doc counts, staged and swapped) and
+    * n_docs/sum_dl are long additions — so append-then-serve is
+    * bit-identical to a fresh publish of the union corpus
+    * (Bm25LifecycleSpec pins it). Caller contract: arriving doc_ids
+    * are new (a re-ingest is delete + append).
+    */
+  def appendToBm25(s: SparkSession, newDocs: DataFrame, outDir: String): Unit = {
+    val inc = buildBm25IndexFrom(newDocs)
+    if (inc.nDocs == 0L) return
+    inc.postings.withColumn("tb", termBucketCol)
+      .repartition(col("tb")).sortWithinPartitions("term")
+      .write.mode("append").partitionBy("tb").parquet(s"$outDir/postings")
+    inc.dl.withColumn("db", docBucketCol)
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("append").partitionBy("db").parquet(s"$outDir/dl")
+    val merged = s.read.parquet(s"$outDir/df")
+      .unionByName(inc.df)
+      .groupBy("term").agg(sum("df").as("df"))
+    writeSwapped(s, merged, s"$outDir/df")
+    val st = s.read.parquet(s"$outDir/stats").collect()(0)
+    writeStats(s, st.getLong(0) + inc.nDocs, st.getLong(2) + inc.sumDl, outDir)
+  }
+
+  /** Incremental deletion (the GDPR path, completing the
+    * build/publish/append/delete lifecycle for the lexical index).
+    * Harder than the PQ delete by construction — one document touches
+    * MANY term partitions and df/n_docs/avgdl are global — and still
+    * surgical: only tb/db partitions containing a victim posting are
+    * rewritten (stage-then-swap; a partition whose every row was a
+    * victim is removed outright), df subtracts the victims' exact
+    * per-term doc counts (terms reaching df=0 drop out), and the
+    * corpus scalars subtract the victims' exact longs. Post-delete
+    * serving is bit-identical to a fresh publish of the survivor
+    * corpus (Bm25LifecycleSpec).
+    */
+  def deleteFromBm25(s: SparkSession, docIds: Seq[Long], outDir: String): Unit = {
+    import s.implicits._
+    if (docIds.isEmpty) return
+    val victims = docIds.distinct.toDF("doc_id")
+    val postings = s.read.parquet(s"$outDir/postings")
+    // victim-derived state BEFORE any rewrite, all bounded: touched
+    // partition ids, the victims' per-term doc counts (bounded by the
+    // victims' vocabulary), and their dl sum
+    val touchedTb = postings.join(broadcast(victims), Seq("doc_id"))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    if (touchedTb.isEmpty) return // no victim has any posting
+    val lostRows = postings.join(broadcast(victims), Seq("doc_id"))
+      .groupBy("term").agg(count(lit(1)).as("lost")).collect()
+    val lost = s.createDataFrame(
+      java.util.Arrays.asList(lostRows: _*),
+      StructType(Seq(StructField("term", StringType),
+        StructField("lost", LongType))))
+    val dl = s.read.parquet(s"$outDir/dl")
+    val victimSt = dl.join(broadcast(victims), Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).collect()(0)
+    val touchedDb = dl.join(broadcast(victims), Seq("doc_id"))
+      .select("db").distinct().collect().map(_.getInt(0)).toSeq
+    val st = s.read.parquet(s"$outDir/stats").collect()(0)
+    require(st.getLong(0) - victimSt.getLong(0) > 0,
+      "deleting every document empties the index — republish instead")
+
+    // postings: survivors of the touched tb partitions, staged + swapped
+    val pStaging = graft.sources.PartitionSwap.stagingPathFor(s"$outDir/postings")
+    postings.filter(col("tb").isin(touchedTb.map(Integer.valueOf): _*))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .repartition(col("tb")).sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("tb").parquet(pStaging)
+    graft.sources.PartitionSwap.swap(s, s"$outDir/postings", pStaging,
+      touchedTb.map(c => s"tb=$c"))
+
+    // dl: same surgical swap on the doc-bucket partitions
+    val dStaging = graft.sources.PartitionSwap.stagingPathFor(s"$outDir/dl")
+    dl.filter(col("db").isin(touchedDb.map(Integer.valueOf): _*))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("db").parquet(dStaging)
+    graft.sources.PartitionSwap.swap(s, s"$outDir/dl", dStaging,
+      touchedDb.map(c => s"db=$c"))
+
+    // df: exact subtraction, zero-df terms drop out of the vocabulary
+    val newDf = s.read.parquet(s"$outDir/df")
+      .join(broadcast(lost), Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("lost"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    writeSwapped(s, newDf, s"$outDir/df")
+
+    writeStats(s, st.getLong(0) - victimSt.getLong(0),
+      st.getLong(2) - victimSt.getLong(1), outDir)
   }
 
   /** Serving-path scorer: BM25 top-k for a batch of (query_id, text)
@@ -218,12 +366,20 @@ object Retrieval {
       .select("query_id", "term")
     // the query vocabulary is REQUEST state (≤ queries·QueryTerms
     // strings): collect it and push a literal In() filter into the
-    // postings scan — on the term-clustered published layout this
-    // prunes at the parquet row-group layer, which a join-side
-    // broadcast prune can never do
+    // postings scan — on the term-sorted published layout this prunes
+    // at the parquet row-group layer, which a join-side broadcast
+    // prune can never do. On the PUBLISHED tb-partitioned layout the
+    // vocabulary's bucket ids additionally prune whole partition
+    // directories before any file is opened (PartitionFilters — the
+    // serve path reads ≤ |vocab| of the TermBuckets directories).
     val vocab = qterms.select("term").distinct().collect().map(_.getString(0))
     val dfq = idx.df.filter(col("term").isin(vocab: _*))
-    val pruned = idx.postings.filter(col("term").isin(vocab: _*))
+    val postingsBase =
+      if (idx.postings.columns.contains("tb")) {
+        val tbs = vocab.map(termBucketOf).distinct.toSeq
+        idx.postings.filter(col("tb").isin(tbs.map(Integer.valueOf): _*))
+      } else idx.postings // an unpublished in-memory index has no tb
+    val pruned = postingsBase.filter(col("term").isin(vocab: _*))
       .join(broadcast(qterms), Seq("term"))
     val candidates =
       if (excludeSelf) pruned.filter(col("doc_id") =!= col("query_id")) else pruned

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage-then-swap for surgical rewrites of a partitioned published
+  * artifact (the discipline Quantize.deleteFromIndex introduced for the
+  * PQ index, shared here for the BM25 index): survivors of the touched
+  * partitions are written to a STAGING dir first — the live artifact is
+  * never read-while-overwritten and a mid-write failure leaves it fully
+  * intact — then each touched partition directory is deleted and its
+  * staged replacement renamed in. A touched partition with no staged
+  * replacement (every row was a victim) simply stays deleted, which is
+  * the correctness half dynamic partition overwrite gets wrong: it
+  * leaves such partitions' files in place and keeps serving deleted
+  * rows. Per-partition delete+rename is atomic on HDFS/local; a crash
+  * between partitions leaves the remaining staged dirs recoverable in
+  * the staging dir rather than a half-written live partition.
+  */
+object PartitionSwap {
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  /** `liveDir` is the partitioned artifact root; `stagingDir` holds the
+    * freshly-written survivor partitions (same partitionBy layout);
+    * `partDirNames` are the touched partition dir names ("tb=3"). The
+    * staging dir is removed after the swap.
+    */
+  def swap(s: SparkSession, liveDir: String, stagingDir: String,
+      partDirNames: Seq[String]): Unit = {
+    val live = new HPath(liveDir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new HPath(stagingDir)
+    partDirNames.foreach { name =>
+      val dst = new HPath(live, name)
+      fs.delete(dst, true)
+      val src = new HPath(staging, name)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** A fresh staging path beside the live dir (same filesystem, so the
+    * swap's renames are metadata ops, never copies).
+    */
+  def stagingPathFor(liveDir: String): String = {
+    val live = new HPath(liveDir)
+    new HPath(live.getParent,
+      s".${live.getName}-staging-${java.util.UUID.randomUUID}").toString
+  }
+}

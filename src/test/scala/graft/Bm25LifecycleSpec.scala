@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** T50's index lifecycle (r15 verdict next-round #2 — PqIndex parity):
+  * the published BM25 index absorbs ingest and deletes with exact
+  * global-stat updates. The contracts are strict equalities against a
+  * fresh publish — doc-local tf/dl make append exact by construction,
+  * and the df/sum_dl updates are integer arithmetic, so nothing is
+  * approximate.
+  */
+class Bm25LifecycleSpec extends GraftSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def docs = Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text"))
+
+  private def queries = Tables.documents(spark, sfDir)
+    .filter(col("doc_id") < Retrieval.NumQueries)
+    .select(col("doc_id").as("query_id"), col("text"))
+
+  private def serveRows(idx: Retrieval.Bm25Index) =
+    Retrieval.scoreQueries(queries, idx)
+      .select("query_id", "rk", "doc_id", "score_u", "n_terms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  private def pieces(dir: String) = (
+    spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "term", "tf", "dl", "tb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet,
+    spark.read.parquet(s"$dir/df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet,
+    spark.read.parquet(s"$dir/dl").select("doc_id", "dl", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet,
+    spark.read.parquet(s"$dir/stats").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet)
+
+  test("append-then-serve is bit-identical to a fresh publish of the union") {
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+
+    val incrDir = tmp("bm25_incr")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(base), incrDir)
+    Retrieval.appendToBm25(spark, arrivals, incrDir)
+
+    val freshDir = tmp("bm25_fresh")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), freshDir)
+
+    val (ip, idf, idl, ist) = pieces(incrDir)
+    val (fp, fdf, fdl, fst) = pieces(freshDir)
+    assert(ip === fp, "postings after append must equal the union build")
+    assert(idf === fdf, "per-term df must update exactly")
+    assert(idl === fdl, "dl rows must update exactly")
+    assert(ist === fst, "n_docs/avgdl/sum_dl must update exactly")
+    assert(serveRows(Retrieval.loadBm25(spark, incrDir)) ===
+      serveRows(Retrieval.loadBm25(spark, freshDir)),
+      "append-then-serve must equal fresh-publish serve")
+  }
+
+  test("delete-then-serve is bit-identical to a fresh publish of the survivors") {
+    val victims = docs.filter(col("doc_id") >= 20 && col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    val survivors = docs.filter(!col("doc_id").isin(victims: _*))
+
+    val delDir = tmp("bm25_del")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), delDir)
+    // pin an untouched tb partition's files across the delete
+    val touched = spark.read.parquet(s"$delDir/postings")
+      .filter(col("doc_id").isin(victims.map(Long.box): _*))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSet
+    val untouchedTb = (0 until Retrieval.TermBuckets)
+      .find(t => !touched.contains(t) &&
+        new java.io.File(s"$delDir/postings/tb=$t").exists())
+    def files(t: Int) = new java.io.File(s"$delDir/postings/tb=$t")
+      .listFiles().map(f => (f.getName, f.lastModified())).sortBy(_._1).toSeq
+    val before = untouchedTb.map(files)
+
+    Retrieval.deleteFromBm25(spark, victims, delDir)
+    untouchedTb.foreach(t => assert(files(t) === before.get,
+      "an untouched tb partition must not be rewritten"))
+
+    val freshDir = tmp("bm25_surv")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(survivors), freshDir)
+    val (dp, ddf, ddl, dst) = pieces(delDir)
+    val (sp2, sdf, sdl, sst) = pieces(freshDir)
+    assert(dp === sp2, "surviving postings must equal the survivor build")
+    assert(ddf === sdf,
+      "df must subtract the victims' exact per-term doc counts")
+    assert(ddl === sdl)
+    assert(dst === sst, "n_docs/avgdl/sum_dl must subtract exactly")
+    assert(serveRows(Retrieval.loadBm25(spark, delDir)) ===
+      serveRows(Retrieval.loadBm25(spark, freshDir)),
+      "post-delete rankings must equal the survivor-set serve")
+  }
+
+  test("a fully-victimized tb partition is removed outright") {
+    val sp = spark
+    import sp.implicits._
+    // crafted corpus: pick a word whose bucket no other corpus term
+    // shares, so deleting its only document must EMPTY that partition
+    val words = Seq("zzzuniq", "qqq", "aaa", "bbb")
+    val buckets = words.map(w => w -> Retrieval.termBucketOf(w)).toMap
+    assume(words.count(w => buckets(w) == buckets("zzzuniq")) == 1,
+      s"fixture bucket collision: $buckets")
+    val tiny = Seq((1L, "zzzuniq zzzuniq"), (2L, "qqq aaa"), (3L, "qqq bbb"))
+      .toDF("doc_id", "text")
+    val dir = tmp("bm25_empty")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(tiny), dir)
+    val tb = buckets("zzzuniq")
+    assert(new java.io.File(s"$dir/postings/tb=$tb").exists())
+    Retrieval.deleteFromBm25(spark, Seq(1L), dir)
+    assert(!new java.io.File(s"$dir/postings/tb=$tb").exists(),
+      "a partition whose every posting was a victim must be gone")
+    // the deleted doc's vocabulary left the df table entirely
+    val dfTerms = spark.read.parquet(s"$dir/df").collect()
+      .map(_.getString(0)).toSet
+    assert(!dfTerms.contains("zzzuniq"), "df must drop zero-df terms")
+    assert(dfTerms === Set("qqq", "aaa", "bbb"))
+    val st = spark.read.parquet(s"$dir/stats").collect()(0)
+    assert(st.getLong(0) === 2L && st.getLong(2) === 4L,
+      "stats must subtract the victim's exact counts")
+    // no staging leftovers anywhere in the index
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("-staging-")))
+  }
+
+  test("published serve plan partition-prunes postings on the tb buckets") {
+    val dir = tmp("bm25_prune")
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), dir)
+    val idx = Retrieval.loadBm25(spark, dir)
+    val plan = Retrieval.scoreQueries(queries, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      s"serve scan must carry a tb partition filter:\n$plan")
+  }
+}
