@@ -592,8 +592,15 @@ object Quantize {
     * expression — one codegen'd call per (probe, routed cell) instead
     * of q147's explode + keyed collect_list, so a serving request
     * never shuffles. Runs per micro-batch under PqServe.serve.
+    *
+    * `excludeSelf` defaults TRUE (the T6 convention: probes are corpus
+    * vectors, batch parity with q147 needs the self drop); a serving
+    * deployment whose probe_ids are request identifiers outside the
+    * vec_id space passes false so an id collision cannot lose a
+    * corpus vector (the scoreQueries discipline).
     */
-  def probeTopK(probes: DataFrame, idx: PqIndex): DataFrame = {
+  def probeTopK(probes: DataFrame, idx: PqIndex,
+      excludeSelf: Boolean = true): DataFrame = {
     val wc = Window.partitionBy("probe_id").orderBy(asc("cd2"), asc("cell"))
     val routed = probes.join(broadcast(idx.coarse), lit(true))
       .withColumn("cd2",
@@ -607,8 +614,10 @@ object Quantize {
           call_function("vec_sub", col("pvec"), col("ccent")),
           lit(idx.book), lit(Array(PqM, PqK, PqD))).as("lut"))
     val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
-    idx.codes.join(broadcast(routed),
-        col("cell") === col("lcell") && col("vec_id") =!= col("probe_id"))
+    val joinCond =
+      if (excludeSelf) col("cell") === col("lcell") && col("vec_id") =!= col("probe_id")
+      else col("cell") === col("lcell")
+    idx.codes.join(broadcast(routed), joinCond)
       .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
         lit(Array(PqM, PqK))))
       .withColumn("rk", row_number().over(w).cast(LongType))

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Quantize, Retrieval}
+
+/** T51's serving capstone (r15 verdict next-round #3): hybrid search
+  * answered per request from the TWO published indexes — each arriving
+  * (query_id, text, pvec) request is BM25-scored against the published
+  * inverted index (Retrieval.loadBm25), ANN-scored against the
+  * published IVFADC index (Quantize.loadIndex), and the two rank lists
+  * fuse through the same retriever-agnostic `fuseRrf` that q149's
+  * oracle-checked batch fusion runs. q149 fuses two self-contained
+  * batch queries; this is the production shape — fit once, publish
+  * both artifacts, fuse in rank space per micro-batch, no score
+  * calibration across retrievers (Cormack et al., SIGIR 2009).
+  *
+  * Stateless per-request computation like Bm25Serve/PqServe: no
+  * watermark, no state; each micro-batch's fused top-k lands in the
+  * sink within its own batch. HybridServeSpec proves streamed fused
+  * rows equal the batch composition bit-for-bit across a batch split.
+  *
+  * Scale shape per batch: the BM25 side reads ≤ |vocab| of the
+  * TermBuckets posting partitions (tb partition pruning + in-file term
+  * sort); the ANN side reads nprobe cells of the cell-partitioned
+  * codes; both broadcast only request-sized state. The fusion's
+  * full-outer join runs over two ≤ requests·TopK rank lists — floor
+  * cost at any corpus size.
+  */
+object HybridServe {
+
+  /** The batch composition (also the spec's ground truth): fused top-k
+    * for a static (query_id, text, pvec) request frame. `excludeSelf`
+    * applies to BOTH retrievers symmetrically — false for production
+    * request ids, true when requests are corpus docs (the parity
+    * convention).
+    */
+  def fused(requests: DataFrame, lex: Retrieval.Bm25Index,
+      sem: Quantize.PqIndex, excludeSelf: Boolean = false): DataFrame =
+    Retrieval.fuseRrf(
+      Retrieval.scoreQueries(requests.select("query_id", "text"), lex, excludeSelf)
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          col("rk").as("rk_lex")),
+      Quantize.probeTopK(
+        requests.select(col("query_id").as("probe_id"), col("pvec")),
+        sem, excludeSelf)
+        .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"),
+          col("rk").as("rk_sem")))
+
+  def serve(arrivals: DataFrame, lex: Retrieval.Bm25Index,
+      sem: Quantize.PqIndex, sinkDir: String,
+      excludeSelf: Boolean = false): StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        fused(batch, lex, sem, excludeSelf)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+}
