@@ -14,21 +14,30 @@ package graft
   * that rule AT the rung where it starts to matter, so the guidance
   * ships with a number instead of prose.
   *
-  * Usage: runMain graft.PostingProbe <sfDir> <partitions> [reps]
+  * `auto` as the partitions arg exercises the r16 input-size rule
+  * (GraftSession.maybeAutoShuffle — spark.graft.autoShufflePartitions):
+  * the probe then reports the value the rule derived.
+  *
+  * Usage: runMain graft.PostingProbe <sfDir> <partitions|auto> [reps]
   */
 object PostingProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val parts =
-      try args(1).toInt
-      catch {
-        case _: NumberFormatException =>
-          sys.error(s"usage: PostingProbe <sfDir> <partitions:int> [reps] — got '${args(1)}'")
-      }
+    val auto = args(1).equalsIgnoreCase("auto")
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession(s"local[$cpus]", cpus)
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    val parts =
+      if (auto) {
+        spark.conf.set("spark.graft.autoShufflePartitions", "true")
+        GraftSession.deriveShufflePartitions(
+          GraftSession.scanBytes(spark, s"$dir/documents.parquet"), cpus)
+      } else try args(1).toInt
+      catch {
+        case _: NumberFormatException =>
+          sys.error(s"usage: PostingProbe <sfDir> <partitions:int|auto> [reps] — got '${args(1)}'")
+      }
+    if (!auto) spark.conf.set("spark.sql.shuffle.partitions", parts)
 
     def passes(fn: () => Long): Seq[Double] =
       (1 to reps).map { _ =>

@@ -84,8 +84,13 @@ object Dedup {
       .select(col("d1"), col("d2"), col("n_inter"), col("n1"), col("n2"), col("jaccard"))
   }
 
-  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame =
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // the engine's declared-inherent exchange (shingle postings):
+    // consult the input-size rule when the session opts in (r15's
+    // measured 96-partition floor at the 5M-doc rung, made executable)
+    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
     jaccardPairs(s, dir).orderBy("d1", "d2")
+  }
 
   val q41Sql: String = {
     val sh3 = TextFunctions.shinglesSql3("text")
@@ -365,8 +370,10 @@ object Dedup {
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     resolveClusters(jaccardPairs(s, dir).select("d1", "d2"))
 
-  def q55DupClusters(s: SparkSession, dir: String): DataFrame =
+  def q55DupClusters(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
     dupClusters(s, dir).orderBy("cluster_id", "doc_id")
+  }
 
   val q55Sql: String =
     s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($q41Sql)),

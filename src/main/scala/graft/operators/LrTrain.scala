@@ -95,19 +95,66 @@ object LrTrain {
     * MEASURED r15 (BENCH_R15_FLIP.json): the crossover is real and
     * sits between 500k docs (xdb 24M rows — a statistical wash) and
     * 1.5M docs (xdb 75M rows — co-partitioned q129 wins 2.1x, steady
-    * 25.0 s vs 53.3 baseline). Guidance: set
-    * `spark.graft.lr.coPartition=true` once the per-doc token frame
-    * passes ~50M rows (≈1M docs at this corpus shape); below that,
-    * leave the default — AQE's runtime broadcasts are faster. q135's
-    * balanced variant flips later (its extra per-class reweight passes
-    * amortize the broadcast differently; still marginally baseline at
-    * 1.5M docs).
+    * 25.0 s vs 53.3 baseline). r16 wires that measurement as
+    * `spark.graft.lr.coPartition=auto` (r15 verdict item 5): auto
+    * materializes the token frame once, reads its row count off the
+    * checkpoint (a metadata-cheap count, no extra corpus pass), and
+    * flips to doc_id hash partitioning at `spark.graft.lr.copartRows`
+    * (default 50M — the measured crossover; ≈1M docs at this corpus
+    * shape). Explicit true/false keep their r14 semantics; weights are
+    * BIT-IDENTICAL under every mode (partitioning never touches the
+    * integer GD arithmetic — spec-pinned), so the dial is purely a
+    * plan-shape choice.
     */
-  def CoPartition(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.lr.coPartition").exists(_.trim.toBoolean)
+  private[graft] def coPartMode(s: SparkSession): String =
+    s.conf.getOption("spark.graft.lr.coPartition")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).getOrElse("false")
 
-  private def maybeCoPartition(df: DataFrame): DataFrame =
-    if (CoPartition(df.sparkSession)) df.repartition(col("doc_id")) else df
+  def CopartRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.lr.copartRows").map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        sys.error(s"spark.graft.lr.copartRows must be a long, got '$v'") }
+    }.getOrElse(50000000L)
+
+  /** The auto decision, exposed for the spec. */
+  private[graft] def coPartDecided(s: SparkSession, xdbRows: => Long): Boolean =
+    coPartMode(s) match {
+      case "auto" => xdbRows >= CopartRows(s)
+      case m => m.toBoolean
+    }
+
+  /** Test seam: the decision the last training materialization took. */
+  private[graft] val lastCoPartDecision =
+    new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
+
+  /** Materialize the two per-doc training frames under the co-partition
+    * decision. Explicit modes repartition before the (single)
+    * checkpoint as before; `auto` checkpoints the token frame first,
+    * decides on its materialized row count, and only then pays the
+    * repartition+rewrite — so the extra materialization exists only on
+    * the flip path, where the 2.1x iteration win repays it Iters times.
+    */
+  private def checkpointPair(xdbPlan: DataFrame,
+      labelsPlan: DataFrame): (DataFrame, DataFrame) = {
+    val s = xdbPlan.sparkSession
+    val (xdb, labels, decision) = coPartMode(s) match {
+      case "auto" =>
+        val raw = xdbPlan.localCheckpoint()
+        if (raw.count() >= CopartRows(s)) {
+          val x = raw.repartition(col("doc_id")).localCheckpoint()
+          freeCheckpoint(raw)
+          (x, labelsPlan.repartition(col("doc_id")).localCheckpoint(), true)
+        } else (raw, labelsPlan.localCheckpoint(), false)
+      case m if m.toBoolean =>
+        (xdbPlan.repartition(col("doc_id")).localCheckpoint(),
+          labelsPlan.repartition(col("doc_id")).localCheckpoint(), true)
+      case _ =>
+        (xdbPlan.localCheckpoint(), labelsPlan.localCheckpoint(), false)
+    }
+    lastCoPartDecision.set(Some(decision))
+    (xdb, labels)
+  }
 
   /** Ambient resolution — the oracleSql boundary only (see above). */
   private def ambient: Option[SparkSession] =
@@ -297,14 +344,13 @@ object LrTrain {
     // later w so iteration 1's broadcast sees its actual KB size (see
     // asLocal's note — its origin estimate is an aggregate-derived
     // product).
-    val xdb = maybeCoPartition(docTokFrom(docs)
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
-      .localCheckpoint()
     // the label frame is joined EVERY iteration — checkpoint it once
     // (r11: the lazy form re-scanned the documents parquet per
     // iteration; at 100 TB that is Iters extra corpus scans for a
     // 2-column frame)
-    val labels = maybeCoPartition(docLabelsFrom(docs)).localCheckpoint()
+    val (xdb, labels) = checkpointPair(
+      docTokFrom(docs).groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")),
+      docLabelsFrom(docs))
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val w0 = asLocal(xdb.select("bucket").distinct()
       .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
@@ -383,12 +429,11 @@ object LrTrain {
     * docWeightPathFrom).
     */
   private[graft] def trainedDocWeightsBalancedFrom(docs: DataFrame): DataFrame = {
-    val xdb = maybeCoPartition(docTokFrom(docs)
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")))
-      .localCheckpoint()
     // checkpointed for the same per-iteration reason as the plain path
     // — doubly so here, because the class-count frame derives from it
-    val labels = maybeCoPartition(docLabelsFrom(docs)).localCheckpoint()
+    val (xdb, labels) = checkpointPair(
+      docTokFrom(docs).groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")),
+      docLabelsFrom(docs))
     val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
     val ncAggs = (0 until Classes).map(c =>
       sum(when(col("y_cls") === c, 1L).otherwise(0L)).as(s"nc$c"))
@@ -730,6 +775,8 @@ object LrTrain {
     "doc_lr80" -> "documents", "doc_lr80_wide" -> "documents",
     "doc_lr_bal" -> "documents",
     "doc_lr_bal80" -> "documents", "doc_lr_bal80_wide" -> "documents",
+    "doc_svc" -> "documents", "doc_svc80" -> "documents",
+    "doc_svc80_wide" -> "documents",
     "side_lr" -> "lineitem", "side_lr_wide" -> "lineitem")
 
   /** The cache keys the CURRENT session would use for every model the
@@ -908,6 +955,122 @@ object LrTrain {
       .withColumn("w", round(col("w_micros").cast(DoubleType) / lit(1000000.0), 6))
       .select("cls", "bucket", "w_micros", "w")
       .orderBy("cls", "bucket")
+
+  // --- LinearSVC twin (r15 verdict item 7) ------------------------------
+  // The reference's mlClassification.ipynb trains a SECOND model family
+  // beside the logistic regression: sklearn's LinearSVC
+  // (`asset_svc_mdl_v1.joblib` in trained_models/) — the one reference
+  // computation with no engine twin at the r15 bar. Engine twin:
+  // one-vs-rest linear SVM fit by full-batch SUBGRADIENT descent on
+  // hinge loss — the same two-keyed-shuffles-per-iteration machinery as
+  // the LR loop with the sigmoid residual swapped for the hinge
+  // subgradient, in EXACT integers end to end (not even LR's sigmoid
+  // float exposure — the violation test and the residual are pure long
+  // arithmetic, so the DuckDB twin replays bit-for-bit trivially):
+  //   y_dc  = +1 if y_d == c else −1
+  //   violated:  y_dc · m_dc < 1     (micros: ySign · m_micros < 1e6)
+  //   r_dc  = −y_dc · 1e6 when violated else 0
+  //   G_cb  = Σ_d r_dc · x_db ;  w ← w − G // (n · LrDen)
+  // The unregularized subgradient form (the notebook's C only scales
+  // the hinge term against an L2 penalty; at 3 full-batch rounds the
+  // penalty's shrinkage is sub-quantization here, and the oracle
+  // contract wants the integer-exact loop, not an approximation).
+
+  private def svcResidMicros(mMicros: Column, ySign: Column): Column =
+    when(ySign * mMicros < lit(1000000L), -ySign * lit(1000000L))
+      .otherwise(lit(0L))
+
+  private def gdStepSvc(xdb: DataFrame, labels: DataFrame, nDf: DataFrame,
+      w: DataFrame, lrDen: Long): DataFrame = {
+    val mAggs = (0 until Classes).map(c => sum(col("x") * col(s"w$c")).as(s"m$c"))
+    val m = xdb.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(mAggs.head, mAggs.tail: _*)
+    val r = m.join(labels, Seq("doc_id"))
+      .select(col("doc_id") +: (0 until Classes).map(c =>
+        svcResidMicros(col(s"m$c"),
+          when(col("y_cls") === c, 1L).otherwise(-1L)).as(s"r$c")): _*)
+    val gAggs = (0 until Classes).map(c => sum(col(s"r$c") * col("x")).as(s"g$c"))
+    val g = r.join(xdb, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(gAggs.head, gAggs.tail: _*)
+    val gn = g.crossJoin(broadcast(nDf))
+    asLocal(w.join(gn, Seq("bucket"))
+      .select(col("bucket") +: (0 until Classes).map(c =>
+        (col(s"w$c") - truncDivPos(col(s"g$c"), col("n") * lit(lrDen))).as(s"w$c")): _*))
+  }
+
+  /** Hinge GD over an arbitrary documents slice — q151 passes the
+    * whole table; the held-out spec passes the 80% trainFilter slice.
+    * Same persist-once scaffold (and co-partition dial) as the LR
+    * paths.
+    */
+  private[graft] def trainedSvcWeightsFrom(docs: DataFrame): DataFrame = {
+    val (xdb, labels) = checkpointPair(
+      docTokFrom(docs).groupBy("doc_id", "bucket").agg(count(lit(1)).as("x")),
+      docLabelsFrom(docs))
+    val nDf = xdb.agg(countDistinct(col("doc_id")).as("n"))
+    val w0 = asLocal(xdb.select("bucket").distinct()
+      .select(col("bucket") +: (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    val sess = docs.sparkSession
+    val w = toLong(
+      Iterator.iterate(w0)(w => gdStepSvc(xdb, labels, nDf, w, LrDen(sess)))
+        .drop(Iters(sess)).next(),
+      Seq.empty)
+    freeCheckpoint(xdb); freeCheckpoint(labels)
+    w
+  }
+
+  private[graft] def trainedSvcWeights(s: SparkSession, dir: String): DataFrame =
+    trainedSvcWeightsFrom(Tables.documents(s, dir))
+
+  /** The 80%-slice SVC model for the held-out comparison beside
+    * q133's LR accuracy (same split, same leak-free-by-construction
+    * slice discipline).
+    */
+  private[graft] def trainedSvcWeights80(s: SparkSession, dir: String): DataFrame =
+    trainedSvcWeightsFrom(Tables.documents(s, dir).filter(trainFilter))
+
+  /** The SVC models as registry artifacts, keyed like the LR fits. */
+  def svcWeights(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_svc")(trainedSvcWeights(s, dir))
+
+  def svcWeights80(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_svc80")(trainedSvcWeights80(s, dir))
+
+  def svcWeights80Wide(s: SparkSession, dir: String): DataFrame =
+    cachedModel(s, dir, "documents", "doc_svc80_wide")(
+      pivotWide(s, svcWeights80(s, dir), Seq.empty))
+
+  /** q151: the trained hinge-loss matrix (q129's output shape). */
+  def q151SvcTrain(s: SparkSession, dir: String): DataFrame =
+    trainedSvcWeights(s, dir)
+      .withColumn("w", round(col("w_micros").cast(DoubleType) / lit(1000000.0), 6))
+      .select("cls", "bucket", "w_micros", "w")
+      .orderBy("cls", "bucket")
+
+  private def svcIterCte(t: Int): String =
+    s"""vm$t AS (
+       | SELECT t.doc_id, w.cls, SUM(w.w) AS m
+       | FROM tok t JOIN vw${t - 1} w USING (bucket) GROUP BY 1, 2),
+       |vr$t AS (
+       | SELECT m.doc_id, m.cls,
+       |  CASE WHEN (CASE WHEN l.y_cls = m.cls THEN 1 ELSE -1 END) * m.m < 1000000
+       |   THEN -(CASE WHEN l.y_cls = m.cls THEN 1 ELSE -1 END) * 1000000
+       |   ELSE 0 END AS r
+       | FROM vm$t m JOIN lab l USING (doc_id)),
+       |vg$t AS (
+       | SELECT r.cls, x.bucket, SUM(r.r * x.x) AS g
+       | FROM vr$t r JOIN xdb x USING (doc_id) GROUP BY 1, 2),
+       |vw$t AS (
+       | SELECT w.cls, w.bucket, w.w - (g.g // ((SELECT n FROM nn) * $LrDen)) AS w
+       | FROM vw${t - 1} w JOIN vg$t g USING (cls, bucket))""".stripMargin
+
+  def q151Sql: String =
+    s"""WITH ${docBaseCtesFor("SELECT * FROM documents")},
+       |vw0 AS (SELECT cls, bucket, w FROM w0),
+       |${(1 to Iters).map(svcIterCte).mkString(",\n")}
+       |SELECT cls, bucket, CAST(w AS BIGINT) AS w_micros,
+       | ROUND(CAST(w AS DOUBLE)/1000000.0, 6) AS w
+       |FROM vw$Iters ORDER BY cls, bucket""".stripMargin
 
   // --- oracle twins -----------------------------------------------------
 
