@@ -52,7 +52,7 @@ class Round14OpsSpec extends GraftSpec {
     }
   }
 
-  test("pruneArtifacts keeps every servable model: all nine accessors survive a prune") {
+  test("pruneArtifacts keeps every servable model: all twelve accessors survive a prune") {
     val dir = freshDir()
     try withRegistry(dir.toString) {
       // every accessor the registry serves — the r13 bug was exactly a
@@ -67,6 +67,9 @@ class Round14OpsSpec extends GraftSpec {
         LrTrain.docWeightsBalanced80Wide(spark, sfDir).count()
         LrTrain.sideWeights(spark, sfDir).count()
         LrTrain.sideWeightsWide(spark, sfDir).count()
+        LrTrain.svcWeights(spark, sfDir).count()
+        LrTrain.svcWeights80(spark, sfDir).count()
+        LrTrain.svcWeights80Wide(spark, sfDir).count()
       }
       touchAll()
       val arts = LrTrain.listArtifacts(spark)
