@@ -20,6 +20,40 @@ object TopKAgg {
   private def ord: Ordering[(Double, Long)] =
     Ordering.by { case (v, id) => (-v, id) }
 
+  /** Bounded top-k of scored candidates for the SERVE ranking paths
+    * (r16): input (score_u, cand_id, payload) longs, ordered
+    * (score_u DESC, cand_id ASC) — exactly the retrieval tie-break.
+    * Replaces the per-query row_number window in
+    * Retrieval.scoreQueries: the window shape repartitions EVERY
+    * scored (query, doc) pair to one task per query and sorts millions
+    * of rows there (measured at the 5M-doc rung: the ranking stage,
+    * not the pruned scan, dominated the serve floor); this aggregate
+    * reduces each partition to ≤ k rows map-side, so the final
+    * per-query shuffle carries ≤ k·partitions rows total. Ties break
+    * on the unique cand_id, so partial-merge order can never change
+    * the result (the Top3 discipline) — the serve-equals-batch parity
+    * spec pins bit-equality against the window form.
+    */
+  final class ScoredTopK(k: Int)
+      extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)],
+        Seq[(Long, Long, Long)]] {
+    private def ordK: Ordering[(Long, Long, Long)] =
+      Ordering.by { case (s, id, _) => (-s, id) }
+    override def zero: Seq[(Long, Long, Long)] = Nil
+    override def reduce(b: Seq[(Long, Long, Long)],
+        a: (Long, Long, Long)): Seq[(Long, Long, Long)] =
+      if (b.size >= k && ordK.gteq(a, b.last)) b
+      else ((a +: b).sorted(ordK)).take(k)
+    override def merge(b1: Seq[(Long, Long, Long)],
+        b2: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      (b1 ++ b2).sorted(ordK).take(k)
+    override def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  }
+
   /** input (value, id) → state: ≤ K best pairs, kept sorted. */
   object Top3 extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Double]] {
     override def zero: Seq[(Double, Long)] = Nil

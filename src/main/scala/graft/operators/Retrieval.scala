@@ -148,6 +148,19 @@ object Retrieval {
   val TermBuckets = 64
   val DocBuckets = 64
 
+  /** Parquet row-group size for the published postings. The default
+    * 128 MB block leaves each tb file as ONE row group, which makes
+    * the in-file term sort unprunable — the serve scan read every
+    * matched bucket wholesale (measured at the 5M-doc rung: 13.8 s
+    * serve floor vs r15's 3.6 s flat-layout floor). 4 MB groups give a
+    * ~15-term bucket ~5 term-ranged groups, so the literal In() skips
+    * to just the query terms' groups — the row-group layer doing for
+    * terms what the tb layer does for buckets. Small groups cost a few
+    * % on scan-everything reads of the postings, which only the
+    * (rebuild-class) full-index audits do.
+    */
+  val PostingsRowGroupBytes: Long = 4L * 1024 * 1024
+
   /** Driver-side twin of the tb column (same md5_long bytes — the
     * serve path maps its request vocabulary to partition ids with it).
     */
@@ -227,7 +240,9 @@ object Retrieval {
     // path ~10 s of pure postings I/O)
     idx.postings.withColumn("tb", termBucketCol)
       .repartition(col("tb")).sortWithinPartitions("term")
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$outDir/postings")
+      .write.mode("overwrite").partitionBy("tb")
+      .option("parquet.block.size", PostingsRowGroupBytes.toString)
+      .parquet(s"$outDir/postings")
     idx.df.write.mode("overwrite").parquet(s"$outDir/df")
     idx.dl.withColumn("db", docBucketCol)
       .repartition(col("db")).sortWithinPartitions("doc_id")
@@ -261,7 +276,9 @@ object Retrieval {
     if (inc.nDocs == 0L) return
     inc.postings.withColumn("tb", termBucketCol)
       .repartition(col("tb")).sortWithinPartitions("term")
-      .write.mode("append").partitionBy("tb").parquet(s"$outDir/postings")
+      .write.mode("append").partitionBy("tb")
+      .option("parquet.block.size", PostingsRowGroupBytes.toString)
+      .parquet(s"$outDir/postings")
     inc.dl.withColumn("db", docBucketCol)
       .repartition(col("db")).sortWithinPartitions("doc_id")
       .write.mode("append").partitionBy("db").parquet(s"$outDir/dl")
@@ -316,7 +333,9 @@ object Retrieval {
     postings.filter(col("tb").isin(touchedTb.map(Integer.valueOf): _*))
       .join(broadcast(victims), Seq("doc_id"), "left_anti")
       .repartition(col("tb")).sortWithinPartitions("term")
-      .write.mode("overwrite").partitionBy("tb").parquet(pStaging)
+      .write.mode("overwrite").partitionBy("tb")
+      .option("parquet.block.size", PostingsRowGroupBytes.toString)
+      .parquet(pStaging)
     graft.sources.PartitionSwap.swap(s, s"$outDir/postings", pStaging,
       touchedTb.map(c => s"tb=$c"))
 
@@ -393,13 +412,27 @@ object Retrieval {
           (col("tf") + lit(K1) *
             (lit(1.0) - lit(B) + lit(B) * col("dl") / lit(idx.avgdl))))
       .withColumn("s_u", round(col("idf") * col("tfn") * lit(1e6), 0).cast(LongType))
-    val w = Window.partitionBy("query_id").orderBy(desc("score_u"), asc("doc_id"))
+    // bounded top-k instead of the batch row_number window (r16): the
+    // window form repartitions EVERY scored (query, doc) pair to one
+    // task per query and sorts there — at the 5M-doc rung the ranking
+    // stage, not the pruned scan, dominated the serve floor. The
+    // mergeable aggregate keeps ≤ TopK rows per partition map-side, so
+    // the per-query shuffle carries ≤ TopK·partitions rows; ordering
+    // (score_u DESC, doc_id ASC) is the identical tie-break, and the
+    // serve-equals-batch spec pins bit-equality against q148's window.
     scored.groupBy("query_id", "doc_id")
       .agg(sum("s_u").as("score_u"), count(lit(1)).as("n_terms"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "rk", "doc_id", "score_u", "n_terms")
+      .groupBy("query_id")
+      .agg(serveTopK(col("score_u"), col("doc_id"), col("n_terms")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast(LongType).as("rk"),
+        col("t._2").as("doc_id"), col("t._1").as("score_u"),
+        col("t._3").as("n_terms"))
   }
+
+  private lazy val serveTopK = udaf(
+    new graft.functions.TopKAgg.ScoredTopK(TopK),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
 
   /** T51: hybrid reciprocal-rank fusion of the BM25 (q148) and
     * semantic (q45 brute cosine — the declared-exact rank list; the
