@@ -134,6 +134,7 @@ object Dedup {
   private def mhB(i: Int): Long = (i * 22801763489L + 1234567891L) % MhMod
 
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
     val d = Tables.documents(s, dir)
     // no distinct needed: the min-fold is duplicate-insensitive, so the
     // signature aggregation runs straight off the explode with map-side

@@ -613,18 +613,33 @@ object Quantize {
         call_function("pq_lut",
           call_function("vec_sub", col("pvec"), col("ccent")),
           lit(idx.book), lit(Array(PqM, PqK, PqD))).as("lut"))
-    val w = Window.partitionBy("probe_id").orderBy(asc("adc_u"), asc("vec_id"))
     val joinCond =
       if (excludeSelf) col("cell") === col("lcell") && col("vec_id") =!= col("probe_id")
       else col("cell") === col("lcell")
+    // bounded top-k instead of the batch row_number window (r16, the
+    // scoreQueries discipline): per-probe candidates are whole routed
+    // CELLS — n/n_cells rows each — and the window form sorted them on
+    // one task per probe. The mergeable aggregate keeps ≤ PqTopK rows
+    // per partition map-side; ordering (adc_u ASC, vec_id ASC) rides
+    // ScoredTopK's (score DESC, id ASC) via negation (adc_u is a
+    // micro-quantized distance ≪ Long.MaxValue, so the negation is
+    // exact). PqServeSpec pins bit-equality against batch q147's
+    // window ranking.
     idx.codes.join(broadcast(routed), joinCond)
       .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
         lit(Array(PqM, PqK))))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= PqTopK)
-      .select(col("probe_id"), col("rk"), col("cell"), col("vec_id"),
-        col("adc_u"))
+      .groupBy("probe_id")
+      .agg(serveTopK(-col("adc_u"), col("vec_id"), col("cell").cast(LongType))
+        .as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("probe_id"), (col("i") + 1).cast(LongType).as("rk"),
+        col("t._3").cast(IntegerType).as("cell"), col("t._2").as("vec_id"),
+        (-col("t._1")).as("adc_u"))
   }
+
+  private lazy val serveTopK = udaf(
+    new graft.functions.TopKAgg.ScoredTopK(PqTopK),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
 
   // T48: int8 scalar-quantization round-trip audit. Exact integer
   // report: per-dim squared reconstruction error quantized ONCE to
