@@ -228,8 +228,14 @@ object Retrieval {
     data.write.mode("overwrite").parquet(staging)
     val live = new org.apache.hadoop.fs.Path(liveDir)
     val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
+    // rename-aside, not delete-then-rename: a crash between the two
+    // renames leaves the previous table recoverable beside the new one
+    // instead of a window where the artifact has NO df table at all
+    val aside = new org.apache.hadoop.fs.Path(
+      live.getParent, s".${live.getName}-replaced-${java.util.UUID.randomUUID}")
+    if (fs.exists(live)) fs.rename(live, aside)
     fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+    fs.delete(aside, true)
   }
 
   def publishBm25(idx: Bm25Index, outDir: String): Unit = {

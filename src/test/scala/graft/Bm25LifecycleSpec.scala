@@ -131,9 +131,10 @@ class Bm25LifecycleSpec extends GraftSpec {
     val st = spark.read.parquet(s"$dir/stats").collect()(0)
     assert(st.getLong(0) === 2L && st.getLong(2) === 4L,
       "stats must subtract the victim's exact counts")
-    // no staging leftovers anywhere in the index
+    // no staging or rename-aside leftovers anywhere in the index
     assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.contains("-staging-")))
+      .exists(f => f.getName.contains("-staging-") ||
+        f.getName.contains("-replaced-")))
   }
 
   test("published serve plan partition-prunes postings on the tb buckets") {
