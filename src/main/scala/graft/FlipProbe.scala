@@ -44,9 +44,18 @@ object FlipProbe {
       val base = passes(q, fn)
       spark.conf.set("spark.graft.lr.coPartition", "true")
       val copart = passes(q, fn)
+      // the r16 auto dial: decide on the materialized token frame's
+      // row count against copartRows (default 50M) — at rungs past
+      // the measured crossover this must pick the copart path
+      spark.conf.set("spark.graft.lr.coPartition", "auto")
+      graft.operators.LrTrain.lastCoPartDecision.set(None)
+      val auto = passes(q, fn)
+      val decision = graft.operators.LrTrain.lastCoPartDecision.get()
       spark.conf.unset("spark.graft.lr.coPartition")
       s""""$q":{"baseline_s":[${base.map(f).mkString(",")}],""" +
-        s""""copartitioned_s":[${copart.map(f).mkString(",")}]}"""
+        s""""copartitioned_s":[${copart.map(f).mkString(",")}],""" +
+        s""""auto_s":[${auto.map(f).mkString(",")}],""" +
+        s""""auto_decision":"${decision.map(_.toString).getOrElse("none")}"}"""
     }
 
     val q129 = runBoth("q129",
