@@ -539,6 +539,28 @@ object Quantize {
       .write.mode("append").partitionBy("cell").parquet(s"$outDir/codes")
   }
 
+  /** Surgical compaction of the published codes (the Bm25 compactBm25
+    * discipline for the vector index): each append lands one fresh
+    * file per touched cell partition; rewrite ONLY the cells holding
+    * more than one file back to a single file each (staged + swapped),
+    * leaving single-file cells byte-untouched. Serving is unchanged by
+    * row-set identity (PqServeSpec). Returns the compacted cell dirs.
+    */
+  def compactIndex(s: SparkSession, outDir: String): Seq[String] = {
+    import graft.sources.PartitionSwap
+    val cells = PartitionSwap.multiFilePartitions(s, s"$outDir/codes")
+    if (cells.nonEmpty) {
+      val vals = cells.map(_.split("=", 2)(1).toInt)
+      val staging = PartitionSwap.stagingPathFor(s"$outDir/codes")
+      s.read.parquet(s"$outDir/codes")
+        .filter(col("cell").isin(vals.map(Integer.valueOf): _*))
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+      PartitionSwap.swap(s, s"$outDir/codes", staging, cells)
+    }
+    cells
+  }
+
   /** Incremental index deletion (the GDPR/right-to-be-forgotten path,
     * completing the build/publish/append/delete lifecycle): remove the
     * given vec_ids from the published codes, rewriting ONLY the cell

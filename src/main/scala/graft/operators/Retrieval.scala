@@ -296,6 +296,45 @@ object Retrieval {
     writeStats(s, st.getLong(0) + inc.nDocs, st.getLong(2) + inc.sumDl, outDir)
   }
 
+  /** Surgical compaction of the published index (the lifecycle's
+    * maintenance leg beside append/delete): every append lands one
+    * fresh file per touched tb/db partition, so after N daily ingests
+    * a serve scan opens N× the files and the per-file term sort no
+    * longer spans the partition (appended files are sorted only within
+    * themselves, diluting row-group pruning). Rewrites ONLY the
+    * partitions holding more than one file — back to one
+    * publish-form sorted file each, same row-group dial, staged and
+    * swapped — and leaves single-file partitions byte-untouched.
+    * Rankings are unchanged by construction (row-set identity,
+    * Bm25LifecycleSpec). Returns the compacted partition dirs.
+    */
+  def compactBm25(s: SparkSession, outDir: String): Seq[String] = {
+    import graft.sources.PartitionSwap
+    val tbs = PartitionSwap.multiFilePartitions(s, s"$outDir/postings")
+    if (tbs.nonEmpty) {
+      val vals = tbs.map(_.split("=", 2)(1).toInt)
+      val staging = PartitionSwap.stagingPathFor(s"$outDir/postings")
+      s.read.parquet(s"$outDir/postings")
+        .filter(col("tb").isin(vals.map(Integer.valueOf): _*))
+        .repartition(col("tb")).sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("tb")
+        .option("parquet.block.size", PostingsRowGroupBytes.toString)
+        .parquet(staging)
+      PartitionSwap.swap(s, s"$outDir/postings", staging, tbs)
+    }
+    val dbs = PartitionSwap.multiFilePartitions(s, s"$outDir/dl")
+    if (dbs.nonEmpty) {
+      val vals = dbs.map(_.split("=", 2)(1).toInt)
+      val staging = PartitionSwap.stagingPathFor(s"$outDir/dl")
+      s.read.parquet(s"$outDir/dl")
+        .filter(col("db").isin(vals.map(Integer.valueOf): _*))
+        .repartition(col("db")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("db").parquet(staging)
+      PartitionSwap.swap(s, s"$outDir/dl", staging, dbs)
+    }
+    tbs ++ dbs
+  }
+
   /** Incremental deletion (the GDPR path, completing the
     * build/publish/append/delete lifecycle for the lexical index).
     * Harder than the PQ delete by construction — one document touches

@@ -47,4 +47,23 @@ object PartitionSwap {
     new HPath(live.getParent,
       s".${live.getName}-staging-${java.util.UUID.randomUUID}").toString
   }
+
+  /** Partition dir names ("tb=3") holding MORE than one parquet file —
+    * the compaction work-list: every append lands a fresh file in each
+    * touched partition, so after N ingests a serve scan opens N× the
+    * files (and each appended file carries its own row groups, diluting
+    * the sorted-file pruning). Single-file partitions are already in
+    * publish form and are never rewritten.
+    */
+  def multiFilePartitions(s: SparkSession, liveDir: String): Seq[String] = {
+    val live = new HPath(liveDir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) Seq.empty
+    else fs.listStatus(live).filter(_.isDirectory)
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) > 1
+      }
+      .map(_.getPath.getName).toSeq.sorted
+  }
 }

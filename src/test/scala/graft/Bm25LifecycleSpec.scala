@@ -137,6 +137,31 @@ class Bm25LifecycleSpec extends GraftSpec {
         f.getName.contains("-replaced-")))
   }
 
+  test("compaction restores publish form after appends; rankings unchanged") {
+    val dir = tmp("bm25_compact")
+    Retrieval.publishBm25(
+      Retrieval.buildBm25IndexFrom(docs.filter(col("doc_id") % 3 === 0)), dir)
+    Retrieval.appendToBm25(spark, docs.filter(col("doc_id") % 3 === 1), dir)
+    Retrieval.appendToBm25(spark, docs.filter(col("doc_id") % 3 === 2), dir)
+    import graft.sources.PartitionSwap
+    assert(PartitionSwap.multiFilePartitions(spark, s"$dir/postings").nonEmpty,
+      "appends must have accreted files for this test to mean anything")
+
+    val beforePieces = pieces(dir)
+    val beforeServe = serveRows(Retrieval.loadBm25(spark, dir))
+    val compacted = Retrieval.compactBm25(spark, dir)
+    assert(compacted.nonEmpty)
+    assert(PartitionSwap.multiFilePartitions(spark, s"$dir/postings").isEmpty,
+      "every postings partition must be back to one publish-form file")
+    assert(PartitionSwap.multiFilePartitions(spark, s"$dir/dl").isEmpty)
+    assert(pieces(dir) === beforePieces,
+      "compaction must not change a single row of any index piece")
+    assert(serveRows(Retrieval.loadBm25(spark, dir)) === beforeServe)
+    // idempotent: publish-form partitions are never rewritten
+    assert(Retrieval.compactBm25(spark, dir).isEmpty,
+      "a second compaction must be a complete no-op")
+  }
+
   test("published serve plan partition-prunes postings on the tb buckets") {
     val dir = tmp("bm25_prune")
     Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), dir)

@@ -238,6 +238,48 @@ class PqServeSpec extends GraftSpec {
       s"expected the coverage assert, got: $err")
   }
 
+  test("code compaction merges appended cell files; untouched cells byte-identical") {
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val out = tmp("pqcompact")
+    Quantize.publishIndex(idx, out)
+    // append a handful of synthetic vectors into ONE existing cell —
+    // exactly one cell partition accretes a second file
+    val cells = idx.coarse.select("cell").collect().map(_.getInt(0)).sorted
+    val target = cells.head
+    val other = cells.last
+    val sp = spark
+    import sp.implicits._
+    val arrivals = (0 until 3).map(i =>
+      (1000000L + i, Seq.fill(Quantize.PqM * Quantize.PqD)(0.25f + i * 0.1f), target))
+      .toDF("vec_id", "embedding", "label")
+    Quantize.appendToIndex(spark, arrivals, out)
+    def files(cell: Int) = new java.io.File(s"$out/codes/cell=$cell")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).sortBy(_._1).toSeq
+    assert(files(target).size > 1, "append must have accreted a file")
+    val untouchedBefore = files(other)
+    val before = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val beforeServe = collectTopk(
+      Quantize.probeTopK(probes, Quantize.loadIndex(spark, out)))
+
+    val compacted = Quantize.compactIndex(spark, out)
+    assert(compacted === Seq(s"cell=$target"),
+      "only the accreted cell may be rewritten")
+    assert(files(target).size === 1, "compaction must restore one file")
+    assert(files(other) === untouchedBefore,
+      "an untouched cell's files must be byte-identical (names + mtimes)")
+    val after = spark.read.parquet(s"$out/codes")
+      .select("vec_id", "cell", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after === before, "compaction must not change the code rows")
+    assert(collectTopk(Quantize.probeTopK(probes, Quantize.loadIndex(spark, out)))
+      === beforeServe)
+    assert(Quantize.compactIndex(spark, out).isEmpty,
+      "a second compaction must be a complete no-op")
+  }
+
   test("streamed serving equals batch q147 across a batch split") {
     val sp = spark
     import sp.implicits._
