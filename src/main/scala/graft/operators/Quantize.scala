@@ -289,21 +289,18 @@ object Quantize {
     * vec_sub — map-side, codegen'd end to end (the zip_with form would
     * be the interpreted HOF defect class InterpretedGuardSpec gates).
     *
-    * Coverage is ASSERTED, not assumed (r15 ADVICE): a label with no
-    * fitted coarse centroid (a rare label absent from the modulo
-    * training sample, or a new label arriving via appendToIndex under
-    * the frozen coarse table) previously vanished through the inner
-    * join — the index silently lost those vectors. The left join +
-    * assert_true raises a per-row error instead; with full coverage
-    * the output is bit-identical to the inner-join form, so the
-    * oracle-checked q147 rows are unchanged.
+    * Coverage (r15 ADVICE — a label with no fitted coarse centroid
+    * silently vanished through this inner join) is ASSERTED at FIT and
+    * APPEND time via [[requireCoverage]], not per row here: the
+    * per-row assert_true form measured 2× on q147 at gen-sf1 (the
+    * non-deterministic error expression blocks filter pushdown and
+    * join narrowing), and the failure can only ever be INTRODUCED at
+    * the two boundaries the checks guard — a fit whose sample missed a
+    * rare label (buildIndex) or a new label arriving under a frozen
+    * coarse table (appendToIndex).
     */
   private[graft] def residualFrame(e: DataFrame, coarse: DataFrame): DataFrame =
-    e.join(broadcast(coarse), col("label") === col("cell"), "left")
-      .filter(assert_true(col("cell").isNotNull,
-        concat(lit("vector label without a fitted coarse centroid (frozen "),
-          lit("coarse table does not cover label="), col("label"), lit(")")))
-        .isNull)
+    e.join(broadcast(coarse), col("label") === col("cell"))
       .select(col("vec_id"), col("cell"),
         call_function("vec_sub", col("embedding"), col("ccent")).as("resid"))
 
@@ -483,9 +480,25 @@ object Quantize {
     * helpers, same expressions): coarse fit, residuals, one Lloyd
     * round per subspace, native residual encode.
     */
+  /** Every label in `vecs` must own a fitted coarse centroid —
+    * otherwise its vectors would silently vanish from the index
+    * through residualFrame's inner join (r15 ADVICE). One tiny
+    * anti-join job over the distinct labels; raised at the boundary
+    * that introduces the gap, never per row.
+    */
+  private def requireCoverage(vecs: DataFrame, coarse: DataFrame): Unit = {
+    val missing = vecs.select("label").distinct()
+      .join(coarse.select("cell"), col("label") === col("cell"), "left_anti")
+      .collect().map(_.get(0))
+    require(missing.isEmpty,
+      s"labels without a fitted coarse centroid: ${missing.mkString(", ")} — " +
+        "refit the coarse table (re-publish) before indexing these vectors")
+  }
+
   def buildIndex(s: SparkSession, dir: String): PqIndex = {
     val e = Tables.embeddings(s, dir)
     val coarse = coarseCells(e)
+    requireCoverage(e, coarse)
     val resid = residualFrame(e, coarse)
     val rsubs = resid.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("resid"))
@@ -532,6 +545,7 @@ object Quantize {
     */
   def appendToIndex(s: SparkSession, newVecs: DataFrame, outDir: String): Unit = {
     val idx = loadIndex(s, outDir)
+    requireCoverage(newVecs, idx.coarse)
     residualFrame(newVecs, idx.coarse)
       .select(col("vec_id"), col("cell"),
         call_function("pq_encode", col("resid"), lit(idx.book),
@@ -650,6 +664,11 @@ object Quantize {
     idx.codes.join(broadcast(routed), joinCond)
       .withColumn("adc_u", call_function("pq_adc", col("code"), col("lut"),
         lit(Array(PqM, PqK))))
+      // a malformed request (null/wrong-length pvec) null-poisons its
+      // lut and every adc_u — drop those candidates instead of feeding
+      // null into the typed top-k (batch probes are corpus vectors, so
+      // this is serve-robustness only: parity rows are all non-null)
+      .filter(col("adc_u").isNotNull)
       .groupBy("probe_id")
       .agg(serveTopK(-col("adc_u"), col("vec_id"), col("cell").cast(LongType))
         .as("top"))
