@@ -113,6 +113,34 @@ object RouteStream {
     RoutedIndex(inCap, reps, bits, nBands, cap, horizon)
   }
 
+  /** Persist the routed index (r16 — the FOURTH learned structure
+    * under the publish discipline, joining the LR registry, PqIndex
+    * and Bm25Index): the in-cap member table (written in its
+    * (band, key) exchange layout — at 100 TB this is the bucketed
+    * published table the scaladoc's map-side-probe claim rides on),
+    * the n/cap-row rep table, and ALL pinned dials (bits/nBands/cap/
+    * horizon) so a serving session reconstructs the exact arrival
+    * contract without re-deriving anything from the corpus or the
+    * ambient conf.
+    */
+  def publishRoutedIndex(idx: RoutedIndex, outDir: String): Unit = {
+    idx.inCap.write.mode("overwrite").parquet(s"$outDir/incap")
+    idx.overCapReps.write.mode("overwrite").parquet(s"$outDir/reps")
+    val s = idx.inCap.sparkSession
+    import s.implicits._
+    Seq((idx.bits, idx.nBands, idx.cap, idx.horizon))
+      .toDF("bits", "n_bands", "cap", "horizon")
+      .write.mode("overwrite").parquet(s"$outDir/dials")
+  }
+
+  def loadRoutedIndex(s: SparkSession, outDir: String): RoutedIndex = {
+    val d = s.read.parquet(s"$outDir/dials").collect()(0)
+    RoutedIndex(
+      s.read.parquet(s"$outDir/incap"),
+      s.read.parquet(s"$outDir/reps"),
+      d.getInt(0), d.getInt(1), d.getLong(2), d.getString(3))
+  }
+
   /** Sign an arrivals stream (ts, vec_id, embedding) with the index's
     * pinned dial. Zero-norm arrivals drop, as in batch.
     */

@@ -80,6 +80,43 @@ class RouteStreamSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.rplsh.routeCap")
   }
 
+  test("published/loaded routed index serves identically to the built one") {
+    val dir = "/root/testdata/sf0.01"
+    spark.conf.set("spark.graft.rplsh.routeCap", "30")
+    try {
+      val built = RouteStream.buildIndex(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_routeidx").toFile
+      out.deleteOnExit()
+      RouteStream.publishRoutedIndex(built, out.getAbsolutePath)
+      val loaded = RouteStream.loadRoutedIndex(spark, out.getAbsolutePath)
+      assert((loaded.bits, loaded.nBands, loaded.cap, loaded.horizon)
+        === ((built.bits, built.nBands, built.cap, built.horizon)),
+        "every pinned dial must round-trip")
+
+      // the arrival transforms are plain frame functions — run them
+      // STATICALLY over both index forms on the same arrival set
+      // (streamed-equals-batch is already pinned for the built form)
+      val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
+      val sp = spark
+      import sp.implicits._
+      val arrivals = Tables.embeddings(spark, dir).collect()
+        .map(r => (t0, r.getLong(0), r.getSeq[Float](1))).toSeq
+        .toDF("ts", "vec_id", "embedding")
+      def pairRows(idx: RouteStream.RoutedIndex) =
+        RouteStream.pairs(arrivals, idx).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def verdictRows(idx: RouteStream.RoutedIndex) =
+        RouteStream.verdicts(arrivals, idx).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getBoolean(5))).toSet
+      assert(pairRows(loaded) === pairRows(built),
+        "loaded-index pair emissions must equal the built index's")
+      assert(verdictRows(loaded) === verdictRows(built),
+        "loaded-index verdicts must equal the built index's")
+      assert(pairRows(built).nonEmpty && verdictRows(built).nonEmpty)
+    } finally spark.conf.unset("spark.graft.rplsh.routeCap")
+  }
+
   test("re-dialed horizon changes verdict timing only, never in-horizon content") {
     val sp = spark
     import sp.implicits._
