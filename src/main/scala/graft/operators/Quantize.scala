@@ -616,7 +616,10 @@ object Quantize {
         val live = new org.apache.hadoop.fs.Path(codesPath, s"cell=$c")
         fs.delete(live, true)
         val staged = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
-        if (fs.exists(staged)) fs.rename(staged, live)
+        // abort with staging intact on a failed rename — the tail
+        // cleanup would otherwise delete the survivors' only copy
+        if (fs.exists(staged)) require(fs.rename(staged, live),
+          s"cell swap failed renaming $staged -> $live; staged data left at $staging")
       }
       fs.delete(staging, true)
     }

@@ -233,8 +233,10 @@ object Retrieval {
     // instead of a window where the artifact has NO df table at all
     val aside = new org.apache.hadoop.fs.Path(
       live.getParent, s".${live.getName}-replaced-${java.util.UUID.randomUUID}")
-    if (fs.exists(live)) fs.rename(live, aside)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+    if (fs.exists(live)) require(fs.rename(live, aside),
+      s"df swap failed moving $live aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"df swap failed renaming $staging -> $live; previous table at $aside")
     fs.delete(aside, true)
   }
 

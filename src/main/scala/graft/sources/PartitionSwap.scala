@@ -34,7 +34,11 @@ object PartitionSwap {
       val dst = new HPath(live, name)
       fs.delete(dst, true)
       val src = new HPath(staging, name)
-      if (fs.exists(src)) fs.rename(src, dst)
+      // a failed rename must ABORT with the staging dir intact — the
+      // tail cleanup would otherwise delete the only surviving copy of
+      // this partition's data (the live dir is already gone)
+      if (fs.exists(src)) require(fs.rename(src, dst),
+        s"partition swap failed renaming $src -> $dst; staged data left at $staging")
     }
     fs.delete(staging, true)
   }
