@@ -334,7 +334,19 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("db").parquet(staging)
       PartitionSwap.swap(s, s"$outDir/dl", staging, dbs)
     }
-    tbs ++ dbs
+    // the optional content store shares the db partitioning — compact
+    // its accreted partitions the same way when it exists
+    val sds = PartitionSwap.multiFilePartitions(s, s"$outDir/docs")
+    if (sds.nonEmpty) {
+      val vals = sds.map(_.split("=", 2)(1).toInt)
+      val staging = PartitionSwap.stagingPathFor(s"$outDir/docs")
+      s.read.parquet(s"$outDir/docs")
+        .filter(col("db").isin(vals.map(Integer.valueOf): _*))
+        .repartition(col("db")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("db").parquet(staging)
+      PartitionSwap.swap(s, s"$outDir/docs", staging, sds)
+    }
+    tbs ++ dbs ++ sds
   }
 
   /** Incremental deletion (the GDPR path, completing the
@@ -404,6 +416,60 @@ object Retrieval {
 
     writeStats(s, st.getLong(0) - victimSt.getLong(0),
       st.getLong(2) - victimSt.getLong(1), outDir)
+  }
+
+  // --- document content store (r16) -------------------------------------
+  // A retrieval stack that can only return ids isn't servable: the
+  // production shape is retrieve → FETCH — rank against the index, then
+  // read the top-k documents' content for snippets / RAG context. The
+  // store shares the dl table's db = pmod(doc_id, DocBuckets) partition
+  // key, so a top-k fetch reads ≤ k of the DocBuckets directories
+  // (PartitionFilters) and row-group-prunes inside them on the sorted
+  // doc_id — request-sized I/O at any corpus size. Lifecycle-parity
+  // with the index: append lands only in touched db partitions, delete
+  // stage-swaps only them, compactBm25 compacts them.
+
+  def publishDocStore(docs: DataFrame, outDir: String): Unit =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("db", docBucketCol)
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("db").parquet(s"$outDir/docs")
+
+  def appendToDocStore(s: SparkSession, newDocs: DataFrame, outDir: String): Unit =
+    newDocs.select(col("doc_id"), col("text"))
+      .withColumn("db", docBucketCol)
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("append").partitionBy("db").parquet(s"$outDir/docs")
+
+  def deleteFromDocStore(s: SparkSession, docIds: Seq[Long], outDir: String): Unit = {
+    import s.implicits._
+    if (docIds.isEmpty) return
+    val victims = docIds.distinct.toDF("doc_id")
+    val store = s.read.parquet(s"$outDir/docs")
+    val touched = store.join(broadcast(victims), Seq("doc_id"))
+      .select("db").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val staging = graft.sources.PartitionSwap.stagingPathFor(s"$outDir/docs")
+    store.filter(col("db").isin(touched.map(Integer.valueOf): _*))
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("db").parquet(staging)
+    graft.sources.PartitionSwap.swap(s, s"$outDir/docs", staging,
+      touched.map(c => s"db=$c"))
+  }
+
+  /** Content for a ranked id set (the FETCH half of retrieve→fetch):
+    * the ids' bucket list prunes whole partition directories before the
+    * literal In() prunes row groups — the serve scan opens ≤ |ids|
+    * directories regardless of corpus size.
+    */
+  def fetchDocs(s: SparkSession, outDir: String, ids: Seq[Long]): DataFrame = {
+    val dbs = ids.map(i => java.lang.Math.floorMod(i, DocBuckets.toLong).toInt)
+      .distinct
+    s.read.parquet(s"$outDir/docs")
+      .filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      .filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select("doc_id", "text")
   }
 
   /** Serving-path scorer: BM25 top-k for a batch of (query_id, text)

@@ -162,6 +162,52 @@ class Bm25LifecycleSpec extends GraftSpec {
       "a second compaction must be a complete no-op")
   }
 
+  test("doc store: retrieve->fetch, lifecycle parity, partition-pruned reads") {
+    val dir = tmp("bm25_store")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+    Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(base), dir)
+    Retrieval.publishDocStore(base, dir)
+    Retrieval.appendToBm25(spark, arrivals, dir)
+    Retrieval.appendToDocStore(spark, arrivals, dir)
+
+    // retrieve -> fetch: the top-k ids' content equals the corpus rows
+    val idx = Retrieval.loadBm25(spark, dir)
+    val topIds = Retrieval.scoreQueries(queries, idx, excludeSelf = true)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(topIds.nonEmpty)
+    val fetched = Retrieval.fetchDocs(spark, dir, topIds).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = docs.filter(col("doc_id").isin(topIds.map(Long.box): _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fetched === want, "fetched content must equal the corpus rows")
+    // the fetch scan is partition-pruned on db
+    val plan = Retrieval.fetchDocs(spark, dir, topIds)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("db"), plan)
+
+    // GDPR parity: a deleted doc disappears from the store too
+    val victim = topIds.head
+    Retrieval.deleteFromBm25(spark, Seq(victim), dir)
+    Retrieval.deleteFromDocStore(spark, Seq(victim), dir)
+    assert(Retrieval.fetchDocs(spark, dir, Seq(victim)).collect().isEmpty,
+      "a deleted doc must be unfetchable")
+    val survivors = spark.read.parquet(s"$dir/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === all - victim,
+      "the store after append+delete must hold exactly the survivor set")
+
+    // compaction covers the store's accreted partitions too
+    import graft.sources.PartitionSwap
+    assert(PartitionSwap.multiFilePartitions(spark, s"$dir/docs").nonEmpty)
+    Retrieval.compactBm25(spark, dir)
+    assert(PartitionSwap.multiFilePartitions(spark, s"$dir/docs").isEmpty)
+    assert(spark.read.parquet(s"$dir/docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === all - victim,
+      "compaction must not change the store's rows")
+  }
+
   test("published serve plan partition-prunes postings on the tb buckets") {
     val dir = tmp("bm25_prune")
     Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), dir)
