@@ -216,14 +216,35 @@ object Bpe {
     * trainer unchanged. Publish through [[publishTokenizer]]; bill
     * with `bpe_count_with` via [[loadTokenizer]].
     */
-  def trainTokenizer(s: SparkSession, dir: String, numMerges: Int): DataFrame = {
+  /** Driver-state ceiling for the collected word-frequency table. The
+    * "tens of MB" claim holds for Heaps-law vocabularies, but a real
+    * web corpus's long tail (URLs, numbers, typos) is unbounded — the
+    * HF-tokenizers shape this mirrors applies min_frequency for
+    * exactly this reason (r16 ADVICE). 20M distinct words ≈ a few
+    * hundred MB collected — the loud-failure line, same class as the
+    * LR registry's bounded-model-state guards.
+    */
+  val MaxTrainVocab: Int = 20000000
+
+  /** `minFreq` drops sub-threshold words BEFORE the collect (the
+    * HF-tokenizers min_frequency dial). Default 1 keeps the trainer
+    * bit-identical to the distributed loop (BpeSpec parity); a
+    * singleton word only ever contributes ties below real pair counts,
+    * so a small threshold is the standard web-corpus setting.
+    */
+  def trainTokenizer(s: SparkSession, dir: String, numMerges: Int,
+      minFreq: Long = 1L): DataFrame = {
     import s.implicits._
-    val wf = Tables.documents(s, dir)
+    val wfDf = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    val wf = (if (minFreq > 1L) wfDf.filter(col("freq") >= minFreq) else wfDf)
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(wf.size <= MaxTrainVocab,
+      s"word-frequency table has ${wf.size} distinct words (> $MaxTrainVocab): " +
+        "raise minFreq — an unbounded long tail must not be collected")
     graft.functions.BpeCodec.trainLocalFast(wf, numMerges)
       .zipWithIndex
       .map { case ((l, r), i) => (i, l, r, l + r) }

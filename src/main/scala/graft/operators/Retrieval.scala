@@ -212,6 +212,12 @@ object Retrieval {
   private def writeStats(s: SparkSession, nDocs: Long, sumDl: Long,
       outDir: String): Unit = {
     import s.implicits._
+    // guard here, the shared funnel: publishing an empty corpus would
+    // write avgdl = NaN and poison every downstream tfn (r16 ADVICE —
+    // appendToBm25 already early-returns on an empty increment, but
+    // publish/build had no equivalent)
+    require(nDocs > 0,
+      s"cannot write BM25 stats for an empty corpus (n_docs=$nDocs)")
     Seq((nDocs, sumDl.toDouble / nDocs, sumDl))
       .toDF("n_docs", "avgdl", "sum_dl")
       .write.mode("overwrite").parquet(s"$outDir/stats")
@@ -259,12 +265,26 @@ object Retrieval {
   }
 
   def loadBm25(s: SparkSession, outDir: String): Bm25Index = {
-    val st = s.read.parquet(s"$outDir/stats").collect()(0)
+    val statsDf = s.read.parquet(s"$outDir/stats")
+    val st = statsDf.collect()(0)
+    // format migration (r16 ADVICE): indexes published before sum_dl
+    // landed carry a two-column stats row (n_docs, avgdl). avgdl was
+    // computed as sumDl.toDouble / nDocs at publish time, and sumDl is
+    // far below 2^53, so round(avgdl * nDocs) recovers the exact long.
+    val sumDl =
+      if (statsDf.columns.contains("sum_dl")) st.getLong(st.fieldIndex("sum_dl"))
+      else {
+        System.err.println(s"[graft] legacy two-column BM25 stats at " +
+          s"$outDir/stats: deriving sum_dl = round(avgdl * n_docs); " +
+          "republish to upgrade")
+        math.round(st.getDouble(st.fieldIndex("avgdl")) *
+          st.getLong(st.fieldIndex("n_docs")))
+      }
     Bm25Index(
       s.read.parquet(s"$outDir/postings"),
       s.read.parquet(s"$outDir/df"),
       s.read.parquet(s"$outDir/dl"),
-      st.getLong(0), st.getLong(2))
+      st.getLong(st.fieldIndex("n_docs")), sumDl)
   }
 
   /** Incremental index maintenance (r15 verdict next-round #2 — parity
@@ -278,6 +298,19 @@ object Retrieval {
     * bit-identical to a fresh publish of the union corpus
     * (Bm25LifecycleSpec pins it). Caller contract: arriving doc_ids
     * are new (a re-ingest is delete + append).
+    *
+    * CRASH CONTRACT (r16 ADVICE): the four steps — postings append →
+    * dl append → df swap → stats rewrite — are not atomic. The stats
+    * rewrite is deliberately LAST and acts as the commit marker: a
+    * stats row whose n_docs disagrees with count(dl) means an
+    * incomplete append. Roll FORWARD by deleting the batch's appended
+    * files (newest-mtime files in the touched tb/db partitions — each
+    * append lands fresh files only, never rewrites) and re-running the
+    * append; the df swap is itself crash-safe (writeSwapped's
+    * rename-aside). For an atomically versioned family-level append —
+    * where a crash anywhere leaves the PRIOR version fully servable —
+    * use [[graft.operators.IndexSet]]'s manifest discipline instead;
+    * this in-place form remains the single-index fast path.
     */
   def appendToBm25(s: SparkSession, newDocs: DataFrame, outDir: String): Unit = {
     val inc = buildBm25IndexFrom(newDocs)

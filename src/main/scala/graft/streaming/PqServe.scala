@@ -22,13 +22,20 @@ object PqServe {
 
   /** arrivals: (probe_id bigint, pvec array<float>). Each arriving
     * probe's full top-k lands in the sink within its own micro-batch.
+    *
+    * `excludeSelf` defaults FALSE, mirroring Bm25Serve/HybridServe
+    * (r16 ADVICE): a serve request's probe_id is an arbitrary request
+    * identifier, so probeTopK's batch convention of dropping
+    * vec_id == probe_id would silently lose a corpus vector from any
+    * request whose id happens to collide with it. Pass true only when
+    * the probes ARE corpus vectors (the T6 parity convention).
     */
   def serve(arrivals: DataFrame, idx: Quantize.PqIndex,
-      sinkDir: String): StreamingQuery =
+      sinkDir: String, excludeSelf: Boolean = false): StreamingQuery =
     arrivals.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Quantize.probeTopK(batch, idx)
+        Quantize.probeTopK(batch, idx, excludeSelf)
           .write.mode("append").parquet(sinkDir)
       }
       .start()

@@ -208,6 +208,35 @@ class Bm25LifecycleSpec extends GraftSpec {
       "compaction must not change the store's rows")
   }
 
+  test("publishing an empty corpus fails loudly; legacy 2-col stats still load") {
+    // r16 ADVICE pair. (a) writeStats guarded: an empty corpus would
+    // write avgdl = NaN and poison every tfn downstream.
+    val err = intercept[Exception] {
+      Retrieval.publishBm25(
+        Retrieval.buildBm25IndexFrom(docs.filter(col("doc_id") < 0)),
+        tmp("bm25_empty"))
+    }
+    assert(err.getMessage.contains("empty corpus"), err.getMessage)
+    // (b) pre-sum_dl artifacts (stats = n_docs, avgdl) load via the
+    // exact derivation sum_dl = round(avgdl * n_docs) instead of an
+    // index-out-of-bounds.
+    val dir = tmp("bm25_legacy")
+    val idx = Retrieval.buildBm25IndexFrom(docs)
+    Retrieval.publishBm25(idx, dir)
+    spark.read.parquet(s"$dir/stats").select("n_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/stats_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    val loaded = Retrieval.loadBm25(spark, dir)
+    assert(loaded.nDocs === idx.nDocs)
+    assert(loaded.sumDl === idx.sumDl,
+      "derived sum_dl must recover the exact long")
+    assert(serveRows(loaded) === serveRows(idx))
+  }
+
   test("published serve plan partition-prunes postings on the tb buckets") {
     val dir = tmp("bm25_prune")
     Retrieval.publishBm25(Retrieval.buildBm25IndexFrom(docs), dir)

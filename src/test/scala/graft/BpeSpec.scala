@@ -168,6 +168,28 @@ class BpeSpec extends GraftSpec {
     assert(cmp.getLong(1) > 0L)
   }
 
+  test("trainTokenizer minFreq prunes the long tail before the collect") {
+    // r16 ADVICE: the HF-tokenizers min_frequency dial — the collected
+    // word table must be boundable on a real web corpus's tail.
+    // Equivalence oracle: training on a driver-filtered word table.
+    val wf = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cut = wf.map(_._2).sorted.apply(wf.size / 2) // median freq
+    val expect = BpeCodec.trainLocalFast(wf.filter(_._2 >= cut), 64)
+    val got = Bpe.trainTokenizer(spark, sfDir, 64, minFreq = cut).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === expect,
+      "minFreq trainer must equal training on the filtered word table")
+    // default minFreq=1 unchanged: parity with the distributed loop is
+    // already pinned above; here pin that the dial default is 1 (no cut)
+    val full = Bpe.trainTokenizer(spark, sfDir, 12).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(full === BpeCodec.trainLocalFast(wf, 12))
+  }
+
   test("q140 plans the native bpe_count (no interpreted HOF on the scan)") {
     val plan = Bpe.q140BpeCount(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("bpe_count"), "q140 lost the native bpe_count projection")

@@ -292,8 +292,11 @@ class PqServeSpec extends GraftSpec {
       .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
     val (b1, b2) = all.partition(_.probe_id % 2 == 0)
 
+    // excludeSelf=true: these probes ARE corpus vectors (the T6
+    // convention batch q147 replays) — production serving defaults to
+    // false because request ids may collide with corpus ids
     val stream = MemoryStream[Probe]
-    val q = PqServe.serve(stream.toDF(), idx, sink)
+    val q = PqServe.serve(stream.toDF(), idx, sink, excludeSelf = true)
     try {
       stream.addData(b1: _*)
       q.processAllAvailable()
@@ -305,5 +308,36 @@ class PqServeSpec extends GraftSpec {
       .select("probe_id", "rk", "cell", "vec_id", "adc_u"))
     assert(got === expected,
       s"stream-only=${(got -- expected).take(5)} batch-only=${(expected -- got).take(5)}")
+  }
+
+  test("default serving keeps a corpus vector whose id collides with a request id") {
+    // r16 ADVICE: PqServe.serve hardcoded probeTopK's batch default
+    // excludeSelf=true, silently dropping any corpus vector whose
+    // vec_id equals an arriving request id. Default serving must keep
+    // it — a corpus vector IS its own nearest neighbor, so the
+    // colliding id must appear at rank 1.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val idx = Quantize.buildIndex(spark, sfDir)
+    val sink = tmp("pqselfsink") + "/topk"
+    val colliders = probes.collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[Probe]
+    val q = PqServe.serve(stream.toDF(), idx, sink) // default excludeSelf
+    try {
+      stream.addData(colliders: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = collectTopk(spark.read.parquet(sink)
+      .select("probe_id", "rk", "cell", "vec_id", "adc_u"))
+    val want = collectTopk(Quantize.probeTopK(probes, idx, excludeSelf = false))
+    assert(got === want,
+      "default serve must equal the non-excluding batch scorer")
+    assert(got.exists(r => r._1 == r._4),
+      "some colliding id must survive in its own top-k — the defect this pins")
+    assert(got !== batchRows,
+      "the non-excluding ranking must differ from the self-excluding one here")
   }
 }
