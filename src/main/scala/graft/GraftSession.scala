@@ -88,20 +88,52 @@ object GraftSession {
     if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
   }.sum
 
+  /** A fresh child session carrying the parent's ENTIRE modifiable
+    * runtime conf plus the unregistered spark.graft.* dials — the r12
+    * grid-search discipline (MlEval.gridChildSession), shared: copying
+    * only the graft keys silently reverts any other per-session tuning
+    * to context defaults, and copying nothing loses the dials. The
+    * child shares the SparkContext and the GraftExtensions function
+    * registry (newSession re-applies the builder's extensions), so a
+    * plan built on it computes bit-identically.
+    *
+    * Lifetime contract: Spark cannot dispose a child session's
+    * SessionState short of stopping the context, so callers should
+    * create children per bounded decision point (a grid dial, one
+    * opted-in query build), never per row or per micro-batch.
+    */
+  def childSessionFrom(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (ck, cv) =>
+      if (ck.startsWith("spark.graft.") || s2.conf.isModifiable(ck))
+        s2.conf.set(ck, cv)
+    }
+    s2
+  }
+
   /** Opt-in hook the shuffle-heavy families consult before building
     * their plans: when `spark.graft.autoShufflePartitions` is true,
-    * derive shuffle.partitions from the scan size of the given inputs
-    * and set it on the session (returning the derived value). Off by
-    * default so the driver gate and every oracle plan are unchanged —
-    * results are partitioning-invariant either way; this dial is purely
-    * about the stall floor at scale rungs.
+    * returns a CHILD session whose shuffle.partitions derives from the
+    * scan size of the given inputs; the caller builds its plan on the
+    * returned session. Off by default (returns `s` unchanged) so the
+    * driver gate and every oracle plan are unchanged — results are
+    * partitioning-invariant either way; this dial is purely about the
+    * stall floor at scale rungs.
+    *
+    * Child-session isolation (r16 verdict item 2): the derived value
+    * never touches the caller's conf — shuffle.partitions is read at
+    * PLANNING time, so a set-then-restore around plan CONSTRUCTION
+    * would restore too early, and leaving it set leaked the derived
+    * value into every later query on the session. The child session is
+    * the only shape that scopes a planning-time conf to one query.
     */
-  def maybeAutoShuffle(s: SparkSession, paths: String*): Option[Int] =
+  def autoShuffled(s: SparkSession, paths: String*): SparkSession =
     if (s.conf.getOption("spark.graft.autoShufflePartitions")
         .exists(_.trim.toBoolean)) {
       val cores = s.sparkContext.defaultParallelism
       val n = deriveShufflePartitions(scanBytes(s, paths: _*), cores)
-      s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      Some(n)
-    } else None
+      val s2 = childSessionFrom(s)
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s2
+    } else s
 }

@@ -15,7 +15,7 @@ package graft
   * ships with a number instead of prose.
   *
   * `auto` as the partitions arg exercises the r16 input-size rule
-  * (GraftSession.maybeAutoShuffle — spark.graft.autoShufflePartitions):
+  * (GraftSession.autoShuffled — spark.graft.autoShufflePartitions):
   * the probe then reports the value the rule derived.
   *
   * Usage: runMain graft.PostingProbe <sfDir> <partitions|auto> [reps]

@@ -87,9 +87,11 @@ object Dedup {
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // the engine's declared-inherent exchange (shingle postings):
     // consult the input-size rule when the session opts in (r15's
-    // measured 96-partition floor at the 5M-doc rung, made executable)
-    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
-    jaccardPairs(s, dir).orderBy("d1", "d2")
+    // measured 96-partition floor at the 5M-doc rung, made executable;
+    // r16 hygiene — the derived value lives on a child session, the
+    // caller's conf is never touched)
+    val s2 = graft.GraftSession.autoShuffled(s, s"$dir/documents.parquet")
+    jaccardPairs(s2, dir).orderBy("d1", "d2")
   }
 
   val q41Sql: String = {
@@ -134,8 +136,8 @@ object Dedup {
   private def mhB(i: Int): Long = (i * 22801763489L + 1234567891L) % MhMod
 
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
-    val d = Tables.documents(s, dir)
+    val s2 = graft.GraftSession.autoShuffled(s, s"$dir/documents.parquet")
+    val d = Tables.documents(s2, dir)
     // no distinct needed: the min-fold is duplicate-insensitive, so the
     // signature aggregation runs straight off the explode with map-side
     // partial mins — one small shuffle keyed by doc_id, nothing else.
@@ -372,8 +374,8 @@ object Dedup {
     resolveClusters(jaccardPairs(s, dir).select("d1", "d2"))
 
   def q55DupClusters(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.maybeAutoShuffle(s, s"$dir/documents.parquet")
-    dupClusters(s, dir).orderBy("cluster_id", "doc_id")
+    val s2 = graft.GraftSession.autoShuffled(s, s"$dir/documents.parquet")
+    dupClusters(s2, dir).orderBy("cluster_id", "doc_id")
   }
 
   val q55Sql: String =

@@ -518,14 +518,9 @@ object MlEval {
     * cache then holds each point's fit under its own key).
     */
   private[graft] def gridChildSession(s: SparkSession, lrDen: Int): SparkSession = {
-    val s2 = s.newSession()
-    // graft dials are unregistered custom keys (isModifiable = false
-    // for those), so they're copied by prefix; everything else by the
-    // runtime-modifiability test, which excludes static/context conf
-    s.conf.getAll.foreach { case (ck, cv) =>
-      if (ck.startsWith("spark.graft.") || s2.conf.isModifiable(ck))
-        s2.conf.set(ck, cv)
-    }
+    // full-conf copy shared with the autoShuffled hook (r16: the same
+    // discipline now scopes the shuffle rule's derived value)
+    val s2 = graft.GraftSession.childSessionFrom(s)
     s2.conf.set("spark.graft.lr.lrDen", lrDen.toString)
     s2
   }

@@ -19,30 +19,37 @@ class ShuffleRuleSpec extends GraftSpec {
     assert(GraftSession.deriveShufflePartitions(0L, 4) === 4)
   }
 
-  test("maybeAutoShuffle is opt-in, derives from real file bytes, and never changes results") {
-    import org.apache.spark.sql.functions.col
+  test("autoShuffled is opt-in, derives from real file bytes, and never changes results") {
     val docsPath = s"$sfDir/documents.parquet"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
 
-    // off by default: no conf touch
-    assert(GraftSession.maybeAutoShuffle(spark, docsPath).isEmpty)
+    // off by default: the caller's own session comes back, untouched
+    assert(GraftSession.autoShuffled(spark, docsPath) eq spark)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
 
     val baseline = operators.Dedup.q41NgramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.conf.set("spark.graft.autoShufflePartitions", "true")
     try {
-      val derived = GraftSession.maybeAutoShuffle(spark, docsPath)
+      val child = GraftSession.autoShuffled(spark, docsPath)
       val bytes = GraftSession.scanBytes(spark, docsPath)
       assert(bytes > 0L)
-      assert(derived.contains(GraftSession.deriveShufflePartitions(
-        bytes, spark.sparkContext.defaultParallelism)))
-      assert(spark.conf.get("spark.sql.shuffle.partitions")
-        === derived.get.toString)
+      val derived = GraftSession.deriveShufflePartitions(
+        bytes, spark.sparkContext.defaultParallelism)
+      assert(child.conf.get("spark.sql.shuffle.partitions")
+        === derived.toString)
+      // r16 hygiene: the derived value is scoped to the child — the
+      // caller's conf is untouched DURING and AFTER the opted-in build
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+        "the rule must never mutate the caller session's conf")
+      // the child carries the parent's dials (the r12 full-conf copy)
+      assert(child.conf.get("spark.graft.autoShufflePartitions") === "true")
       // partitioning-invariance: the dialed plan computes the same rows
       val dialed = operators.Dedup.q41NgramJaccard(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(dialed === baseline, "the dial must never change results")
+      // a query following an auto-shuffled one sees the entry conf
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     } finally {
       spark.conf.unset("spark.graft.autoShufflePartitions")
       spark.conf.set("spark.sql.shuffle.partitions", before)
