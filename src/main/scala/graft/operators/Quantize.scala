@@ -495,8 +495,10 @@ object Quantize {
         "refit the coarse table (re-publish) before indexing these vectors")
   }
 
-  def buildIndex(s: SparkSession, dir: String): PqIndex = {
-    val e = Tables.embeddings(s, dir)
+  def buildIndex(s: SparkSession, dir: String): PqIndex =
+    buildIndexFrom(Tables.embeddings(s, dir))
+
+  def buildIndexFrom(e: DataFrame): PqIndex = {
     val coarse = coarseCells(e)
     requireCoverage(e, coarse)
     val resid = residualFrame(e, coarse)
@@ -545,12 +547,21 @@ object Quantize {
     */
   def appendToIndex(s: SparkSession, newVecs: DataFrame, outDir: String): Unit = {
     val idx = loadIndex(s, outDir)
-    requireCoverage(newVecs, idx.coarse)
-    residualFrame(newVecs, idx.coarse)
-      .select(col("vec_id"), col("cell"),
-        call_function("pq_encode", col("resid"), lit(idx.book),
-          lit(Array(PqM, PqK, PqD))).as("code"))
+    encodeUnder(idx.coarse, idx.book, newVecs)
       .write.mode("append").partitionBy("cell").parquet(s"$outDir/codes")
+  }
+
+  /** Encode arrivals under a FROZEN fit — the shared increment builder
+    * (appendToIndex and IndexSet's manifest append): coverage-checked
+    * at the boundary, then a map-only residual + native pq_encode pass.
+    */
+  private[graft] def encodeUnder(coarse: DataFrame, book: Array[Double],
+      newVecs: DataFrame): DataFrame = {
+    requireCoverage(newVecs, coarse)
+    residualFrame(newVecs, coarse)
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_encode", col("resid"), lit(book),
+          lit(Array(PqM, PqK, PqD))).as("code"))
   }
 
   /** Surgical compaction of the published codes (the Bm25 compactBm25

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Quantize, Retrieval}
@@ -56,6 +56,34 @@ object HybridServe {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         fused(batch, lex, sem, excludeSelf)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+
+  /** Version-consistent fusion (r16 verdict #1): both retrievers come
+    * from ONE [[graft.operators.IndexSet.HybridSnapshot]] — a single
+    * manifest resolution — so the fused ranking can never straddle two
+    * corpus versions. Because a snapshot's segments are immutable, the
+    * pinned version keeps serving bit-identically even while appends,
+    * deletes, or compactions commit beside it (IndexSetSpec).
+    */
+  def fusedFromSnapshot(requests: DataFrame,
+      snap: graft.operators.IndexSet.HybridSnapshot,
+      excludeSelf: Boolean = false): DataFrame =
+    fused(requests, snap.bm25, snap.pq, excludeSelf)
+      .withColumn("corpus_version", lit(snap.manifest.corpusVersion))
+
+  /** Streamed form: the snapshot is resolved ONCE by the caller, before
+    * the stream starts — every micro-batch serves the same pinned
+    * corpus version (stamped on each output row), by construction.
+    */
+  def serveSnapshot(arrivals: DataFrame,
+      snap: graft.operators.IndexSet.HybridSnapshot, sinkDir: String,
+      excludeSelf: Boolean = false): StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        fusedFromSnapshot(batch, snap, excludeSelf)
           .write.mode("append").parquet(sinkDir)
       }
       .start()
