@@ -87,4 +87,46 @@ object HybridServe {
           .write.mode("append").parquet(sinkDir)
       }
       .start()
+
+  /** Retrieve→FETCH composed (r16 verdict #3): the production RAG shape
+    * returns fused top-k WITH the documents' content in the same
+    * micro-batch, not ids for a second round-trip. The fused ranking is
+    * request-sized (≤ requests · TopK rows), so it re-enters as a
+    * LocalRelation (exact stats — the r15 estimate-laundering fix) and
+    * the content read prunes to the ids' db partition dirs through
+    * IndexSet.fetchDocs: ≤ k directories opened per batch at any corpus
+    * size. `text` is null for a ranked candidate absent from the doc
+    * store (a vector-only corpus member).
+    */
+  def fusedWithContent(requests: DataFrame,
+      snap: graft.operators.IndexSet.HybridSnapshot,
+      excludeSelf: Boolean = false): DataFrame = {
+    val s = snap.docs.sparkSession
+    val ranked = fusedFromSnapshot(requests, snap, excludeSelf)
+    val topk = ranked.collect() // bounded: requests × TopK
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(topk: _*), ranked.schema)
+    val ids = topk.map(_.getLong(ranked.schema.fieldIndex("cand_id"))).distinct.toSeq
+    local.join(
+      graft.operators.IndexSet.fetchDocs(snap, ids)
+        .withColumnRenamed("doc_id", "cand_id"),
+      Seq("cand_id"), "left")
+      .select("query_id", "rk", "cand_id", "rrf_u", "rk_lex", "rk_sem",
+        "corpus_version", "text")
+  }
+
+  /** Streamed retrieve→fetch: each arriving request's fused top-k lands
+    * in the sink WITH content, within its own micro-batch, from the one
+    * pinned snapshot.
+    */
+  def serveSnapshotWithContent(arrivals: DataFrame,
+      snap: graft.operators.IndexSet.HybridSnapshot, sinkDir: String,
+      excludeSelf: Boolean = false): StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        fusedWithContent(batch, snap, excludeSelf)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
 }

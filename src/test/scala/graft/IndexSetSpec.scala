@@ -227,6 +227,64 @@ class IndexSetSpec extends GraftSpec {
     assert(snapRows(IndexSet.loadSnapshot(spark, root)) === before)
   }
 
+  test("retrieve->fetch composed: content in-batch, store reads pruned to the ids' buckets") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val root = tmp("ixset_fetch")
+    IndexSet.publish(spark, docs, vecs, root)
+    val snap = IndexSet.loadSnapshot(spark, root)
+
+    // batch composition: the fused ranking joined with each candidate's
+    // stored text — every ranked id must carry its corpus content
+    val ranked = HybridServe.fusedFromSnapshot(requests, snap, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val withContent = HybridServe.fusedWithContent(requests, snap,
+      excludeSelf = true)
+    val got = withContent.collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === ranked, "content join must preserve the fused ranking exactly")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      assert(r.getString(7) === texts(r.getLong(2)),
+        s"candidate ${r.getLong(2)} must carry its stored text")
+    }
+
+    // the fetch half opens <= |distinct buckets of ids| db partition dirs
+    val ids = got.map(_.getLong(2)).distinct.toSeq
+    val buckets = ids.map(i =>
+      java.lang.Math.floorMod(i, Retrieval.DocBuckets.toLong)).distinct
+    val fetchScan = IndexSet.fetchDocs(snap, ids)
+      .queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(fetchScan.isDefined)
+    assert(fetchScan.get.selectedPartitions.partitionCount <= buckets.size,
+      s"store read must open <= ${buckets.size} partition dirs, " +
+        s"opened ${fetchScan.get.selectedPartitions.partitionCount}")
+
+    // streamed == batch across a split
+    val all = requests.collect()
+      .map(r => Req(r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    val (b1, b2) = all.partition(_.query_id % 2 == 0)
+    val sink = tmp("ixset_fsink") + "/fused"
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Req]
+    val q = HybridServe.serveSnapshotWithContent(stream.toDF(), snap, sink,
+      excludeSelf = true)
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(sink)
+      .select("query_id", "rk", "cand_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed === got.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(7))).toSet)
+  }
+
   test("streamed snapshot serving equals batch and pins one corpus version") {
     val sp = spark
     import sp.implicits._
