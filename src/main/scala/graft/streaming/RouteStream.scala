@@ -123,20 +123,66 @@ object RouteStream {
     * contract without re-deriving anything from the corpus or the
     * ambient conf.
     */
+  /** Bucket count for the published in-cap table (pinned in dials). */
+  val InCapBuckets = 32
+
+  /** Catalog name for an artifact's in-cap table — deterministic from
+    * the artifact path, so any session resolves the same entry.
+    */
+  private[graft] def inCapTableName(outDir: String): String =
+    "graft_incap_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(new org.apache.hadoop.fs.Path(outDir).toUri.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+
   def publishRoutedIndex(idx: RoutedIndex, outDir: String): Unit = {
-    idx.inCap.write.mode("overwrite").parquet(s"$outDir/incap")
-    idx.overCapReps.write.mode("overwrite").parquet(s"$outDir/reps")
+    // r17 (r16 verdict #4): inCap goes through the S17 bucketBy surface,
+    // clustered on the probe key — a cross-session serve's stream-static
+    // (band, key) join then plans with NO Exchange on the corpus-sized
+    // side (only the request-sized arrivals hash into the buckets),
+    // where the previous exchange-layout parquet paid a full inCap
+    // re-shuffle on the first probe of every new session.
     val s = idx.inCap.sparkSession
+    idx.inCap.write.format("parquet")
+      .bucketBy(InCapBuckets, "band", "key")
+      .option("path", s"$outDir/incap_bucketed")
+      .mode("overwrite").saveAsTable(inCapTableName(outDir))
+    idx.overCapReps.write.mode("overwrite").parquet(s"$outDir/reps")
     import s.implicits._
-    Seq((idx.bits, idx.nBands, idx.cap, idx.horizon))
-      .toDF("bits", "n_bands", "cap", "horizon")
+    Seq((idx.bits, idx.nBands, idx.cap, idx.horizon, InCapBuckets))
+      .toDF("bits", "n_bands", "cap", "horizon", "incap_buckets")
       .write.mode("overwrite").parquet(s"$outDir/dials")
   }
 
+  /** Load resolves inCap through the catalog so the bucket spec reaches
+    * the planner. A session (or JVM) without the catalog entry
+    * re-registers it over the existing bucketed files — metadata only,
+    * no data rewrite. Artifacts published before the bucketed layout
+    * (a plain `incap` dir, 4-column dials) still load with a warning;
+    * they serve correctly but pay the first-probe re-shuffle.
+    */
   def loadRoutedIndex(s: SparkSession, outDir: String): RoutedIndex = {
-    val d = s.read.parquet(s"$outDir/dials").collect()(0)
+    val dialsDf = s.read.parquet(s"$outDir/dials")
+    val d = dialsDf.collect()(0)
+    val inCap =
+      if (!dialsDf.columns.contains("incap_buckets")) {
+        System.err.println(s"[graft] legacy routed index at $outDir: " +
+          "unbucketed incap — republish to plan probes exchange-free")
+        s.read.parquet(s"$outDir/incap")
+      } else {
+        val nm = inCapTableName(outDir)
+        val buckets = d.getInt(dialsDf.columns.indexOf("incap_buckets"))
+        if (!s.catalog.tableExists(nm)) {
+          val path = s"$outDir/incap_bucketed"
+          val schema = s.read.parquet(path).schema.toDDL
+          s.sql(s"CREATE TABLE $nm ($schema) USING parquet " +
+            s"CLUSTERED BY (band, key) INTO $buckets BUCKETS " +
+            s"LOCATION '$path'")
+        }
+        s.table(nm)
+      }
     RoutedIndex(
-      s.read.parquet(s"$outDir/incap"),
+      inCap,
       s.read.parquet(s"$outDir/reps"),
       d.getInt(0), d.getInt(1), d.getLong(2), d.getString(3))
   }

@@ -117,6 +117,57 @@ class RouteStreamSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.rplsh.routeCap")
   }
 
+  test("published incap is bucketed: first-probe join plans exchange-free on the index side") {
+    val dir = "/root/testdata/sf0.01"
+    spark.conf.set("spark.graft.rplsh.routeCap", "30")
+    // force a non-broadcast join so the exchange count is the claim —
+    // at corpus scale neither side broadcasts
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val built = RouteStream.buildIndex(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_routebkt").toFile
+      out.deleteOnExit()
+      RouteStream.publishRoutedIndex(built, out.getAbsolutePath)
+
+      // a FRESH session with no catalog entry: load must re-register the
+      // bucketed table from its files (metadata only) — the cross-session
+      // first-probe case the r16 self-assessment flagged
+      val s2 = GraftSession.childSessionFrom(spark)
+      s2.sql(s"DROP TABLE IF EXISTS ${RouteStream.inCapTableName(out.getAbsolutePath)}")
+      val loaded = RouteStream.loadRoutedIndex(s2, out.getAbsolutePath)
+
+      val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
+      val sp = s2
+      import sp.implicits._
+      val arrivals = Tables.embeddings(s2, dir).limit(50).collect()
+        .map(r => (t0, r.getLong(0), r.getSeq[Float](1))).toSeq
+        .toDF("ts", "vec_id", "embedding")
+      val probe = RouteStream.pairs(arrivals, loaded)
+      val exchanges = probe.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"only the request-sized arrivals side may shuffle into the buckets:\n" +
+          probe.queryExecution.executedPlan)
+      val scanStr = probe.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("incap_bucketed"))
+      assert(scanStr.exists(_.contains("Bucketed: true")),
+        s"incap scan must be planned bucketed: $scanStr")
+
+      // and the bucketed plan computes the same pair rows as the built
+      // index under the same forced-SMJ conf
+      val viaBuilt = RouteStream.pairs(arrivals, built).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaLoaded = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaLoaded === viaBuilt)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.graft.rplsh.routeCap")
+    }
+  }
+
   test("re-dialed horizon changes verdict timing only, never in-horizon content") {
     val sp = spark
     import sp.implicits._
