@@ -161,6 +161,196 @@ object Multimodal {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // --- T11c / q152: deterministic image-binarization twin ----------------
+  // The last reference computation with no engine analog
+  // (PRESERVE-FOCUS.ipynb cells 3-6: grayscale threshold + morphological
+  // opening + connected-component blob filter before Textract). The
+  // codec-free twin runs the EXACT pipeline on a synthesized grayscale
+  // grid derived from the T11 payload bytes: threshold -> erosion ->
+  // dilation (cross structuring element, zero-padded borders) ->
+  // 4-connectivity components -> keep blobs >= MinBlobPx. Per-image
+  // imperative work in the mapPartitions codec slot (row-local, no
+  // shuffle — the q51 discipline); DuckDB replays the same byte
+  // arithmetic with a recursive-CTE closure for the components (the q55
+  // pattern), so the blob semantics are oracle-checked end to end.
+
+  val GridW = 16
+  val MaxPix = 256
+  val FgThresh = 100 // on the position-mixed pixel value, ~39% density
+  val MinBlobPx = 4
+
+  /** Grayscale stub: pixel value mixes the payload byte with its
+    * position so the fg mask is spatially varied at a sub-percolation
+    * density (components stay small and opening is non-trivial).
+    */
+  private def pixelValue(b: Int, i: Int): Int = (b * 131 + i * 17) % 256
+
+  /** (w, h, n_fg, n_open, n_blobs, n_kept, kept_px) per payload. */
+  def binarizeStub(payload: Array[Byte]): (Int, Int, Int, Int, Int, Int, Int) = {
+    val npix = (math.min(MaxPix, payload.length) / GridW) * GridW
+    val h = npix / GridW
+    if (npix == 0) return (GridW, 0, 0, 0, 0, 0, 0)
+    val fg = new Array[Boolean](npix)
+    var i = 0
+    var nFg = 0
+    while (i < npix) {
+      if (pixelValue(payload(i) & 0xff, i) < FgThresh) { fg(i) = true; nFg += 1 }
+      i += 1
+    }
+    def at(a: Array[Boolean], r: Int, c: Int): Boolean =
+      r >= 0 && r < h && c >= 0 && c < GridW && a(r * GridW + c)
+    // erosion then dilation with the 4-neighbor cross, zero-padded
+    val er = new Array[Boolean](npix)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < GridW) {
+        er(r * GridW + c) = at(fg, r, c) && at(fg, r - 1, c) &&
+          at(fg, r + 1, c) && at(fg, r, c - 1) && at(fg, r, c + 1)
+        c += 1
+      }
+      r += 1
+    }
+    val op = new Array[Boolean](npix)
+    var nOpen = 0
+    r = 0
+    while (r < h) {
+      var c = 0
+      while (c < GridW) {
+        val v = at(er, r, c) || at(er, r - 1, c) || at(er, r + 1, c) ||
+          at(er, r, c - 1) || at(er, r, c + 1)
+        if (v) { op(r * GridW + c) = true; nOpen += 1 }
+        c += 1
+      }
+      r += 1
+    }
+    // 4-connectivity components over the opened mask (BFS)
+    val seen = new Array[Boolean](npix)
+    val stack = new java.util.ArrayDeque[Int]()
+    var nBlobs = 0
+    var nKept = 0
+    var keptPx = 0
+    i = 0
+    while (i < npix) {
+      if (op(i) && !seen(i)) {
+        nBlobs += 1
+        var size = 0
+        seen(i) = true
+        stack.push(i)
+        while (!stack.isEmpty) {
+          val p = stack.pop()
+          size += 1
+          val pr = p / GridW; val pc = p % GridW
+          Seq((pr - 1, pc), (pr + 1, pc), (pr, pc - 1), (pr, pc + 1))
+            .foreach { case (nr, nc) =>
+              if (nr >= 0 && nr < h && nc >= 0 && nc < GridW) {
+                val q = nr * GridW + nc
+                if (op(q) && !seen(q)) { seen(q) = true; stack.push(q) }
+              }
+            }
+        }
+        if (size >= MinBlobPx) { nKept += 1; keptPx += size }
+      }
+      i += 1
+    }
+    (GridW, h, nFg, nOpen, nBlobs, nKept, keptPx)
+  }
+
+  val binarizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("n_fg", IntegerType),
+    StructField("n_open", IntegerType),
+    StructField("n_blobs", IntegerType),
+    StructField("n_kept", IntegerType),
+    StructField("kept_px", IntegerType)
+  ))
+
+  def q152Binarize(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0) // q51's image/png slice
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(binarizeSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, nFg, nOpen, nBlobs, nKept, keptPx) =
+          binarizeStub(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, nFg, nOpen, nBlobs, nKept, keptPx)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  val q152Sql: String = {
+    // pixel grid from the hex payload (the q51 byte extraction), then
+    // the same threshold/erosion/dilation joins and a recursive-CTE
+    // transitive closure for 4-connectivity components (the q55 shape)
+    s"""WITH px AS MATERIALIZED (
+       | SELECT doc_id, i - 1 AS idx,
+       |  ((i - 1) // $GridW) AS r, ((i - 1) % $GridW) AS c,
+       |  ((16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+       |     + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) * 131
+       |    + (i - 1) * 17) % 256 < $FgThresh AS fg
+       | FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+       |       WHERE doc_id % 3 = 0),
+       |  UNNEST(range(1, ((LEAST($MaxPix, length(hx) // 2) // $GridW) * $GridW) + 1)) AS u(i)
+       |), er AS MATERIALIZED (
+       | SELECT p.doc_id, p.idx, p.r, p.c,
+       |  p.fg AND COALESCE(up.fg, FALSE) AND COALESCE(dn.fg, FALSE)
+       |       AND COALESCE(lf.fg, FALSE) AND COALESCE(rt.fg, FALSE) AS e
+       | FROM px p
+       | LEFT JOIN px up ON up.doc_id = p.doc_id AND up.r = p.r - 1 AND up.c = p.c
+       | LEFT JOIN px dn ON dn.doc_id = p.doc_id AND dn.r = p.r + 1 AND dn.c = p.c
+       | LEFT JOIN px lf ON lf.doc_id = p.doc_id AND lf.r = p.r AND lf.c = p.c - 1
+       | LEFT JOIN px rt ON rt.doc_id = p.doc_id AND rt.r = p.r AND rt.c = p.c + 1
+       |), op AS MATERIALIZED (
+       | SELECT p.doc_id, p.idx, p.r, p.c,
+       |  (p.e OR COALESCE(up.e, FALSE) OR COALESCE(dn.e, FALSE)
+       |       OR COALESCE(lf.e, FALSE) OR COALESCE(rt.e, FALSE)) AS o
+       | FROM er p
+       | LEFT JOIN er up ON up.doc_id = p.doc_id AND up.r = p.r - 1 AND up.c = p.c
+       | LEFT JOIN er dn ON dn.doc_id = p.doc_id AND dn.r = p.r + 1 AND dn.c = p.c
+       | LEFT JOIN er lf ON lf.doc_id = p.doc_id AND lf.r = p.r AND lf.c = p.c - 1
+       | LEFT JOIN er rt ON rt.doc_id = p.doc_id AND rt.r = p.r AND rt.c = p.c + 1
+       |), opx AS MATERIALIZED (
+       | SELECT doc_id, idx, r, c FROM op WHERE o
+       |), edges AS MATERIALIZED (
+       | SELECT a.doc_id, a.idx AS src, b.idx AS dst
+       | FROM opx a JOIN opx b ON b.doc_id = a.doc_id
+       |  AND ((b.r = a.r AND ABS(b.c - a.c) = 1) OR (b.c = a.c AND ABS(b.r - a.r) = 1))
+       |), reach(doc_id, idx, rt) AS (
+       | SELECT doc_id, idx, idx FROM opx
+       | UNION
+       | SELECT e.doc_id, e.src, r.rt FROM reach r
+       | JOIN edges e ON e.doc_id = r.doc_id AND e.dst = r.idx
+       |), comp AS (
+       | SELECT doc_id, idx, MIN(rt) AS lbl FROM reach GROUP BY doc_id, idx
+       |), blobs AS (
+       | SELECT doc_id, lbl, COUNT(*) AS sz FROM comp GROUP BY doc_id, lbl
+       |), perdoc AS (
+       | SELECT d.doc_id,
+       |  COALESCE(f.n_fg, 0) AS n_fg, COALESCE(o.n_open, 0) AS n_open,
+       |  COALESCE(b.n_blobs, 0) AS n_blobs, COALESCE(b.n_kept, 0) AS n_kept,
+       |  COALESCE(b.kept_px, 0) AS kept_px,
+       |  CAST((LEAST($MaxPix, length(encode(d.text)) ) // $GridW) AS INTEGER) AS h
+       | FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) d
+       | LEFT JOIN (SELECT doc_id, COUNT(*) AS n_fg FROM px WHERE fg GROUP BY doc_id) f
+       |  ON f.doc_id = d.doc_id
+       | LEFT JOIN (SELECT doc_id, COUNT(*) AS n_open FROM opx GROUP BY doc_id) o
+       |  ON o.doc_id = d.doc_id
+       | LEFT JOIN (SELECT doc_id, COUNT(*) AS n_blobs,
+       |    COUNT(*) FILTER (WHERE sz >= $MinBlobPx) AS n_kept,
+       |    COALESCE(SUM(sz) FILTER (WHERE sz >= $MinBlobPx), 0) AS kept_px
+       |   FROM blobs GROUP BY doc_id) b
+       |  ON b.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, $GridW AS w, h,
+       | CAST(n_fg AS INTEGER) AS n_fg, CAST(n_open AS INTEGER) AS n_open,
+       | CAST(n_blobs AS INTEGER) AS n_blobs, CAST(n_kept AS INTEGER) AS n_kept,
+       | CAST(kept_px AS INTEGER) AS kept_px
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+  }
+
   val q51Sql: String = {
     val two64 = "18446744073709551616::HUGEINT"
     val two63 = "9223372036854775808::HUGEINT"

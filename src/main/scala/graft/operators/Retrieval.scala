@@ -394,10 +394,97 @@ object Retrieval {
     * serving is bit-identical to a fresh publish of the survivor
     * corpus (Bm25LifecycleSpec).
     */
+  /** Victim fraction (of the published n_docs) above which
+    * deleteFromBm25 degrades to a republish of the survivors. Decided
+    * UPFRONT from |victims| / n_docs — one stats-row read, no job:
+    * BENCH_R17_BM25_DELETE measured a touched-partition-probe variant
+    * at 2x the small-delete wall (the probe is itself a full postings
+    * scan) and rejected it. Crossover at the 1.5M-doc rung: republish
+    * wins from ~1% victims (19.1 s vs 22.8 surgical at 1%, 16.4 vs
+    * 22.4 at 20%) and is a wash below it (16.6 vs 17.4 at 1k victims)
+    * — because one document's ~30-50 distinct terms hash across most
+    * of the 64 buckets, the surgical path rewrites nearly every
+    * partition even for tiny deletes at this geometry, while at
+    * production bucket counts (thousands at 100 TB) a GDPR-sized
+    * delete touches a small fraction and the surgical path's rewrite
+    * volume stays proportional. Values > 1 disable the fallback.
+    */
+  val DefaultDeleteRepublishFraction = 0.01
+
+  private[graft] def deleteRepublishFraction(s: SparkSession): Double = {
+    val f = s.conf.getOption("spark.graft.bm25.deleteRepublishFraction")
+      .map(_.trim.toDouble).getOrElse(DefaultDeleteRepublishFraction)
+    require(f > 0,
+      s"spark.graft.bm25.deleteRepublishFraction=$f must be > 0 " +
+        "(victim fraction of the corpus; > 1 disables the fallback)")
+    f
+  }
+
+  /** Bulk-delete path (r16 verdict #5): recompute every index piece
+    * from the survivors in one pass — postings/dl anti-join, df as a
+    * count over survivor postings, stats as one aggregate — staged
+    * fully, then swapped dir-by-dir (rename-aside). No victim-derived
+    * driver state at all, where the surgical path collects the victims'
+    * vocabulary. Crash contract matches appendToBm25's: the per-dir
+    * swap sequence is not atomic — the manifest family (IndexSet) is
+    * the atomic path.
+    */
+  private[graft] def republishSurvivors(s: SparkSession, victims: DataFrame,
+      outDir: String): Unit = {
+    val staging = graft.sources.PartitionSwap.stagingPathFor(outDir)
+    val survPost = s.read.parquet(s"$outDir/postings")
+      .join(victims, Seq("doc_id"), "left_anti")
+    survPost
+      .repartition(col("tb")).sortWithinPartitions("term")
+      .write.partitionBy("tb")
+      .option("parquet.block.size", PostingsRowGroupBytes.toString)
+      .parquet(s"$staging/postings")
+    // df over the STAGED survivors (postings are unique per (doc, term),
+    // so df = row count per term) — reading the staged copy, not the
+    // live dir, keeps every staged piece derived from one corpus state
+    val stagedPost = s.read.parquet(s"$staging/postings")
+    stagedPost.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.parquet(s"$staging/df")
+    val survDl = s.read.parquet(s"$outDir/dl")
+      .join(victims, Seq("doc_id"), "left_anti")
+    survDl.repartition(col("db")).sortWithinPartitions("doc_id")
+      .write.partitionBy("db").parquet(s"$staging/dl")
+    val st = s.read.parquet(s"$staging/dl")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).collect()(0)
+    require(st.getLong(0) > 0,
+      "deleting every document empties the index — nothing to republish")
+    writeStats(s, st.getLong(0), st.getLong(1), staging)
+    // swap the four pieces in: rename-aside per dir (writeSwapped's
+    // pattern) so a failed rename aborts with both copies on disk
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("postings", "df", "dl", "stats").foreach { piece =>
+      val live = new org.apache.hadoop.fs.Path(s"$outDir/$piece")
+      val aside = new org.apache.hadoop.fs.Path(
+        live.getParent, s".$piece-replaced-${java.util.UUID.randomUUID}")
+      if (fs.exists(live)) require(fs.rename(live, aside),
+        s"republish swap failed moving $live aside")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$piece"), live),
+        s"republish swap failed renaming $staging/$piece -> $live; " +
+          s"previous table at $aside")
+      fs.delete(aside, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   def deleteFromBm25(s: SparkSession, docIds: Seq[Long], outDir: String): Unit = {
     import s.implicits._
     if (docIds.isEmpty) return
     val victims = docIds.distinct.toDF("doc_id")
+    // bulk-delete guard (r16 verdict #5), decided upfront from the
+    // victim count alone — no probe job (a touched-partition probe is
+    // itself a full postings scan; measured at 2x the small-delete
+    // wall and rejected, BENCH_R17_BM25_DELETE)
+    val nDocs = s.read.parquet(s"$outDir/stats").collect()(0).getLong(0)
+    if (docIds.distinct.size >= deleteRepublishFraction(s) * nDocs) {
+      republishSurvivors(s, victims, outDir)
+      return
+    }
     val postings = s.read.parquet(s"$outDir/postings")
     // victim-derived state BEFORE any rewrite, all bounded: touched
     // partition ids, the victims' per-term doc counts (bounded by the

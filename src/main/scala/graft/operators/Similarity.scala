@@ -47,6 +47,51 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** q45's SERVE twin (r16 verdict #7): brute-force cosine top-k for a
+    * batch of (probe_id, pvec) requests over raw corpus floats, ranked
+    * with the bounded mergeable [[graft.functions.TopKAgg.ScoredTopK]]
+    * instead of the per-probe row_number window — each partition
+    * reduces to ≤ k candidates map-side, so the per-probe shuffle
+    * carries ≤ k·partitions rows where the window form repartitioned
+    * EVERY (probe, candidate) pair to one task per probe (the exact
+    * defect the r16 5M-doc rung exposed in the BM25 serve path). The
+    * batch q45 keeps its declarative window so the oracle replays it;
+    * Round17OpsSpec pins serve == batch bit-for-bit.
+    *
+    * cos is quantized cos_u = round(cos6 · 1e6) for the long-ordered
+    * aggregator and divided back: both forms are the nearest double to
+    * the same 6-decimal value, so the output doubles are bit-identical
+    * to q45's round(cos, 6).
+    *
+    * `excludeSelf` defaults FALSE (the serve-id-collision discipline);
+    * the parity spec passes true because its probes ARE corpus vectors.
+    */
+  def serveBruteTopK(probes: DataFrame, corpus: DataFrame,
+      excludeSelf: Boolean = false): DataFrame = {
+    val e = corpus
+      .withColumn("nrm", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .filter(col("nrm") > 0)
+    val p = probes
+      .withColumn("probe_nrm", sqrt(VectorFunctions.norm2(col("pvec"))))
+      .filter(col("probe_nrm") > 0)
+      .select(col("probe_id"), col("pvec"), col("probe_nrm"))
+    val joined = e.join(broadcast(p),
+      if (excludeSelf) col("vec_id") =!= col("probe_id") else lit(true))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("pvec"), col("embedding")) /
+          (col("probe_nrm") * col("nrm")), 6))
+      .withColumn("cos_u", round(col("cos") * lit(1e6), 0).cast("long"))
+    joined.groupBy("probe_id")
+      .agg(bruteServeTopK(col("cos_u"), col("vec_id"), col("cos_u")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("probe_id"), (col("i") + 1).cast("long").as("rk"),
+        col("t._2").as("vec_id"), (col("t._1") / lit(1e6)).as("cos"))
+  }
+
+  private lazy val bruteServeTopK = udaf(
+    new graft.functions.TopKAgg.ScoredTopK(TopK),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)]())
+
   val q45Sql: String = {
     val dot = VectorFunctions.dotSql("p.embedding", "e.embedding")
     val nrm = s"SQRT(${VectorFunctions.dotSql("embedding", "embedding")})"
