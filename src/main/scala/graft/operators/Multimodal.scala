@@ -285,7 +285,7 @@ object Multimodal {
     // pixel grid from the hex payload (the q51 byte extraction), then
     // the same threshold/erosion/dilation joins and a recursive-CTE
     // transitive closure for 4-connectivity components (the q55 shape)
-    s"""WITH px AS MATERIALIZED (
+    s"""WITH RECURSIVE px AS MATERIALIZED (
        | SELECT doc_id, i - 1 AS idx,
        |  ((i - 1) // $GridW) AS r, ((i - 1) % $GridW) AS c,
        |  ((16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
@@ -332,7 +332,7 @@ object Multimodal {
        |  COALESCE(f.n_fg, 0) AS n_fg, COALESCE(o.n_open, 0) AS n_open,
        |  COALESCE(b.n_blobs, 0) AS n_blobs, COALESCE(b.n_kept, 0) AS n_kept,
        |  COALESCE(b.kept_px, 0) AS kept_px,
-       |  CAST((LEAST($MaxPix, length(encode(d.text)) ) // $GridW) AS INTEGER) AS h
+       |  CAST((LEAST($MaxPix, octet_length(encode(d.text))) // $GridW) AS INTEGER) AS h
        | FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) d
        | LEFT JOIN (SELECT doc_id, COUNT(*) AS n_fg FROM px WHERE fg GROUP BY doc_id) f
        |  ON f.doc_id = d.doc_id
