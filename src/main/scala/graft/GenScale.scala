@@ -61,12 +61,71 @@ object GenScale {
   private[graft] def heapsV(nDocs: Long): Int =
     math.max(31, math.round(31.0 * math.sqrt(nDocs / 5000.0)).toInt)
 
+  // --- open-vocabulary profile (r17, r16 verdict next-round #2) ---------
+  // The heaps profile grows DISTINCT-word count correctly but its words
+  // are "tokN" literals from a driver-side array — ~980 distinct words
+  // at 5M docs, so BPE merge space exhausts around 1k merges and the
+  // 32k-depth trainer claim rested on a synthetic side table. The open
+  // profile makes the corpus text itself production-shaped:
+  //   - vocabulary size follows Heaps' law on the TOKEN count
+  //     (V = 44·sqrt(tokens): ~730k distinct words at the 5M-doc rung,
+  //     ~73k at gen-sf1 — real-web scale);
+  //   - word FREQUENCY is Zipf(1) via inverse-CDF on a row-local hash
+  //     (rank = floor((V+1)^u) — log-uniform == p(r) ∝ 1/r);
+  //   - words are SUBWORD-COMPOSITIONAL: rank rendered in base-40
+  //     consonant-vowel syllables, most significant digit first, no
+  //     leading zeros — frequent words are short, rare words long
+  //     (the Zipf-brevity shape), and BPE has genuine sub-word
+  //     structure to learn at 32k+ merges.
+  // Everything stays a pure function of the row hash — no driver-side
+  // vocabulary array (an open vocabulary cannot ride in a literal), so
+  // generation is distributed and bit-identical on any partitioning.
+
+  private val SylCons = Seq("b", "d", "g", "k", "l", "m", "n", "p", "r", "s")
+  private val SylVows = Seq("a", "e", "i", "o")
+  private val Syllables: Seq[String] =
+    for (c <- SylCons; v <- SylVows) yield c + v // 40
+  private val SylBase = Syllables.size
+
+  /** Heaps vocabulary for the open profile, on corpus token count
+    * (mean 55 words/doc): V = 44·sqrt(tokens), the classic web-corpus
+    * constants (K≈44, β≈0.5).
+    */
+  private[graft] def openV(nDocs: Long): Int =
+    math.max(1000, math.round(44.0 * math.sqrt(nDocs * 55.0)).toInt)
+
+  /** rank (1-based) → syllable word, base-40 digits MSD-first. */
+  private def sylWord(rank: Column, v: Int): Column = {
+    val syl = array(Syllables.map(lit): _*)
+    val maxDigits = // smallest d with 40^d > V
+      Iterator.iterate(1L)(_ * SylBase).zipWithIndex
+        .find(_._1 > v).map(_._2).getOrElse(4).max(1)
+    concat((maxDigits - 1 to 0 by -1).map { i =>
+      val p = math.pow(SylBase, i).toLong
+      val digit = ((rank / lit(p)).cast(LongType) % SylBase + 1).cast(IntegerType)
+      when(rank >= p || lit(i == 0), element_at(syl, digit)).otherwise(lit(""))
+    }: _*)
+  }
+
+  /** Zipf(1) rank in [1, v] from a row-local hash cell. */
+  private def zipfRank(salt: String, v: Int, cell: Column): Column =
+    least(greatest(
+      floor(pow(lit(v + 1.0), unif(salt, cell))).cast(LongType), lit(1L)), lit(v.toLong))
+
   def documents(s: SparkSession, nDocs: Long,
-      heapsVocab: Boolean = false): DataFrame = {
-    val v: Int = if (heapsVocab) heapsV(nDocs) else Vocab.size
+      heapsVocab: Boolean = false, openVocab: Boolean = false): DataFrame = {
+    require(!(heapsVocab && openVocab), "pick one documents profile")
+    val v: Int =
+      if (openVocab) openV(nDocs)
+      else if (heapsVocab) heapsV(nDocs) else Vocab.size
     val vocabWords: Seq[String] =
-      Vocab ++ (Vocab.size until v).map(i => s"tok$i")
-    val vocab = array(vocabWords.map(lit): _*)
+      if (openVocab) Nil
+      else Vocab ++ (Vocab.size until v).map(i => s"tok$i")
+    val vocab = if (openVocab) lit(null) else array(vocabWords.map(lit): _*)
+    def wordAt(salt: String, cell: Column): Column =
+      if (openVocab) sylWord(zipfRank(salt, v, cell), v)
+      else element_at(vocab,
+        (roll(salt, v.toLong, cell) + lit(1L)).cast(IntegerType))
     val base = s.range(nDocs).toDF("doc_id")
       // duplicate injection, all row-local: a copy doc derives its text
       // from a CONTENT id pointing ≤50 ids back, so the base doc's text
@@ -86,8 +145,7 @@ object GenScale {
     val wc = (lit(10L) + roll("wc", 91L, col("content_id"))).cast(IntegerType)
     val words = transform(
       sequence(lit(1), col("n_words")),
-      i => element_at(vocab,
-        (roll("w", v.toLong, col("content_id") * 131 + i.cast(LongType)) + lit(1L)).cast(IntegerType)))
+      i => wordAt("w", col("content_id") * 131 + i.cast(LongType)))
     // near-copy edit: overwrite up to 3 hash-chosen positions with a
     // hash-chosen replacement word (edit distance 1-3 → token-3-gram
     // Jaccard ~0.85-0.95 on a 54-word doc, squarely in the near-dup band)
@@ -98,8 +156,7 @@ object GenScale {
           col("n_edits") > e &&
             p === roll(s"pos$e", 1000L, col("doc_id")).cast(IntegerType) % size(col("words_raw"))
         }.reduce(_ || _)
-        when(hit, element_at(vocab,
-          (roll("mw", v.toLong, col("doc_id") * 7 + p.cast(LongType)) + lit(1L)).cast(IntegerType)))
+        when(hit, wordAt("mw", col("doc_id") * 7 + p.cast(LongType)))
           .otherwise(w)
       })
     val langRoll = roll("lang", 100L, col("doc_id"))
@@ -273,12 +330,13 @@ object GenScale {
     */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 && args.length <= 4,
-      "usage: GenScale <outDir> <sf> [heaps|v1] [table,table,...]")
+      "usage: GenScale <outDir> <sf> [heaps|v1|open] [table,table,...]")
     val outDir = args(0)
     val sf = args(1).toDouble
-    require(args.length == 2 || args(2) == "heaps" || args(2) == "v1",
-      s"unknown documents profile '${args(2)}' (expected heaps or v1)")
+    require(args.length == 2 || Seq("heaps", "v1", "open").contains(args(2)),
+      s"unknown documents profile '${args(2)}' (expected heaps, v1 or open)")
     val heaps = args.length == 2 || args(2) == "heaps"
+    val open = args.length > 2 && args(2) == "open"
     // optional table filter for deep-ladder rungs where one operator's
     // input suffices (e.g. an sf100 embeddings-only rung for q109/q139
     // — writing 100x of nine unused tables would cost ~20 GB for
@@ -291,7 +349,7 @@ object GenScale {
     val s = GraftSession(s"local[$cpus]", cpus)
     def n(perSf1: Long): Long = math.max(1L, math.round(perSf1 * sf))
     val tables: Seq[(String, DataFrame)] = Seq(
-      "documents" -> documents(s, n(50000L), heaps),
+      "documents" -> documents(s, n(50000L), heaps, open),
       "embeddings" -> embeddings(s, n(20000L)),
       "events" -> events(s, n(1000000L), n(15000L)),
       "lineitem" -> lineitem(s, n(1500000L), n(200000L), n(10000L)),

@@ -98,6 +98,40 @@ class GenScaleSpec extends GraftSpec {
     assert(dup > 0.0 && dup < 0.01, s"dup rate off under heaps: $dup")
   }
 
+  test("open profile: syllabic Zipf words, Heaps vocabulary, dup shape held") {
+    // bit-identical regeneration across partitionings (the generator
+    // contract every profile must keep)
+    val a = GenScale.documents(spark, 3000, openVocab = true)
+      .repartition(3).orderBy("doc_id").collect()
+    val b = GenScale.documents(spark, 3000, openVocab = true)
+      .repartition(17).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // every word is a chain of consonant-vowel syllables — genuine
+    // subword structure for the BPE trainer
+    val words = GenScale.documents(spark, 3000, openVocab = true)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val bad = words.filter(!col("w").rlike("^([bdgklmnprs][aeio])+$")).count()
+    assert(bad === 0L, "open-profile words must be CV-syllable chains")
+    // Zipf: the most frequent word covers a large share while the
+    // distinct count tracks Heaps (V = 44*sqrt(tokens))
+    val freq = words.groupBy("w").count().orderBy(desc("count")).collect()
+    val total = freq.map(_.getLong(1)).sum
+    assert(freq.head.getLong(1) > total / 40,
+      s"head word too flat for Zipf: ${freq.head}")
+    val vCap = GenScale.openV(3000)
+    assert(freq.length > vCap / 4 && freq.length <= vCap,
+      s"distinct=${freq.length} outside the Heaps band (cap $vCap)")
+    // frequent words are SHORT, rare words LONG (Zipf brevity): the
+    // top-40 ranks are one syllable, deep ranks are 3+
+    assert(freq.take(5).forall(_.getString(0).length == 2))
+    assert(freq.last.getString(0).length >= 6)
+    // the dup-injection shape is profile-independent
+    val dup = GenScale.documents(spark, 20000, openVocab = true).agg(
+      (lit(1.0) - countDistinct(col("text")) / count(lit(1))).as("dup_rate"))
+      .head.getDouble(0)
+    assert(dup > 0.0 && dup < 0.01, s"dup rate off under open: $dup")
+  }
+
   test("embeddings are unit-norm and lineitem keeps ~4 lines/order") {
     val e = GenScale.embeddings(spark, 300)
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
