@@ -394,6 +394,15 @@ object IndexSet {
     * exclusion with no survivor rows, and a crash before the commit
     * leaves the prior version servable with every victim still
     * present (deletion is not durable until the manifest commits).
+    *
+    * Bulk-delete guard (the deleteFromBm25 discipline, sharing its
+    * `spark.graft.bm25.deleteRepublishFraction` dial): above the
+    * victim fraction — decided upfront from the manifest's nDocs, no
+    * probe job — the delete degrades to a survivor REPUBLISH (fresh
+    * segments containing all survivors, df/stats recomputed with no
+    * victim-derived driver state, one new manifest referencing only
+    * them), since the surgical path would collect near the full
+    * vocabulary and rewrite nearly every partition anyway.
     */
   private[graft] def delete(s: SparkSession, ids: Seq[Long], root: String,
       beforeCommit: () => Unit): HybridManifest = {
@@ -404,6 +413,39 @@ object IndexSet {
     val id = segId(v2)
     val victims = ids.distinct.toDF("doc_id")
     val vVictims = ids.distinct.toDF("vec_id")
+
+    if (ids.distinct.size >= Retrieval.deleteRepublishFraction(s) * m.nDocs) {
+      val survPost = readSegs(s, postingsRoot(root), m.bm25Postings)
+        .join(victims, Seq("doc_id"), "left_anti").drop("tb")
+      writePostingsSeg(survPost, root, id)
+      val survDl = readSegs(s, dlRoot(root), m.bm25Dl)
+        .join(victims, Seq("doc_id"), "left_anti").drop("db")
+      writeDocKeyedSeg(survDl, dlRoot(root), id)
+      // df/stats from the STAGED survivors so every piece derives from
+      // one corpus state (and nothing victim-sized reaches the driver)
+      val staged = s.read.option("basePath", postingsRoot(root))
+        .parquet(s"${postingsRoot(root)}/seg=$id")
+      writeDfGen(staged.groupBy("term").agg(count(lit(1)).as("df")), root, id)
+      val st = s.read.option("basePath", dlRoot(root))
+        .parquet(s"${dlRoot(root)}/seg=$id")
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+        .collect()(0)
+      require(st.getLong(0) > 0,
+        "deleting every document empties the index set — nothing to republish")
+      writeCodesSeg(readSegs(s, codesRoot(root), m.pqCodes)
+        .join(vVictims, Seq("vec_id"), "left_anti"), root, id)
+      writeDocKeyedSeg(readSegs(s, docsRoot(root), m.docs)
+        .join(victims, Seq("doc_id"), "left_anti").drop("db"),
+        docsRoot(root), id)
+      beforeCommit()
+      val m2 = m.copy(version = v2, corpusVersion = m.corpusVersion + 1,
+        nDocs = st.getLong(0), sumDl = st.getLong(1),
+        bm25Postings = Seq(SegRef(id, Nil)), bm25Dl = Seq(SegRef(id, Nil)),
+        bm25DfGen = id, pqCodes = Seq(SegRef(id, Nil)),
+        docs = Seq(SegRef(id, Nil)))
+      commitManifest(s, root, m2)
+      return m2
+    }
 
     // victim-derived state, all bounded (the deleteFromBm25 discipline):
     // per-(segment, partition) touch lists, the victims' per-term doc
