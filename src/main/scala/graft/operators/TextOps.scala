@@ -157,8 +157,16 @@ object TextOps {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // tf's key set IS the distinct (doc, token) pairs — derive df from it
     // instead of re-exploding + distinct-ing the token stream (one scan
-    // and one shuffle fewer; the second agg is map-side partial anyway)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // and one shuffle fewer; the second agg is map-side partial anyway).
+    // The tf >= 1 filter is a tautology (tf is a count) whose only job
+    // is plan shape: it consumes the tf VALUE between the two
+    // aggregates, so the optimizer cannot rewrite the inner agg into a
+    // bare DISTINCT (its aggregate-pruning pass otherwise drops the
+    // partial count), which keeps this branch's scan→explode→partial-
+    // agg→exchange subtree canonically equal to the join branch's —
+    // exchange reuse then serves df from tf's shuffle output instead of
+    // re-scanning and re-exploding the whole corpus a second time
+    val df = tf.where(col("tf") >= 1).groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
     tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocsDf))

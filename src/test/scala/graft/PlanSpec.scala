@@ -228,6 +228,25 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("n_docs"), p)
   }
 
+  test("q53 df derives from tf's shuffle output — corpus scanned once, not per branch") {
+    // exchange reuse is an AQE runtime decision: execute, then read the
+    // final plan. The tautological tf >= 1 filter in q53Tfidf exists for
+    // exactly this assertion — without it the optimizer rewrites the df
+    // branch's inner aggregate into a bare DISTINCT, the subtrees stop
+    // being canonically equal, and the corpus is scanned + re-exploded a
+    // second time for the df aggregate (the pre-r17 3-scan shape)
+    val df = operators.TextOps.q53Tfidf(spark, sfDir)
+    df.collect()
+    val full = planOf(df)
+    assert(full.contains("isFinalPlan=true"), full)
+    // the executed-plan string carries the pre-AQE initial plan below the
+    // final one — grade the final section only
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), "df branch must reuse tf's exchange:\n" + p)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 2, s"expected the tf scan + the footer-only n_docs count, got $scans scans:\n$p")
+  }
+
   test("q28/q104 score from the model registry — training runs once, not per query") {
     import graft.operators.{Classify, LrTrain}
     // first touch may train (populating the JVM-wide registry); after
