@@ -517,16 +517,54 @@ object Bpe {
     * once, publishes it, and bills every downstream budget operator
     * in the PUBLISHED tokenizer's tokens.
     */
-  def publishTokenizer(merges: DataFrame, outDir: String): Unit =
+  def publishTokenizer(merges: DataFrame, outDir: String): Unit = {
+    // r17: MANIFEST-COMMITTED (sources.ManifestLog, the index-set
+    // discipline): merges stage into a fresh gen=<v> dir first, then
+    // the versioned manifest file — written LAST via create-temp +
+    // atomic rename — makes the version visible. The old
+    // mode(overwrite) flat layout destroyed the prior artifact the
+    // moment a re-publish started; a crash mid-write left NO servable
+    // tokenizer. Now a crash leaves the prior version current and the
+    // staged dir an invisible orphan, a re-publish is a new version
+    // (rollback = load the old one), and a pinned version keeps a
+    // reproducibility-sensitive consumer on the exact merge table it
+    // was billed with.
+    val s = merges.sparkSession
+    val v = graft.sources.ManifestLog.versions(s, outDir)
+      .lastOption.getOrElse(0L) + 1
+    // overwrite: a crashed earlier attempt at this version never
+    // committed its manifest, so its leftover staging is safe to replace
     merges.select("rank", "lhs", "rhs").orderBy("rank")
-      .coalesce(1).write.mode("overwrite").parquet(outDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/gen=$v/merges")
+    graft.sources.ManifestLog.commit(s, outDir, v,
+      s"""{"version": $v, "gen": "$v"}""")
+  }
 
   /** Load a published merges table back into the foldable form
     * `bpe_count_with` consumes (rank-ordered lhsrhs strings —
-    * the same literal q144 builds from the in-memory fit).
+    * the same literal q144 builds from the in-memory fit). Resolves
+    * through the manifest log: no `version` = current; a pinned
+    * version keeps serving its exact merge table across re-publishes.
+    * Pre-manifest artifacts (flat parquet at `outDir`) still load,
+    * with a republish nudge.
     */
-  def loadTokenizer(s: SparkSession, outDir: String): org.apache.spark.sql.Column = {
-    val rows = s.read.parquet(outDir)
+  def loadTokenizer(s: SparkSession, outDir: String,
+      version: Option[Long] = None): org.apache.spark.sql.Column = {
+    val path =
+      if (graft.sources.ManifestLog.versions(s, outDir).nonEmpty) {
+        val v = version.getOrElse(
+          graft.sources.ManifestLog.currentVersion(s, outDir))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(graft.sources.ManifestLog.read(s, outDir, Some(v)))
+        s"$outDir/gen=${node.get("gen").asText()}/merges"
+      } else {
+        require(version.isEmpty,
+          s"legacy tokenizer artifact at $outDir has no manifest — cannot pin a version")
+        System.err.println(s"[graft] legacy tokenizer artifact at $outDir: " +
+          "flat un-versioned layout — republish for atomic versioned commits")
+        outDir
+      }
+    val rows = s.read.parquet(path)
       .orderBy("rank").select("lhs", "rhs").collect()
       .map(r => r.getString(0) + graft.functions.BpeCodec.Sep + r.getString(1))
     typedLit(rows.toSeq)

@@ -110,11 +110,7 @@ object IndexSet {
   private def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  // --- manifest IO -------------------------------------------------------
-
-  private def manifestDir(root: String) = s"$root/manifest"
-  private def manifestPath(root: String, v: Long) =
-    f"${manifestDir(root)}/v$v%09d.json"
+  // --- manifest IO (commit/list/read shared via graft.sources.ManifestLog) -----
 
   private def jsonStr(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -157,53 +153,25 @@ object IndexSet {
 
   /** The commit: create-temp then ATOMIC RENAME into the versioned
     * manifest name — written last, so every staged segment/generation
-    * of this mutation becomes visible in one filesystem metadata op. A
-    * pre-existing target (concurrent writer) fails loudly.
+    * of this mutation becomes visible in one filesystem metadata op
+    * (graft.sources.ManifestLog, the discipline shared by all registries).
     */
   private def commitManifest(s: SparkSession, root: String,
-      m: HybridManifest): Unit = {
-    val fs = fsOf(s, root)
-    val target = new Path(manifestPath(root, m.version))
-    require(!fs.exists(target),
-      s"manifest $target already exists — concurrent writer? (single-writer contract)")
-    val tmp = new Path(manifestDir(root), s".tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, target),
-      s"manifest commit failed renaming $tmp -> $target")
-  }
+      m: HybridManifest): Unit =
+    graft.sources.ManifestLog.commit(s, root, m.version, render(m))
 
   /** Committed versions, ascending — the current version is simply the
     * max manifest file; a crashed mutation never produced one.
     */
-  def versions(s: SparkSession, root: String): Seq[Long] = {
-    val dir = new Path(manifestDir(root))
-    val fs = fsOf(s, root)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .collect { case nm if nm.matches("v\\d{9}\\.json") =>
-        nm.substring(1, 10).toLong }
-      .sorted
-  }
+  def versions(s: SparkSession, root: String): Seq[Long] =
+    graft.sources.ManifestLog.versions(s, root)
 
-  def currentVersion(s: SparkSession, root: String): Long = {
-    val vs = versions(s, root)
-    require(vs.nonEmpty, s"no committed manifest under $root/manifest")
-    vs.last
-  }
+  def currentVersion(s: SparkSession, root: String): Long =
+    graft.sources.ManifestLog.currentVersion(s, root)
 
   def readManifest(s: SparkSession, root: String,
       version: Option[Long] = None): HybridManifest = {
-    val v = version.getOrElse(currentVersion(s, root))
-    val p = new Path(manifestPath(root, v))
-    val fs = fsOf(s, root)
-    require(fs.exists(p), s"no manifest for version $v under $root")
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(bytes) finally in.close()
-    val str = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    val m = parse(str)
+    val m = parse(graft.sources.ManifestLog.read(s, root, version))
     require(m.termBuckets == Retrieval.TermBuckets &&
       m.docBuckets == Retrieval.DocBuckets &&
       m.pqDims == Seq(Quantize.PqM, Quantize.PqK, Quantize.PqD),
@@ -597,8 +565,8 @@ object IndexSet {
       }
     }
     vs.dropRight(keepVersions).foreach { v =>
-      fs.delete(new Path(manifestPath(root, v)), false)
-      deleted += manifestPath(root, v)
+      fs.delete(new Path(graft.sources.ManifestLog.manifestPath(root, v)), false)
+      deleted += graft.sources.ManifestLog.manifestPath(root, v)
     }
     deleted.toSeq
   }

@@ -142,26 +142,67 @@ object RouteStream {
     // side (only the request-sized arrivals hash into the buckets),
     // where the previous exchange-layout parquet paid a full inCap
     // re-shuffle on the first probe of every new session.
+    //
+    // r17 follow-up: the publish is MANIFEST-COMMITTED (sources
+    // .ManifestLog, the index-set discipline). The previous form wrote
+    // three tables in place with mode(overwrite) — a crash between
+    // inCap and reps/dials left a TORN artifact (new in-cap cells
+    // against the old dense-tail reps: pair emissions and verdicts
+    // from two different corpus states, undetectable). Now all three
+    // pieces stage into a fresh gen=<v> dir and the atomic manifest
+    // rename — written last — is the only commit point; the catalog
+    // name is derived from the gen dir so every version has its own
+    // bucketed table entry.
     val s = idx.inCap.sparkSession
+    val v = graft.sources.ManifestLog.versions(s, outDir)
+      .lastOption.getOrElse(0L) + 1
+    val gen = s"$outDir/gen=$v"
+    // overwrite within the fresh gen dir: a crashed earlier attempt at
+    // this version never committed, so its leftovers are safe to replace
+    s.sql(s"DROP TABLE IF EXISTS ${inCapTableName(gen)}")
     idx.inCap.write.format("parquet")
       .bucketBy(InCapBuckets, "band", "key")
-      .option("path", s"$outDir/incap_bucketed")
-      .mode("overwrite").saveAsTable(inCapTableName(outDir))
-    idx.overCapReps.write.mode("overwrite").parquet(s"$outDir/reps")
+      .option("path", s"$gen/incap_bucketed")
+      .mode("overwrite").saveAsTable(inCapTableName(gen))
+    idx.overCapReps.write.mode("overwrite").parquet(s"$gen/reps")
     import s.implicits._
     Seq((idx.bits, idx.nBands, idx.cap, idx.horizon, InCapBuckets))
       .toDF("bits", "n_bands", "cap", "horizon", "incap_buckets")
-      .write.mode("overwrite").parquet(s"$outDir/dials")
+      .write.mode("overwrite").parquet(s"$gen/dials")
+    graft.sources.ManifestLog.commit(s, outDir, v,
+      s"""{"version": $v, "gen": "$v"}""")
   }
 
   /** Load resolves inCap through the catalog so the bucket spec reaches
     * the planner. A session (or JVM) without the catalog entry
     * re-registers it over the existing bucketed files — metadata only,
-    * no data rewrite. Artifacts published before the bucketed layout
-    * (a plain `incap` dir, 4-column dials) still load with a warning;
-    * they serve correctly but pay the first-probe re-shuffle.
+    * no data rewrite. Resolution goes through the manifest log when one
+    * exists (no `version` = current; a pinned version keeps serving its
+    * exact cells across re-publishes). Artifacts published before the
+    * manifest (flat layout) or before the bucketed layout (a plain
+    * `incap` dir, 4-column dials) still load with a warning; the latter
+    * serve correctly but pay the first-probe re-shuffle.
     */
-  def loadRoutedIndex(s: SparkSession, outDir: String): RoutedIndex = {
+  def loadRoutedIndex(s: SparkSession, outDir: String,
+      version: Option[Long] = None): RoutedIndex = {
+    val root =
+      if (graft.sources.ManifestLog.versions(s, outDir).nonEmpty) {
+        val v = version.getOrElse(
+          graft.sources.ManifestLog.currentVersion(s, outDir))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(graft.sources.ManifestLog.read(s, outDir, Some(v)))
+        s"$outDir/gen=${node.get("gen").asText()}"
+      } else {
+        require(version.isEmpty,
+          s"legacy routed index at $outDir has no manifest — cannot pin a version")
+        System.err.println(s"[graft] legacy routed index at $outDir: " +
+          "un-versioned layout — republish for atomic versioned commits")
+        outDir
+      }
+    loadRoutedIndexFrom(s, root)
+  }
+
+  private def loadRoutedIndexFrom(s: SparkSession, outDir: String): RoutedIndex = {
     val dialsDf = s.read.parquet(s"$outDir/dials")
     val d = dialsDf.collect()(0)
     val inCap =

@@ -423,6 +423,46 @@ class BpeSpec extends GraftSpec {
     assert(a === b, "loaded-tokenizer billing must equal the in-memory fit")
   }
 
+  test("tokenizer registry: manifest versions — torn republish invisible, pinned load survives") {
+    import org.apache.spark.sql.functions.col
+    val merges = Bpe.q141BpeTrain(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_tok_ver").toFile
+    out.deleteOnExit()
+    val root = out.getAbsolutePath
+    Bpe.publishTokenizer(merges, root)
+    assert(graft.sources.ManifestLog.versions(spark, root) === Seq(1L))
+    def loadedSeq(version: Option[Long]) =
+      spark.range(1).select(Bpe.loadTokenizer(spark, root, version).as("m"))
+        .collect().head.getSeq[String](0)
+    val v1 = loadedSeq(None)
+
+    // torn republish: a staged gen dir with NO manifest must be invisible
+    // (the pre-manifest mode(overwrite) layout had already destroyed the
+    // artifact at this point)
+    merges.limit(1).select("rank", "lhs", "rhs")
+      .write.parquet(s"$root/gen=2/merges")
+    assert(loadedSeq(None) === v1,
+      "an uncommitted staging dir must not change what load serves")
+
+    // committed republish with a DIFFERENT (truncated) table: current
+    // moves to v2, the pinned v1 keeps its full table
+    val half = merges.orderBy("rank").limit(1)
+    Bpe.publishTokenizer(half, root)
+    assert(graft.sources.ManifestLog.versions(spark, root) === Seq(1L, 2L))
+    assert(loadedSeq(None).length == 1, "current must serve the republished table")
+    assert(loadedSeq(Some(1L)) === v1, "a pinned version keeps its exact merge table")
+
+    // legacy flat artifact (pre-manifest layout) still loads
+    val legacy = java.nio.file.Files.createTempDirectory("graft_tok_leg").toFile
+    legacy.deleteOnExit()
+    merges.select("rank", "lhs", "rhs").coalesce(1)
+      .write.mode("overwrite").parquet(legacy.getAbsolutePath)
+    assert(spark.range(1)
+      .select(Bpe.loadTokenizer(spark, legacy.getAbsolutePath).as("m"))
+      .collect().head.getSeq[String](0) === v1)
+    intercept[Exception](Bpe.loadTokenizer(spark, legacy.getAbsolutePath, Some(1L)))
+  }
+
   test("q150 v2 plan: native row-local chunking, one exchange (the orderBy)") {
     val plan = Bpe.q150RagChunks(spark, sfDir)
       .queryExecution.executedPlan.toString

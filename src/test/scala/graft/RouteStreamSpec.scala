@@ -134,7 +134,9 @@ class RouteStreamSpec extends GraftSpec {
       // bucketed table from its files (metadata only) — the cross-session
       // first-probe case the r16 self-assessment flagged
       val s2 = GraftSession.childSessionFrom(spark)
-      s2.sql(s"DROP TABLE IF EXISTS ${RouteStream.inCapTableName(out.getAbsolutePath)}")
+      // the catalog name derives from the committed gen dir (gen=1 for a
+      // first publish) since the r17 manifest commit
+      s2.sql(s"DROP TABLE IF EXISTS ${RouteStream.inCapTableName(out.getAbsolutePath + "/gen=1")}")
       val loaded = RouteStream.loadRoutedIndex(s2, out.getAbsolutePath)
 
       val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
@@ -211,6 +213,50 @@ class RouteStreamSpec extends GraftSpec {
       spark.conf.set("spark.graft.rplsh.routeHorizon", "not an interval")
       try intercept[Exception](RouteStream.buildIndex(spark, dir))
       finally spark.conf.unset("spark.graft.rplsh.routeHorizon")
+    } finally spark.conf.unset("spark.graft.rplsh.routeCap")
+  }
+
+  test("routed index registry: torn publish invisible; pinned version survives republish") {
+    val dir = "/root/testdata/sf0.01"
+    spark.conf.set("spark.graft.rplsh.routeCap", "30")
+    try {
+      val built = RouteStream.buildIndex(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_routever").toFile
+      out.deleteOnExit()
+      val root = out.getAbsolutePath
+      RouteStream.publishRoutedIndex(built, root)
+      assert(graft.sources.ManifestLog.versions(spark, root) === Seq(1L))
+
+      val t0 = Timestamp.valueOf("2024-06-01 12:00:00")
+      val sp = spark
+      import sp.implicits._
+      val arrivals = Tables.embeddings(spark, dir).collect()
+        .map(r => (t0, r.getLong(0), r.getSeq[Float](1))).toSeq
+        .toDF("ts", "vec_id", "embedding")
+      def pairRows(idx: RouteStream.RoutedIndex) =
+        RouteStream.pairs(arrivals, idx).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val v1Rows = pairRows(RouteStream.loadRoutedIndex(spark, root))
+
+      // a TORN publish — gen dir staged (here: dials only, reps and the
+      // bucketed table missing) but no manifest committed — must be
+      // invisible: load keeps resolving v1 and serves it unchanged.
+      // The pre-manifest form served exactly this torn state.
+      val torn = new java.io.File(out, "gen=2/dials")
+      spark.read.parquet(s"$root/gen=1/dials")
+        .write.parquet(torn.getAbsolutePath)
+      assert(graft.sources.ManifestLog.currentVersion(spark, root) == 1L)
+      assert(pairRows(RouteStream.loadRoutedIndex(spark, root)) === v1Rows,
+        "an uncommitted staging dir must not change what load serves")
+
+      // a real republish commits v2 (the torn staging is safely
+      // overwritten); the pinned v1 load still serves the old cells
+      RouteStream.publishRoutedIndex(built, root)
+      assert(graft.sources.ManifestLog.versions(spark, root) === Seq(1L, 2L))
+      assert(pairRows(RouteStream.loadRoutedIndex(spark, root)) === v1Rows)
+      assert(pairRows(RouteStream.loadRoutedIndex(spark, root, Some(1L))) === v1Rows,
+        "a pinned version must keep serving its own cells")
+      assert(v1Rows.nonEmpty)
     } finally spark.conf.unset("spark.graft.rplsh.routeCap")
   }
 }
