@@ -287,8 +287,15 @@ object IndexSet {
     val bm = Retrieval.buildBm25IndexFrom(docs.select("doc_id", "text"))
     require(bm.nDocs > 0, "cannot publish an empty corpus")
     writePostingsSeg(bm.postings, root, id)
-    writeDocKeyedSeg(bm.dl, dlRoot(root), id)
-    writeDfGen(bm.df, root, id)
+    // dl/df derive from the STAGED postings seg (the publishBm25 r17
+    // discipline): exchange reuse cannot span write actions, so the
+    // in-memory frames would re-run the corpus scan+explode per
+    // component — column-pruned reads of the staged seg are
+    // doc/vocabulary-scale and value-identical by construction
+    val stagedPost = s.read.parquet(s"${postingsRoot(root)}/seg=$id")
+    writeDocKeyedSeg(
+      stagedPost.groupBy("doc_id").agg(min("dl").as("dl")), dlRoot(root), id)
+    writeDfGen(stagedPost.groupBy("term").agg(count(lit(1)).as("df")), root, id)
     val pq = Quantize.buildIndexFrom(vecs)
     writeFitGen(pq, root, id)
     writeCodesSeg(pq.codes, root, id)
@@ -330,9 +337,12 @@ object IndexSet {
     val inc = Retrieval.buildBm25IndexFrom(newDocs.select("doc_id", "text"))
     require(inc.nDocs > 0, "empty ingest batch — nothing to append")
     writePostingsSeg(inc.postings, root, id)
-    writeDocKeyedSeg(inc.dl, dlRoot(root), id)
+    // increment dl/df derive from the staged seg, as in publish
+    val stagedInc = s.read.parquet(s"${postingsRoot(root)}/seg=$id")
+    writeDocKeyedSeg(
+      stagedInc.groupBy("doc_id").agg(min("dl").as("dl")), dlRoot(root), id)
     val mergedDf = s.read.parquet(s"${dfRoot(root)}/gen=${m.bm25DfGen}")
-      .unionByName(inc.df)
+      .unionByName(stagedInc.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
     writeDfGen(mergedDf, root, id)
     val (coarse, book) = loadFit(s, root, m.pqFitGen)

@@ -67,8 +67,14 @@ object Retrieval {
     // explode, so the tf shuffle carries candidates only
     val tf = toks.join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df over the pruned postings = the full-corpus df of a query term
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df over the pruned postings = the full-corpus df of a query term.
+    // tf >= 1 is a tautology (tf is a count) that consumes the tf VALUE
+    // between the aggregates, blocking the optimizer's bare-DISTINCT
+    // rewrite of the inner agg — the subtree stays canonically equal to
+    // the scoring branch's tf, so exchange reuse serves df from tf's
+    // shuffle instead of re-scanning + re-exploding the corpus (the
+    // q53 r17 fix, same defect class)
+    val df = tf.where(col("tf") >= 1).groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), Seq("term"))
@@ -199,8 +205,16 @@ object Retrieval {
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // df and dl both DERIVE FROM tf so every single-action consumer
+    // (the eager stats collect below, a postings write, q148's scoring
+    // plan) runs ONE corpus scan+explode and reuses tf's exchange for
+    // the rest: dl = sum of the doc's term counts (== the token count
+    // the raw-toks aggregate computed — every doc has >= 1 token since
+    // split("") = [""]); the tf >= 1 tautology consumes the count value
+    // so the optimizer cannot rewrite df's inner agg into a bare
+    // DISTINCT and break canonical subtree equality (the q53 r17 fix)
+    val df = tf.where(col("tf") >= 1).groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("s")).collect()(0)
     Bm25Index(tf.join(dl, Seq("doc_id")), df, dl, st.getLong(0),
       if (st.isNullAt(1)) 0L else st.getLong(1))
@@ -252,16 +266,33 @@ object Retrieval {
     // in-partition term sort prunes at the parquet row-group layer
     // (RetrProbe at 1.5M docs: the unclustered scan cost the serve
     // path ~10 s of pure postings I/O)
+    val s = idx.postings.sparkSession
+    // guard up front (not only in writeStats): an empty corpus would
+    // otherwise fail later with an unhelpful schema-inference error on
+    // the staged-postings read
+    require(idx.nDocs > 0,
+      s"cannot publish BM25 index for an empty corpus (n_docs=${idx.nDocs})")
     idx.postings.withColumn("tb", termBucketCol)
       .repartition(col("tb")).sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("tb")
       .option("parquet.block.size", PostingsRowGroupBytes.toString)
       .parquet(s"$outDir/postings")
-    idx.df.write.mode("overwrite").parquet(s"$outDir/df")
-    idx.dl.withColumn("db", docBucketCol)
+    // df and dl DERIVE FROM THE STAGED POSTINGS (the republishSurvivors
+    // discipline): in-plan exchange reuse cannot span separate write
+    // actions, so writing idx.df/idx.dl would re-run the corpus
+    // scan+explode once per component — column-pruned reads of the
+    // just-written postings cost vocabulary/doc-scale instead. Values
+    // are identical by construction (postings = tf join dl; df = its
+    // per-term row count, dl = its per-doc length — every (doc, term)
+    // row carries the doc's one dl)
+    val staged = s.read.parquet(s"$outDir/postings")
+    staged.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$outDir/df")
+    staged.groupBy("doc_id").agg(min("dl").as("dl"))
+      .withColumn("db", docBucketCol)
       .repartition(col("db")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("db").parquet(s"$outDir/dl")
-    writeStats(idx.postings.sparkSession, idx.nDocs, idx.sumDl, outDir)
+    writeStats(s, idx.nDocs, idx.sumDl, outDir)
   }
 
   def loadBm25(s: SparkSession, outDir: String): Bm25Index = {

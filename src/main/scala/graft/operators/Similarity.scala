@@ -417,7 +417,13 @@ object Similarity {
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // tf >= 1 is a tautology (tf is a count) whose only job is plan
+    // shape: consuming the tf VALUE between the two aggregates blocks
+    // the optimizer's rewrite of the inner agg into a bare DISTINCT,
+    // which keeps this subtree canonically equal to tfidfWeights' tf —
+    // exchange reuse then serves the whole q105/q108 chain from ONE
+    // corpus scan+explode instead of two (the q53 r17 fix, same defect)
+    val dfT = tf.where(col("tf") >= 1).groupBy("token").agg(count(lit(1)).as("df"))
     // top-V vocabulary: orderBy+limit = TakeOrderedAndProject (k-bounded
     // per partition, no global sort). dim = rank within the V rows,
     // computed as a broadcast inequality self-join on the tiny set —
