@@ -287,15 +287,16 @@ object IndexSet {
     val bm = Retrieval.buildBm25IndexFrom(docs.select("doc_id", "text"))
     require(bm.nDocs > 0, "cannot publish an empty corpus")
     writePostingsSeg(bm.postings, root, id)
-    // dl/df derive from the STAGED postings seg (the publishBm25 r17
-    // discipline): exchange reuse cannot span write actions, so the
-    // in-memory frames would re-run the corpus scan+explode per
-    // component — column-pruned reads of the staged seg are
-    // doc/vocabulary-scale and value-identical by construction
-    val stagedPost = s.read.parquet(s"${postingsRoot(root)}/seg=$id")
-    writeDocKeyedSeg(
-      stagedPost.groupBy("doc_id").agg(min("dl").as("dl")), dlRoot(root), id)
-    writeDfGen(stagedPost.groupBy("term").agg(count(lit(1)).as("df")), root, id)
+    writeDocKeyedSeg(bm.dl, dlRoot(root), id)
+    // df derives from the STAGED postings seg (the publishBm25 r17
+    // discipline, A/B'd in BENCH_R17_PUBLISH.json): exchange reuse
+    // cannot span write actions, so the in-memory frame would re-run
+    // the corpus explode plus a second full (doc, term) shuffle — the
+    // staged read is one column-pruned pass with map-side term counts.
+    // dl stays on its in-memory frame: the raw-toks aggregate map-side
+    // combines to doc granularity, a light shuffle
+    writeDfGen(s.read.parquet(s"${postingsRoot(root)}/seg=$id")
+      .groupBy("term").agg(count(lit(1)).as("df")), root, id)
     val pq = Quantize.buildIndexFrom(vecs)
     writeFitGen(pq, root, id)
     writeCodesSeg(pq.codes, root, id)
@@ -337,12 +338,11 @@ object IndexSet {
     val inc = Retrieval.buildBm25IndexFrom(newDocs.select("doc_id", "text"))
     require(inc.nDocs > 0, "empty ingest batch — nothing to append")
     writePostingsSeg(inc.postings, root, id)
-    // increment dl/df derive from the staged seg, as in publish
-    val stagedInc = s.read.parquet(s"${postingsRoot(root)}/seg=$id")
-    writeDocKeyedSeg(
-      stagedInc.groupBy("doc_id").agg(min("dl").as("dl")), dlRoot(root), id)
+    writeDocKeyedSeg(inc.dl, dlRoot(root), id)
+    // the increment's df derives from its staged seg, as in publish
     val mergedDf = s.read.parquet(s"${dfRoot(root)}/gen=${m.bm25DfGen}")
-      .unionByName(stagedInc.groupBy("term").agg(count(lit(1)).as("df")))
+      .unionByName(s.read.parquet(s"${postingsRoot(root)}/seg=$id")
+        .groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
     writeDfGen(mergedDf, root, id)
     val (coarse, book) = loadFit(s, root, m.pqFitGen)

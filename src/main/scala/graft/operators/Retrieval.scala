@@ -205,16 +205,18 @@ object Retrieval {
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df and dl both DERIVE FROM tf so every single-action consumer
-    // (the eager stats collect below, a postings write, q148's scoring
-    // plan) runs ONE corpus scan+explode and reuses tf's exchange for
-    // the rest: dl = sum of the doc's term counts (== the token count
-    // the raw-toks aggregate computed — every doc has >= 1 token since
-    // split("") = [""]); the tf >= 1 tautology consumes the count value
-    // so the optimizer cannot rewrite df's inner agg into a bare
-    // DISTINCT and break canonical subtree equality (the q53 r17 fix)
+    // df derives from tf with the tf >= 1 tautology (consuming the count
+    // value blocks the optimizer's bare-DISTINCT rewrite, so a
+    // single-action consumer like an in-memory scoreQueries reuses tf's
+    // exchange for df — the q53 r17 fix). dl deliberately does NOT
+    // route through tf: the (doc_id, term) exchange is the expensive
+    // unit here (821 MB of shuffle at the 1.5M-doc rung), while the
+    // raw-toks aggregate map-side combines to doc granularity before a
+    // KB-scale shuffle — a dl-from-tf form made the eager stats collect
+    // below pay that full tf exchange and was MEASURED at ~2x the
+    // publish wall (BENCH_R17_PUBLISH.json), so it was rejected
     val df = tf.where(col("tf") >= 1).groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("s")).collect()(0)
     Bm25Index(tf.join(dl, Seq("doc_id")), df, dl, st.getLong(0),
       if (st.isNullAt(1)) 0L else st.getLong(1))
@@ -277,19 +279,20 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("tb")
       .option("parquet.block.size", PostingsRowGroupBytes.toString)
       .parquet(s"$outDir/postings")
-    // df and dl DERIVE FROM THE STAGED POSTINGS (the republishSurvivors
+    // df DERIVES FROM THE STAGED POSTINGS (the republishSurvivors
     // discipline): in-plan exchange reuse cannot span separate write
-    // actions, so writing idx.df/idx.dl would re-run the corpus
-    // scan+explode once per component — column-pruned reads of the
-    // just-written postings cost vocabulary/doc-scale instead. Values
-    // are identical by construction (postings = tf join dl; df = its
-    // per-term row count, dl = its per-doc length — every (doc, term)
-    // row carries the doc's one dl)
-    val staged = s.read.parquet(s"$outDir/postings")
-    staged.groupBy("term").agg(count(lit(1)).as("df"))
+    // actions, so writing idx.df would re-run the corpus explode plus a
+    // full (doc, term)-distinct shuffle (740 MB at the 1.5M-doc rung) —
+    // the staged read is one column-pruned pass with map-side term
+    // counts, 323 -> 25 task-seconds in the instrumented A/B
+    // (BENCH_R17_PUBLISH.json; walls at this rung swing ±40% with
+    // page-cache state, the stage table is the evidence). dl stays on
+    // its in-memory frame: its raw-toks aggregate map-side combines to
+    // doc granularity before a KB-scale shuffle — cheap to recompute
+    s.read.parquet(s"$outDir/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$outDir/df")
-    staged.groupBy("doc_id").agg(min("dl").as("dl"))
-      .withColumn("db", docBucketCol)
+    idx.dl.withColumn("db", docBucketCol)
       .repartition(col("db")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("db").parquet(s"$outDir/dl")
     writeStats(s, idx.nDocs, idx.sumDl, outDir)
