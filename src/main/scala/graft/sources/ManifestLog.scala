@@ -64,6 +64,40 @@ object ManifestLog {
     vs.last
   }
 
+  /** Reclaim what no retained manifest references, for the
+    * single-artifact registries whose payload carries a `gen` field
+    * (tokenizer, routed index): `gen=<id>` dirs of vacuumed versions
+    * and of crashed publishes that never committed, plus the vacuumed
+    * manifest FILES themselves (time travel reaches only retained
+    * versions afterwards). Returns the deleted paths — the exactness
+    * contract IndexSet.vacuum pins for the hybrid family.
+    */
+  def vacuumGens(s: SparkSession, root: String,
+      keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val vs = versions(s, root)
+    require(vs.nonEmpty, s"nothing published under $root")
+    val keep = vs.takeRight(keepVersions).toSet
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def genOf(v: Long): String =
+      om.readTree(read(s, root, Some(v))).get("gen").asText()
+    val liveGens = keep.map(genOf)
+    val fs = fsOf(s, root)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
+      val nm = d.getPath.getName
+      if (nm.startsWith("gen=") && !liveGens.contains(nm.drop(4))) {
+        fs.delete(d.getPath, true)
+        deleted += d.getPath.toString
+      }
+    }
+    vs.filterNot(keep).foreach { v =>
+      fs.delete(new Path(manifestPath(root, v)), false)
+      deleted += manifestPath(root, v)
+    }
+    deleted.toSeq
+  }
+
   /** Read one committed manifest's payload. */
   def read(s: SparkSession, root: String,
       version: Option[Long] = None): String = {

@@ -452,6 +452,17 @@ class BpeSpec extends GraftSpec {
     assert(loadedSeq(None).length == 1, "current must serve the republished table")
     assert(loadedSeq(Some(1L)) === v1, "a pinned version keeps its exact merge table")
 
+    // vacuum reclaims EXACTLY the unreferenced set: v1's gen dir and
+    // manifest file (the committed republish owns gen=2 — its earlier
+    // torn staging was overwritten in place); the current version's
+    // files stay and it still loads, the vacuumed pin fails loudly
+    val deleted = graft.sources.ManifestLog.vacuumGens(spark, root)
+    val deletedNames = deleted.map(_.split("/").last).toSet
+    assert(deletedNames === Set("gen=1", "v000000001.json"),
+      s"vacuum must reclaim exactly the unreferenced set: $deletedNames")
+    assert(loadedSeq(None).length == 1, "current must survive vacuum")
+    intercept[Exception](loadedSeq(Some(1L)))
+
     // legacy flat artifact (pre-manifest layout) still loads
     val legacy = java.nio.file.Files.createTempDirectory("graft_tok_leg").toFile
     legacy.deleteOnExit()
