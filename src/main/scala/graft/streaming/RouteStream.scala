@@ -173,6 +173,23 @@ object RouteStream {
       s"""{"version": $v, "gen": "$v"}""")
   }
 
+  /** Vacuum old versions: `ManifestLog.vacuumGens` plus dropping the
+    * vacuumed gens' bucketed inCap catalog entries — each gen owns its
+    * own table name, so a stale entry points at a deleted path (harmless
+    * to current serving but metastore litter, and a confusing failure if
+    * queried directly). The gen name is re-joined to the caller's
+    * `outDir` string before hashing so the dropped name matches the one
+    * publish registered — same path-form contract as load.
+    */
+  def vacuumRoutedIndex(s: SparkSession, outDir: String,
+      keepVersions: Int = 1): Seq[String] = {
+    val deleted = graft.sources.ManifestLog.vacuumGens(s, outDir, keepVersions)
+    deleted.map(_.split("/").last).filter(_.startsWith("gen=")).foreach { nm =>
+      s.sql(s"DROP TABLE IF EXISTS ${inCapTableName(s"$outDir/$nm")}")
+    }
+    deleted
+  }
+
   /** Load resolves inCap through the catalog so the bucket spec reaches
     * the planner. A session (or JVM) without the catalog entry
     * re-registers it over the existing bucketed files — metadata only,

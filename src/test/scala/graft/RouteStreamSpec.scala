@@ -257,6 +257,20 @@ class RouteStreamSpec extends GraftSpec {
       assert(pairRows(RouteStream.loadRoutedIndex(spark, root, Some(1L))) === v1Rows,
         "a pinned version must keep serving its own cells")
       assert(v1Rows.nonEmpty)
+
+      // vacuum reclaims EXACTLY gen=1 + its manifest file AND drops the
+      // vacuumed gen's bucketed catalog entry; the current version keeps
+      // serving through its own entry, the vacuumed pin fails loudly
+      val tbl1 = RouteStream.inCapTableName(s"$root/gen=1")
+      assert(spark.catalog.tableExists(tbl1), "precondition: v1's table is registered")
+      val deleted = RouteStream.vacuumRoutedIndex(spark, root)
+      assert(deleted.map(_.split("/").last).toSet === Set("gen=1", "v000000001.json"),
+        s"vacuum must reclaim exactly the unreferenced set: $deleted")
+      assert(!spark.catalog.tableExists(tbl1),
+        "vacuum must drop the vacuumed gen's catalog entry")
+      assert(pairRows(RouteStream.loadRoutedIndex(spark, root)) === v1Rows,
+        "current must survive vacuum")
+      intercept[Exception](RouteStream.loadRoutedIndex(spark, root, Some(1L)))
     } finally spark.conf.unset("spark.graft.rplsh.routeCap")
   }
 }
