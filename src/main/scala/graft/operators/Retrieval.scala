@@ -46,7 +46,17 @@ object Retrieval {
     * access pattern, not a corpus re-scan per query.
     */
   def q148Bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // Explicit isnotnull on the shared scan (r17 opt): the scoring
+    // branch joins dl on doc_id, so the optimizer infers
+    // IsNotNull(doc_id) under THAT dl subtree only — the stats branch
+    // (no join) kept a filter-free twin of the same scan+explode+count,
+    // the two exchanges canonicalized differently, and AQE executed the
+    // full corpus explode twice (Diag: two ~1.2 MB exchange writers at
+    // sf0.1). Filtering the scan once makes every branch's subtree
+    // identical, so the per-doc dl exchange materializes once and stats
+    // reads the reused stage. doc_id is the corpus key and never null,
+    // so results are unchanged (oracle hash-verified).
+    val d = Tables.documents(s, dir).where(col("doc_id").isNotNull)
     val toks = d.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
