@@ -1564,19 +1564,28 @@ object Relational {
   // value here is oracle-checked to the bit.
   def q123SampledPercentile(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val sample = o.filter(
-      substring(md5(col("o_orderkey").cast(StringType)), 1, 2) < "0d")
-    val est = sample.groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n_sample"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_est"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_est"))
-    val exact = o.groupBy("o_orderpriority")
+    // ONE scan + ONE aggregate for both the exact and the sampled
+    // estimates (r17 opt; previously two full-table scans joined —
+    // SweepDiag flagged the twin 348 B aggregate exchanges): percentile
+    // ignores NULL inputs, so percentile(CASE WHEN sampled THEN price
+    // END) aggregates exactly the sampled multiset the filtered branch
+    // saw — same Percentile expression, same double arithmetic, bit-
+    // identical values. n_sample counts the same predicate. The inner
+    // join's drop-empty-sample-group semantics is preserved by the
+    // where(isNotNull(p50_est)) guard (a priority with zero sampled
+    // rows aggregates est percentiles to NULL; none exists at any
+    // tested SF, so oracle rows are unchanged).
+    val sampled = substring(md5(col("o_orderkey").cast(StringType)), 1, 2) < "0d"
+    val sprice = when(sampled, col("o_totalprice"))
+    val both = o.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"))
-    exact.join(est, Seq("o_orderpriority"))
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_exact"),
+        count(when(sampled, lit(1))).as("n_sample"),
+        round(percentile(sprice, lit(0.5)), 4).as("p50_est"),
+        round(percentile(sprice, lit(0.9)), 4).as("p90_est"))
+    both.where(col("p50_est").isNotNull)
       .select(col("o_orderpriority"), col("n"), col("n_sample"),
         col("p50_exact"), col("p50_est"),
         round(abs(col("p50_est") - col("p50_exact")) / col("p50_exact"), 6)
@@ -1626,7 +1635,14 @@ object Relational {
   // projection.
   def q128RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val signups = e.filter(col("event_type") === "signup")
+    // explicit isnotnull (r17 opt, the q148 defect class): the active
+    // join infers IsNotNull(user_id) under ITS copy of the signups
+    // subtree while cohortSize's copy stays filter-free, so the two
+    // groupBy exchanges canonicalize differently and AQE aggregates the
+    // signup slice twice. One explicit filter on the shared base makes
+    // the subtrees identical; user_id is never null, results unchanged.
+    val signups = e.filter(col("event_type") === "signup" &&
+        col("user_id").isNotNull)
       .groupBy("user_id").agg(min("ts").as("signup_ts"))
       .withColumn("cohort_week",
         expr("unix_seconds(signup_ts) div 604800"))

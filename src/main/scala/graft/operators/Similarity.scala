@@ -156,19 +156,29 @@ object Similarity {
   def q66CellStats(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val n2dec = VectorFunctions.norm2(col("embedding")).cast(DecimalType(25, 8))
-    val perCell = e.select(col("label"), n2dec.as("n2"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_vectors"), sum(col("n2")).as("s2"))
-    val cent = e.select(col("label"), posexplode(col("embedding")))
+    // ONE scan of the embedding payload (r17 opt; previously a norms
+    // pass and a posexplode pass joined — SweepDiag flagged the twin
+    // 434 B aggregate exchanges, each fed by its own corpus read): the
+    // per-row decimal norm rides the explode, contributing to the
+    // per-cell stats only at pos 0 so each vector counts once. The n2
+    // value is computed by the same expression per row and the decimal
+    // sum is order-exact, so s2/n_vectors are bit-identical to the
+    // two-pass form (every generator vector is fixed-width, non-empty).
+    val ex = e.select(col("label"), n2dec.as("n2"), posexplode(col("embedding")))
+    val cent = ex
       .groupBy("label", "pos")
       .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
-        .cast(DoubleType) / count(lit(1))).as("dim_avg"))
+        .cast(DoubleType) / count(lit(1))).as("dim_avg"),
+        count(when(col("pos") === 0, lit(1))).as("nv_part"),
+        sum(when(col("pos") === 0, col("n2"))).as("s2_part"))
       .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
-      .select(col("label"),
+      .agg(array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"),
+        sum(col("nv_part")).as("n_vectors"),
+        sum(col("s2_part")).as("s2"))
+      .select(col("label"), col("n_vectors"), col("s2"),
         transform(col("dims"), d => d.getField("dim_avg")).as("centroid"))
       .withColumn("cnorm2", VectorFunctions.dot(col("centroid"), col("centroid")))
-    perCell.join(cent, Seq("label"))
+    cent
       .select(col("label"), col("n_vectors"),
         round(sqrt(col("cnorm2")), 6).as("centroid_norm"),
         round(col("s2").cast(DoubleType) / col("n_vectors") - col("cnorm2"), 6).as("inertia"))
@@ -509,7 +519,18 @@ object Similarity {
   /** The 2-round Lloyd chain over the sparse TF-IDF vectors; returns the
     * final checkpointed assignment (doc_id, entries, cid, d2).
     */
-  private[graft] def tfidfAssignments(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tfidfAssignments(s: SparkSession, dir: String): DataFrame =
+    tfidfAssignmentsFrom(s, tfidfWeights(s, dir))
+
+  /** The Lloyd chain over a caller-supplied weights frame — q105 passes
+    * the lazy [[tfidfWeights]] lineage (unchanged plan), while the
+    * label/LDA consumers pass an already-checkpointed weights frame so
+    * the whole q108/q132 chain costs ONE corpus scan (r17 opt: the
+    * second `tfidfVocab` call re-derived the vocabulary from a fresh
+    * corpus tokenize+tf aggregate — exchange reuse cannot cross query
+    * executions, so the checkpoint barrier is the only sharing shape).
+    */
+  private[graft] def tfidfAssignmentsFrom(s: SparkSession, weights: DataFrame): DataFrame = {
     // localCheckpoint BARRIER: the TF-IDF frame feeds both assignment
     // passes, and each pass's output is itself consumed twice — without
     // a barrier the tokenize→tf→df→join→collect_list lineage re-runs ~5
@@ -517,7 +538,7 @@ object Similarity {
     // scans where one + checkpoint does). The frame is the SPARSE
     // vectorization — ≤ TkVocab (dim, w) pairs per doc — so it is far
     // smaller than the token stream it derives from. A/B in SURVEY §8.
-    val docs = tfidfWeights(s, dir)
+    val docs = weights
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("entries"))
       .withColumn("n2x", aggregate(col("entries"), lit(0.0),
@@ -582,13 +603,27 @@ object Similarity {
     * scan at 100 TB). Tokens are recovered from the broadcast V-row
     * vocab.
     */
-  private def clusterTermSums(s: SparkSession, dir: String): DataFrame =
-    tfidfAssignments(s, dir)
-      .select(col("cid"), explode(col("entries")).as("e"))
-      .groupBy(col("cid"), col("e.dim").as("dim"))
-      .agg(sum(col("e.w").cast(DecimalType(20, 6))).as("score_dec"),
+  private def clusterTermSums(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan for the whole labeling chain (r17 opt): checkpoint
+    // the (doc_id, token, dim, w) weights frame and derive BOTH the
+    // assignment chain and the token recovery from it. The previous form
+    // exploded the assignment's (dim, w) entries and joined a SECOND
+    // tfidfVocab lineage for dim→token — a fresh corpus tokenize + tf
+    // aggregate per q108/q132 run (SweepDiag: the 1.6 MB tf exchange
+    // written twice at sf0.1), because exchange reuse cannot cross the
+    // checkpoint's query-execution boundary. Grouping by (cid, dim,
+    // token) over the checkpointed weights joined to the assignment is
+    // the same row multiset (dim↔token is 1:1 within the vocabulary,
+    // and the entries' w values ARE the weights' w values), and the
+    // decimal sum is order-exact — oracle rows unchanged.
+    val wts = tfidfWeights(s, dir).localCheckpoint()
+    tfidfAssignmentsFrom(s, wts)
+      .select(col("doc_id"), col("cid"))
+      .join(wts, Seq("doc_id"))
+      .groupBy(col("cid"), col("dim"), col("token"))
+      .agg(sum(col("w").cast(DecimalType(20, 6))).as("score_dec"),
         count(lit(1)).as("n_docs"))
-      .join(broadcast(tfidfVocab(s, dir).select(col("dim"), col("token"))), Seq("dim"))
+  }
 
   // T26d (notebook/ml-model/mlClustering.ipynb cells 19-25): the ACTUAL
   // per-cluster 1-topic LatentDirichletAllocation FIT — not just its
