@@ -66,6 +66,22 @@ object Dedup {
         explode(TextFunctions.hashedShinglesFromTokens(col("toks"), 3)).as("shingle"))
       .groupBy("shingle").agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= MaxShingleDf)
+      // Parallelism pin for the pair fan-out (r17 opt, the q103 lesson
+      // at the reduce side): the posting table's partial-agg exchange
+      // is SMALL (map-side collect_set dedup — 1.6 MB at sf0.1), so
+      // AQE's bytes-based parallelism-first coalescing folds it to ~1
+      // partition, and the df²/2 double explode below — the query's
+      // dominant CPU — then runs single-threaded (Diag: one task,
+      // 0.9 s CPU ≈ half the q41 wall; q55/q58/q118 inherit it). An
+      // explicit round-robin repartition to the session shuffle width
+      // is pinned (AQE never coalesces user-specified numPartitions):
+      // it moves posting-table-sized bytes once — trivial next to the
+      // pair stream it fans out — and both the pair explode and the
+      // sizes branch read the one exchange. Aggregation results are
+      // partitioning-invariant; the posting groupBy exchange above
+      // keeps its map-side partial sets (repartitioning BEFORE the agg
+      // would shuffle the raw explode stream instead).
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = postings
