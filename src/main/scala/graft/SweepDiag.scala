@@ -65,10 +65,18 @@ object SweepDiag {
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (n, w, rows, dups, flag, err) =>
-      s"""{"query":"$n","wall":${fmt(w)},"stages":${rows.size},"dupFlag":$flag,""" +
+      // top stages by CPU ride along for the map-CPU audit (r14 rule:
+      // huge cpuMs against hash-only shuffle bytes = per-row work that
+      // belongs in a native expression)
+      val top = rows.sortBy(-_.cpuMs).take(3).map(r =>
+        s"""{"stage":${r.stageId},"tasks":${r.tasks},"runMs":${r.runMs},""" +
+        s""""cpuMs":${r.cpuMs},"shufReadB":${r.shufReadB},"shufWriteB":${r.shufWriteB}}""")
+      s"""{"query":"$n","wall":${fmt(w)},"stages":${rows.size},""" +
+      s""""sumRunMs":${rows.map(_.runMs).sum},"sumCpuMs":${rows.map(_.cpuMs).sum},""" +
+      s""""dupFlag":$flag,""" +
       s""""dupWriters":[${dups.map { case (b, rs) =>
         s"""{"bytes":$b,"stages":[${rs.map(_.stageId).mkString(",")}]}"""
-      }.mkString(",")}]}"""
+      }.mkString(",")}],"topCpuStages":[${top.mkString(",")}]}"""
     }.mkString("[\n", ",\n", "\n]")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
