@@ -29,7 +29,17 @@ object Curation {
     val d = Tables.documents(s, dir)
     // drop the text payload BEFORE the hash window — the shuffle then
     // carries (doc_id, 32-char hash) instead of whole documents.
-    val base = d.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    // The quality composite rides the SAME projection (r17 opt): it is
+    // a pure row-local expression over text (TextOps.qualityTerms), so
+    // computing it here instead of left-joining TextOps.qualityScores
+    // deletes one corpus scan AND one corpus×corpus doc_id join from
+    // the capstone — the fused column is the identical expression, and
+    // every doc has a quality value, so the dropped left join cannot
+    // change any row (oracle hash-verified). Costs 8 bytes/row on the
+    // hash exchange; buys a full shuffle of both corpus sides.
+    val (lenTerm, punctTerm, stopTerm, mwlTerm) = TextOps.qualityTerms(col("text"))
+    val base = d.select(col("doc_id"), md5(col("text")).as("content_hash"),
+        (round(lenTerm + punctTerm + stopTerm + mwlTerm, 6) / 4).as("quality"))
       .withColumn("exact_keeper",
         min(col("doc_id")).over(Window.partitionBy("content_hash")))
 
@@ -51,11 +61,9 @@ object Curation {
         .filter(col("is_repetitive"))
         .select(col("doc_id"), lit(4).as("pri")))
       .groupBy("doc_id").agg(min(col("pri")).as("flag_pri"))
-    val quality = TextOps.qualityScores(s, dir).select("doc_id", "quality")
 
     base
       .join(flags, Seq("doc_id"), "left_outer")
-      .join(quality, Seq("doc_id"), "left_outer")
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("exact_keeper"), "exact_dup")
           .when(col("flag_pri") === 2, "near_dup")
