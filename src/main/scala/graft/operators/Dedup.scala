@@ -342,11 +342,27 @@ object Dedup {
     // scratch — localCheckpoint materializes the small label/edge tables.
     // On a cluster with a long-running job, checkpoint() to reliable
     // storage instead so executor loss can't lose the blocks.
+    // Pre-partition the STATIC edge table by the hop-join key before the
+    // checkpoint (r17 opt): localCheckpoint preserves outputPartitioning
+    // through the RDD barrier, so every propagation round's
+    // edges⋈labels join reads the materialized hash(dst) layout in
+    // place instead of RE-SHUFFLING the full edge set per round — at R
+    // rounds that was R corpus-of-edges exchanges for a table that
+    // never changes. The labels side gets the matching explicit
+    // hash(doc_id) layout once; each round's join output then carries
+    // hash(doc_id) through its checkpoint, so later rounds stay
+    // exchange-free on both big sides (only the per-round nbr_label
+    // aggregate — bounded by the changed frontier — still exchanges).
+    // Explicit numPartitions on both sides because co-partitioned joins
+    // require matching counts and AQE must not coalesce one side.
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(np, col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .repartition(np, col("doc_id"))
       .localCheckpoint(true)
     // one propagation hop: labels' = min(label, min over in-neighbors),
     // keeping the caller's old_label column for change detection
