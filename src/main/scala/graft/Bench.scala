@@ -152,8 +152,21 @@ object Bench {
       (detailLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
     System.err.println(detailLine)
+    // 2-decimal values on the stdout line ONLY (r17 verdict item 2): the
+    // harness keeps ~2000 chars of stdout tail and must parse the final
+    // line as one JSON object; at 152 queries the 3-decimal line ran
+    // ~2.5 KB and the capture truncated its head two rounds running
+    // (PERF_r17 prev_bench_ok:false). Dropping the stdout precision to
+    // 10 ms brings the full line + sbt's trailing [success] line inside
+    // the window; the 3-decimal per-query detail is unchanged in
+    // BENCH_WINDOW/BENCH_DETAIL.json and on stderr above. The queries
+    // map itself (every key, the timing methodology, the min-of-reps
+    // figure) is unchanged.
+    def fmt2(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val compact = results.map { case (k, v, _, _, _) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
