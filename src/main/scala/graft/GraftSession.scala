@@ -43,6 +43,17 @@ object GraftSession {
       // priced against recompiling the working set all day on a long-lived
       // serving session.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // r18: allow co-partitioned joins to reuse a SUBSET-key layout
+      // (hash(lid) satisfying a (lid, tf, side) equi-join) instead of
+      // re-exchanging both sides. Only multi-key joins over explicitly
+      // pre-partitioned children are affected — in this engine exactly
+      // the iterative ML/CC machinery that pays for its layout once
+      // (q138's per-iteration gradient join); single-key joins and all
+      // aggregates were already subset-satisfiable. The default (true)
+      // guards against skew when a prefix key is low-cardinality; the
+      // layouts used here key on lid/doc_id — the highest-cardinality
+      // ids in the engine. Results are partitioning-invariant.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
@@ -127,6 +138,38 @@ object GraftSession {
     * value into every later query on the session. The child session is
     * the only shape that scopes a planning-time conf to one query.
     */
+  /** localCheckpoint that PRESERVES the frame's output partitioning
+    * (r18). Under AQE, `Dataset.localCheckpoint` captures the
+    * AdaptiveSparkPlanExec's partitioning, which reads
+    * UnknownPartitioning — so a repartition(n, key).localCheckpoint()
+    * produced a LogicalRDD that advertised NO layout, and every
+    * downstream consumer keyed on `key` re-exchanged the materialized
+    * table (measured by CkptProbe-style probe: consumer exchanges 2 vs
+    * 0; this silently defeated the r17 CC edge pre-partitioning and
+    * the r18 CV co-partitioning). The checkpoint is executed with AQE
+    * disabled FOR THIS ONE EAGER ACTION — localCheckpoint materializes
+    * inside the call, so set-and-restore scopes it exactly (unlike
+    * planning-time confs, see autoShuffled above). The frames this is
+    * used on are explicit repartition/aggregate shapes that AQE could
+    * only coalesce — and a preserved layout is the entire point, so
+    * coalescing is unwanted there anyway. Results are partitioning-
+    * invariant; this is purely plan shape.
+    *
+    * Thread-safety: flips a session conf around an eager action, so
+    * callers must not run concurrent queries on the SAME session that
+    * could plan inside the window (the engine's concurrent paths —
+    * grid search — run on isolated child sessions already).
+    */
+  def layoutCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    try {
+      conf.set(key, "false")
+      df.localCheckpoint()
+    } finally conf.set(key, prev)
+  }
+
   def autoShuffled(s: SparkSession, paths: String*): SparkSession =
     if (s.conf.getOption("spark.graft.autoShufflePartitions")
         .exists(_.trim.toBoolean)) {

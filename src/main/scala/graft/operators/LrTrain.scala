@@ -1252,6 +1252,61 @@ object LrTrain {
       Seq("side"))
   }
 
+  /** ALL k fold-complement side models in ONE training chain (r17
+    * verdict item 1 — q138's JIT wall): `sidedAll`/`xdbAll` are the
+    * checkpointed full corpus carrying an integer `fold` column
+    * (a pure function of lid), and each row is exploded to the k−1
+    * training folds it belongs to (`tf` ≠ own fold), after which the
+    * ordinary wide GD loop runs once with (tf, side) as the model key
+    * instead of k times with per-fold literal filters. Why this is the
+    * same model, bit for bit: every gdStep sum is keyed by (tf, side
+    * [, bucket | lid]), and the tf=f slice of the exploded frame is
+    * EXACTLY xdbAll.filter(fold ≠ f) — the per-fold integer sums have
+    * identical terms, merely grouped in one aggregate instead of k
+    * (and the label join multiplicity per lid is fold-invariant:
+    * duplicate physical lid rows share their fold). What it buys:
+    *  - ONE gradient job per iteration instead of k concurrent ones
+    *    (k−1 fewer driver barriers per iteration);
+    *  - one codegen surface: the k per-fold chains differed only in
+    *    inlined fold literals, so every WholeStageCodegen class was
+    *    generated, Janino-compiled and C2-JIT'd k times — q138's
+    *    measured 12.7–149 s per-pass JIT churn (r17 verdict).
+    * Shuffle volume is unchanged: k complements of (k−1)/k of the
+    * corpus ≡ one pass over the (k−1)-fold exploded frame.
+    * Returns the WIDE local matrix (tf, side, bucket, w0..wK).
+    */
+  private[graft] def trainedSideWeightsAllFolds(sidedAll: DataFrame,
+      xdbAll: DataFrame, k: Int, iters: Int, lrDen: Long): DataFrame = {
+    val tfArr = array((0 until k).map(f => lit(f)): _*)
+    def toTrainFolds(df: DataFrame): DataFrame =
+      df.withColumn("tf", explode(tfArr))
+        .filter(col("tf") =!= col("fold")).drop("fold")
+    // SHUFFLE_MERGE pins the gradient join (r ⋈ xdb) to sort-merge over
+    // the co-partitioned hash(lid) layout: the exploded frame's
+    // LogicalRDD size estimate undersells (k−1)× the corpus, and the
+    // planner otherwise BROADCASTS the multi-M-row frame every
+    // iteration (a driver-built multi-hundred-MB hashed relation ×
+    // iterations × passes — the measured GC storm). The margin join is
+    // unaffected: its other side carries an explicit broadcast(w) hint,
+    // which outranks the merge hint, and w is genuinely KB-scale.
+    val xdb = toTrainFolds(xdbAll).hint("shuffle_merge")
+    // labels join on lid alone (gdStep docKey): margin rows exist only
+    // for complement lids, and a lid's duplicate physical rows all
+    // share its fold, so the full label table joins with the same
+    // multiplicity the per-fold slice did
+    val labels = sidedAll.select("lid", "y_cls")
+    // per-(tf, side) training-row counts — local once, not re-aggregated
+    // from the checkpoint inside every iteration's job
+    val nDf = asLocal(toTrainFolds(sidedAll).groupBy("tf", "side")
+      .agg(count(lit(1)).as("n")))
+    val w0 = asLocal(xdb.select("tf", "side", "bucket").distinct()
+      .select(Seq(col("tf"), col("side"), col("bucket")) ++
+        (0 until Classes).map(c => lit(0L).as(s"w$c")): _*))
+    Iterator.iterate(w0)(w =>
+        gdStep(xdb, labels, nDf, w, Seq("lid"), Seq("tf", "side"), lrDen))
+      .drop(iters).next()
+  }
+
   // --- sided oracle CTEs (consumed by Classify.q104Sql) ----------------
 
   private def sideIterCte(p: String, t: Int): String =
