@@ -336,6 +336,15 @@ object Dedup {
   // so 1-3 rounds in practice. (GraphX connectedComponents is the
   // equivalent at extreme diameters.) Oracle: DuckDB recursive CTE
   // computing min reachable doc_id — same fixpoint.
+  /** CC fan-out floor: edge rows per propagation-round partition. Edge
+    * rows are two longs (~16 B + row overhead), so 2M rows ≈ 32 MB
+    * partitions — the guide's fewer-larger band for a join this light.
+    * A dial, not a constant-by-faith: soak runs can override it.
+    */
+  private[graft] def ccRowsPerPartition(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.cc.rowsPerPartition").map(_.trim.toLong)
+      .getOrElse(2000000L)
+
   def resolveClusters(pairs: DataFrame): DataFrame = {
     // iterative algorithms MUST truncate lineage each round or round N
     // re-executes rounds 1..N-1 (and the upstream pair generation) from
@@ -355,15 +364,43 @@ object Dedup {
     // aggregate — bounded by the changed frontier — still exchanges).
     // Explicit numPartitions on both sides because co-partitioned joins
     // require matching counts and AQE must not coalesce one side.
-    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    //
+    // The width is the CC machinery's OWN, derived from the
+    // materialized edge count with a rows-per-partition floor (r17
+    // verdict item 4): inheriting the session width — which upstream
+    // pins wide for the CPU-dense pair fan-out (jaccardPairs) — made
+    // every propagation round R×np tiny tasks on a KB-scale label
+    // table, and the per-round scheduling overhead cost q55 ~14% at
+    // gen-sf1. Edges are two longs a row, so ~2M rows/partition is
+    // ~32 MB partitions (guide §2.2 "fewer, larger"); the session width
+    // stays the CAP so a genuinely huge edge set still fans out. The
+    // count is read from a first, narrow checkpoint of the edge table
+    // (one extra materialization of the DECISION-weight frame — cheap
+    // next to the pair generation it sizes), and the repartition then
+    // reads those blocks, not the pair pipeline again. Partitioning
+    // never changes results — labels/joins are keyed aggregates.
+    val confNp = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(np, col("dst"))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .repartition(np, col("doc_id"))
-      .localCheckpoint(true)
+    val np = math.max(1, math.min(confNp.toLong,
+      edges0.count() / ccRowsPerPartition(pairs.sparkSession) + 1)).toInt
+    // layoutCheckpoint, not plain localCheckpoint (r18): under AQE the
+    // plain form advertised UnknownPartitioning on the materialized
+    // RDD, so every round's hop join silently RE-EXCHANGED both big
+    // sides — the exact defect the r17 pre-partitioning meant to fix
+    val edges = graft.GraftSession.layoutCheckpoint(
+      edges0.repartition(np, col("dst")))
+    val labels0 = graft.GraftSession.layoutCheckpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .repartition(np, col("doc_id")))
+    // the un-partitioned staging checkpoint is dead once the laid-out
+    // copy exists (freeCheckpoint discipline — LrTrain's rationale)
+    edges0.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+    var labels = labels0
     // one propagation hop: labels' = min(label, min over in-neighbors),
     // keeping the caller's old_label column for change detection
     def hop(ls: DataFrame): DataFrame = {
@@ -381,10 +418,10 @@ object Dedup {
       // the saved checkpoint round-trips). The changed flag rides in the
       // same checkpointed frame, so convergence detection is a cheap
       // scan of materialized blocks.
-      val step = hop(labels.withColumn("old_label", col("label")))
-        .withColumn("changed", col("label") =!= col("old_label"))
-        .select("doc_id", "label", "changed")
-        .localCheckpoint(true)
+      val step = graft.GraftSession.layoutCheckpoint(
+        hop(labels.withColumn("old_label", col("label")))
+          .withColumn("changed", col("label") =!= col("old_label"))
+          .select("doc_id", "label", "changed"))
       converged = step.filter(col("changed")).isEmpty
       labels = step.select("doc_id", "label")
       rounds += 1
