@@ -339,14 +339,31 @@ object Similarity {
         .select(col("cid"),
           transform(col("dims"), d => d.getField("dim_avg")).as("centroid"))
     val a2 = assign(recompute(assign(seeds)))
-    val c2 = recompute(a2)
-    a2.groupBy("cid")
-      .agg(count(lit(1)).as("n_points"),
-        round(sum(col("d2").cast(DecimalType(25, 8))).cast(DoubleType) /
-          count(lit(1)), 6).as("mean_d2"))
-      .join(c2, Seq("cid"))
-      .select(col("cid"), col("n_points"), col("mean_d2"),
-        round(sqrt(VectorFunctions.norm2(col("centroid"))), 6).as("centroid_norm"))
+    // FUSED TAIL (r17 verdict item 8, the q66 pos-0 discipline): the
+    // report needs per-cell counts + d2 sums AND the final centroids
+    // (per-dim means) — previously two consumers of a2, each replaying
+    // the whole two-round Lloyd chain (assign→recompute→assign) from
+    // the scan. One posexplode pass now carries everything: the d2 sum
+    // and member count ride the per-(cid, pos) aggregate and are read
+    // back at pos 0 (embeddings are fixed-dim non-empty, every member
+    // has a pos-0 row; the decimal d2 sum has exactly the per-cid terms
+    // the old direct aggregate had — order-free, bit-identical). The
+    // chain executes ONCE; no corpus-sized checkpoint needed.
+    val perPos = a2.select(col("cid"), col("d2"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast(DoubleType).cast(DecimalType(20, 10)))
+          .cast(DoubleType) / count(lit(1))).as("dim_avg"),
+        count(lit(1)).as("n_at_pos"),
+        sum(col("d2").cast(DecimalType(25, 8))).as("sum_d2"))
+    perPos.groupBy("cid")
+      .agg(
+        max(when(col("pos") === 0, col("n_at_pos"))).as("n_points"),
+        max(when(col("pos") === 0, col("sum_d2"))).as("d2_total"),
+        array_sort(collect_list(struct(col("pos"), col("dim_avg")))).as("dims"))
+      .select(col("cid"), col("n_points"),
+        round(col("d2_total").cast(DoubleType) / col("n_points"), 6).as("mean_d2"),
+        round(sqrt(VectorFunctions.norm2(
+          transform(col("dims"), d => d.getField("dim_avg")))), 6).as("centroid_norm"))
       .orderBy("cid")
   }
 
