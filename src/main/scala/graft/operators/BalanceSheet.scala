@@ -298,10 +298,17 @@ object BalanceSheet {
         (col("block_sum") * factor).cast(DecimalType(24, 4)).as("val4"))
     val sheetRows = rows.unionByName(totalsRows)
     // stage 5b: totals_check — detect total rows by the reference's name
-    // regexes, route them out of the classified stream
-    val isTotal = lower(col("label")).rlike("total assets$") ||
-      (lower(col("label")).rlike("liabilit") &&
-        lower(col("label")).rlike("equity|deficit|capital"))
+    // patterns. The patterns are regex-free (a literal suffix and
+    // literal substrings), so they run as codegen'd EndsWith/Contains
+    // instead of three java.util.regex matches per row over the unioned
+    // line stream (r18 §4 expressions; provably the same predicate:
+    // `x$` anchors a literal ⇔ endsWith, a literal pattern ⇔ contains,
+    // and `a|b|c` of literals ⇔ contains-any; null flows identically).
+    val labelLc = lower(col("label"))
+    val isTotal = labelLc.endsWith("total assets") ||
+      (labelLc.contains("liabilit") &&
+        (labelLc.contains("equity") || labelLc.contains("deficit") ||
+          labelLc.contains("capital")))
     // stage 6: rule classify + manual override on non-total lines
     val manual = Tables.nation(s, dir)
       .filter(col("n_nationkey") < 2)
