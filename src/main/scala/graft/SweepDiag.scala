@@ -41,14 +41,29 @@ object SweepDiag {
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () })
 
+    // SparkListener events arrive asynchronously (r17 ADVICE): clearing
+    // right after the warm pass or snapshotting right after the timed
+    // pass can misattribute late StageCompleted events. Poll the buffer
+    // until it is stable for ~300 ms before clearing/snapshotting.
+    def drainBus(): Unit = {
+      var prev = -1
+      var stable = 0
+      while (stable < 2) {
+        val n = stages.synchronized(stages.size)
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+        Thread.sleep(150)
+      }
+    }
     val results = names.map { n =>
       val fn = SparkEntry.queries(n)
       try {
         fn(spark, sfDir).count() // warm pass (codegen/JIT)
+        drainBus()
         stages.synchronized(stages.clear())
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
         val rows = stages.synchronized(stages.toVector)
         val dups = rows.filter(_.shufWriteB > 0).groupBy(_.shufWriteB)
           .filter(_._2.size > 1).toSeq.sortBy(-_._1)
@@ -71,9 +86,14 @@ object SweepDiag {
       val top = rows.sortBy(-_.cpuMs).take(3).map(r =>
         s"""{"stage":${r.stageId},"tasks":${r.tasks},"runMs":${r.runMs},""" +
         s""""cpuMs":${r.cpuMs},"shufReadB":${r.shufReadB},"shufWriteB":${r.shufWriteB}}""")
+      // JSON-escape the error so a failed query's cause lands in the
+      // artifact, not just wall=-1 (r17 ADVICE)
+      val errJson = "\"" + String.valueOf(err)
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
       s"""{"query":"$n","wall":${fmt(w)},"stages":${rows.size},""" +
       s""""sumRunMs":${rows.map(_.runMs).sum},"sumCpuMs":${rows.map(_.cpuMs).sum},""" +
-      s""""dupFlag":$flag,""" +
+      s""""dupFlag":$flag,"err":$errJson,""" +
       s""""dupWriters":[${dups.map { case (b, rs) =>
         s"""{"bytes":$b,"stages":[${rs.map(_.stageId).mkString(",")}]}"""
       }.mkString(",")}],"topCpuStages":[${top.mkString(",")}]}"""
