@@ -668,7 +668,18 @@ object Retrieval {
     // vocabulary's bucket ids additionally prune whole partition
     // directories before any file is opened (PartitionFilters — the
     // serve path reads ≤ |vocab| of the TermBuckets directories).
-    val vocab = qterms.select("term").distinct().collect().map(_.getString(0))
+    // ONE execution of the request-prep subtree (r18 ServeDiag screen:
+    // the tokenize→rank aggregate ran once for this collect and AGAIN
+    // inside the scoring job via broadcast(qterms) — duplicate 6.7 KB/
+    // 1.2 KB exchange writers per micro-batch). qterms is bounded
+    // request state (≤ queries·QueryTerms rows), so it re-enters as a
+    // LocalRelation with exact stats (the r15 estimate-laundering
+    // discipline) and the per-batch request pipeline runs once.
+    val qtermRows = qterms.collect()
+    val qtermsLocal = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qtermRows: _*), qterms.schema)
+    val termIdx = qterms.schema.fieldIndex("term")
+    val vocab = qtermRows.map(_.getString(termIdx)).distinct
     val dfq = idx.df.filter(col("term").isin(vocab: _*))
     val postingsBase =
       if (idx.postings.columns.contains("tb")) {
@@ -676,7 +687,7 @@ object Retrieval {
         idx.postings.filter(col("tb").isin(tbs.map(Integer.valueOf): _*))
       } else idx.postings // an unpublished in-memory index has no tb
     val pruned = postingsBase.filter(col("term").isin(vocab: _*))
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qtermsLocal), Seq("term"))
     val candidates =
       if (excludeSelf) pruned.filter(col("doc_id") =!= col("query_id")) else pruned
     val scored = candidates
