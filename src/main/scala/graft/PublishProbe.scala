@@ -15,7 +15,25 @@ import scala.collection.mutable.ArrayBuffer
 object PublishProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // conf overrides for A/B legs (the Bench convention, same loud
+    // parsing): r18 uses it for the lz4-vs-zstd publish repricing.
+    // Entries are applied as SYSTEM PROPERTIES before the context is
+    // built — core confs like spark.io.compression.codec are fixed at
+    // SparkEnv creation and a runtime conf.set would silently no-op —
+    // then re-applied at runtime where modifiable (SQL confs).
+    val overrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => (k, v)
+          case _ => sys.error(s"[probe] malformed SPARK_GRAFT_CONF entry: '$kv'")
+        }
+      }
+    overrides.foreach { case (k, v) => sys.props(k) = v }
     val spark = GraftSession(s"local[$cpus]", cpus)
+    overrides.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static; sys-prop applied it
+    }
     case class Row(id: Int, tasks: Int, runMs: Long, cpuMs: Long,
         inB: Long, outB: Long, shufR: Long, shufW: Long, spill: Long)
     val stages = ArrayBuffer.empty[Row]
