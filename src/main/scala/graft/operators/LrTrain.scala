@@ -139,16 +139,27 @@ object LrTrain {
       labelsPlan: DataFrame): (DataFrame, DataFrame) = {
     val s = xdbPlan.sparkSession
     val (xdb, labels, decision) = coPartMode(s) match {
+      // layoutCheckpoint on the repartitioned branches (r18): a plain
+      // localCheckpoint under AQE advertises UnknownPartitioning, so
+      // the co-partition dial materialized the doc_id layout and then
+      // every iteration RE-EXCHANGED it anyway — the dial's measured
+      // 2.1x crossover win (BENCH_R15_FLIP) could not actually be
+      // delivered by the checkpointed form. The non-repartitioned
+      // branches keep the plain checkpoint (no layout to preserve).
       case "auto" =>
         val raw = xdbPlan.localCheckpoint()
         if (raw.count() >= CopartRows(s)) {
-          val x = raw.repartition(col("doc_id")).localCheckpoint()
+          val x = graft.GraftSession.layoutCheckpoint(
+            raw.repartition(col("doc_id")))
           freeCheckpoint(raw)
-          (x, labelsPlan.repartition(col("doc_id")).localCheckpoint(), true)
+          (x, graft.GraftSession.layoutCheckpoint(
+            labelsPlan.repartition(col("doc_id"))), true)
         } else (raw, labelsPlan.localCheckpoint(), false)
       case m if m.toBoolean =>
-        (xdbPlan.repartition(col("doc_id")).localCheckpoint(),
-          labelsPlan.repartition(col("doc_id")).localCheckpoint(), true)
+        (graft.GraftSession.layoutCheckpoint(
+          xdbPlan.repartition(col("doc_id"))),
+          graft.GraftSession.layoutCheckpoint(
+            labelsPlan.repartition(col("doc_id"))), true)
       case _ =>
         (xdbPlan.localCheckpoint(), labelsPlan.localCheckpoint(), false)
     }
